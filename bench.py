@@ -1,0 +1,93 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the `noop` sink (forces every
+operator to execute without collect() driver overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from debgpt7_8_with_vectordb_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # retrieval / vector core
+    "topk_retrieval",
+    "topk_retrieval_filtered",
+    "knn_join",
+    "ann_ivf",
+    "vector_normalize",
+    # relational / analytics
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top_parts_by_revenue",
+    "last_n_window",
+    "sessionize_events",
+    "dual_store_join",
+    # dedup suite
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_neardup",
+    # text analytics / embedding
+    "text_stats",
+    "quality_score",
+    "doc_fingerprint",
+    "hash_embedding",
+    # dataflow
+    "chunk_documents",
+    "binpack_chunks",
+    "multimodal_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from debgpt7_8_with_vectordb_spark.plans import QUERIES
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM / parquet-footer warmup so q1 isn't charged for session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Greedy first-fit bin packing of chunks (reference C3/C4).
+
+Semantics (reference mapreduce.py:53-91 `group_chunks_by_length`):
+sequentially scan chunks in document order, accumulate into the current
+group while the byte total stays ≤ ``max_group_bytes``; an element that
+would overflow starts a new group. The reduce-side variant
+(mapreduce.py:287-326) additionally forces ≥2 items per group so the
+tree reduction always makes progress.
+
+This is order-dependent with accumulator RESET — not a window cumulative
+sum (SURVEY.md §4.3.1). Spark shape: ``applyInPandas`` per document
+(each document's chunk list is bounded by the document size, so a group
+fits a task), parallel ACROSS documents. Cross-document packing, when
+needed, is the same loop inside ``mapPartitions`` after
+``repartitionByRange`` — the ordering contract is then per-partition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PACKED_SCHEMA = (
+    "doc_id long, group_id int, n_items long, group_bytes long, start int, end int"
+)
+
+
+def pack_sizes(sizes: list[int], max_group_bytes: int, min_per_group: int = 1) -> list[int]:
+    """Group ids for an ordered size list — first-fit sequential scan.
+
+    ``min_per_group=2`` reproduces the reduce-side guarantee (a group
+    may overflow rather than stay a singleton, ensuring convergence).
+    """
+    gids: list[int] = []
+    gid = 0
+    cur_bytes = 0
+    cur_count = 0
+    for sz in sizes:
+        would = cur_bytes + sz
+        if cur_count > 0 and would > max_group_bytes and cur_count >= min_per_group:
+            gid += 1
+            cur_bytes = 0
+            cur_count = 0
+        gids.append(gid)
+        cur_bytes += sz
+        cur_count += 1
+    return gids
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    max_group_bytes: int,
+    min_per_group: int = 1,
+) -> DataFrame:
+    """chunks(doc_id, start, end, n_bytes) → per-doc packed groups."""
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["start"]).reset_index(drop=True)
+        gids = pack_sizes(list(pdf["n_bytes"]), max_group_bytes, min_per_group)
+        pdf = pdf.assign(group_id=gids)
+        agg = (
+            pdf.groupby("group_id")
+            .agg(
+                doc_id=("doc_id", "first"),
+                n_items=("n_bytes", "size"),
+                group_bytes=("n_bytes", "sum"),
+                start=("start", "min"),
+                end=("end", "max"),
+            )
+            .reset_index()
+        )
+        return agg[["doc_id", "group_id", "n_items", "group_bytes", "start", "end"]]
+
+    return chunks.select("doc_id", "start", "end", "n_bytes").groupBy("doc_id").applyInPandas(
+        pack_one, schema=PACKED_SCHEMA
+    )

@@ -1,0 +1,32 @@
+"""Registry mapping query names → Spark builders (+ DuckDB oracle SQL).
+
+Contract (driver's ``__spark_entry__``): each builder takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle string is ANSI SQL
+DuckDB runs over the same parquet registered as views. Column names are
+aligned on both sides (the driver sorts columns by name before hashing).
+Queries without an oracle entry (non-SQL-expressible dataflow ops) get the
+driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        assert name not in QUERIES, f"duplicate query {name}"
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco

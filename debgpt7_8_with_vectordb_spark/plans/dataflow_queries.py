@@ -1,0 +1,133 @@
+"""Dataflow query catalog — chunker / bin-packing / map-reduce /
+multimodal (reference §2.9-§2.10, the non-relational core).
+
+chunk_documents gets a full DuckDB oracle via a recursive CTE that
+replays the bisection; binpack and mapreduce are order-dependent /
+iterative (driver contract: rows-only checks); the multimodal decode
+stub is deterministic md5 math, so it's fully oracled even though the
+Spark side runs a real Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.binpack import pack_chunks
+from ..operators.chunker import chunk_documents
+from ..operators.mapreduce import mapreduce_echo as mr_echo
+from ..operators.multimodal import attach_binary_payload, fake_decode_metadata
+from ..tables import load_table
+from .catalog import query
+
+MAX_CHUNK_BYTES = 200  # bisection budget over word-per-line testdata docs
+MAX_GROUP_BYTES = 400
+
+
+def _docs_as_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Testdata documents are single-line; derive a line structure by
+    treating each word as a line (the chunker's axis — reference splits
+    content on '\\n', reader.py:1131)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.array_join(F.split("text", " "), "\n").alias("text")
+    )
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, string_split(text, ' ') AS lines FROM documents
+),
+spans AS (
+  SELECT doc_id, 0 AS s, len(lines) AS e FROM base
+  UNION ALL
+  SELECT sp.doc_id,
+         CASE WHEN h.half = 0 THEN sp.s ELSE sp.s + ((sp.e - sp.s) // 2) END,
+         CASE WHEN h.half = 0 THEN sp.s + ((sp.e - sp.s) // 2) ELSE sp.e END
+  FROM spans sp
+  JOIN base b USING (doc_id)
+  CROSS JOIN (SELECT unnest([0, 1]) AS half) h
+  WHERE sp.e - sp.s > 1
+    AND strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) > {MAX_CHUNK_BYTES}
+)
+SELECT sp.doc_id AS doc_id, sp.s::INT AS start, sp.e::INT AS "end",
+       strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10)))::BIGINT AS n_bytes
+FROM spans sp JOIN base b USING (doc_id)
+WHERE sp.e - sp.s <= 1
+   OR strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) <= {MAX_CHUNK_BYTES}
+""",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 recursive-bisection chunker (reference reader.py:1035-1115) as a
+    distributed mapInPandas table function; the oracle replays the exact
+    bisection with a recursive CTE (split at (e-s)//2, UTF-8 octet size of
+    '\\n'-joined span, 1-line spans terminate)."""
+    docs = _docs_as_lines(spark, sf_dir)
+    chunks = chunk_documents(docs, MAX_CHUNK_BYTES, include_content=False)
+    return chunks.select("doc_id", "start", "end", "n_bytes")
+
+
+@query("binpack_chunks")  # order-dependent accumulator reset → rows-only check
+def binpack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 greedy first-fit bin packing (reference mapreduce.py:53-91) over
+    the chunk table: per-document applyInPandas (sequential within doc,
+    parallel across docs). Not SQL-expressible as a window (the running
+    total resets) — driver records the rows-only check."""
+    docs = _docs_as_lines(spark, sf_dir)
+    chunks = chunk_documents(docs, MAX_CHUNK_BYTES, include_content=False)
+    return pack_chunks(chunks, MAX_GROUP_BYTES)
+
+
+@query("mapreduce_echo")  # iterative driver loop → rows-only check
+def mapreduce_echo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+A4 map → binary tree-reduce (reference mapreduce.py:148-431)
+    with the deterministic echo-lossy extractor (frontend.py:289-293).
+    Iterative shrinking-DataFrame loop; deterministic single-row result
+    (final length, digest, round count)."""
+    docs = _docs_as_lines(spark, sf_dir).filter(F.col("doc_id") < 64)
+    chunks = chunk_documents(docs, MAX_CHUNK_BYTES)
+    return mr_echo(chunks)
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+       strlen(text)::BIGINT AS n_bytes,
+       md5(text) AS digest,
+       (16 + (('0x' || substr(md5(text), 1, 15))::BIGINT % 240))::INT AS width,
+       (16 + ((('0x' || substr(md5(text), 1, 15))::BIGINT // 240) % 240))::INT AS height
+FROM documents
+""",
+)
+def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload column → Arrow-batched
+    mapInPandas 'decode' → typed metadata. The decode is a deterministic
+    md5-derived fake (codecs absent here — operators/multimodal.py), so
+    the full pandas-UDF path is exercised AND oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return fake_decode_metadata(media)
+
+
+@query(
+    "frame_sample",
+    oracle="""
+SELECT doc_id, unnest(generate_series(0, strlen(text) % 100, 10)) AS frame_idx
+FROM documents
+""",
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out: one row per sampled frame index
+    (every 10th of the payload's fake frame count) — the explode-shaped
+    half of the multimodal pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return media.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.octet_length("payload") % 100, F.lit(10))
+        ).alias("frame_idx"),
+    ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))

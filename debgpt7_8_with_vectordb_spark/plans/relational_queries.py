@@ -1,0 +1,303 @@
+"""Relational-parity query catalog — SURVEY.md §2.1/§2.2/§2.5/§2.6/§2.7.
+
+Every scan / filter / projection / window / sort-limit / join / union /
+set pattern the reference implements, re-expressed as one declarative
+DataFrame query each, with a DuckDB oracle. The `events` table plays the
+reference's `messages` table (user_id ≈ conversation_id, ts ≈ timestamp);
+`documents` plays the vector-store provenance side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load_table
+from .catalog import query
+
+
+@query(
+    "point_lookup",
+    oracle="""
+SELECT vec_id, label, len(embedding)::BIGINT AS dim
+FROM embeddings WHERE vec_id = 42
+""",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 `get_byid` (reference vectordb.py:111-144): point lookup by id.
+    Catalyst pushes the equality predicate to the parquet scan
+    (PushedFilters + row-group stats pruning); at 100 TB the table is
+    bucketed/partitioned by id so this touches one partition.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 42).select(
+        "vec_id", "label", F.size("embedding").cast("long").alias("dim")
+    )
+
+
+@query(
+    "projection_scan",
+    oracle="""
+SELECT vec_id, len(embedding)::BIGINT AS dim, round(embedding[1]::DOUBLE, 6) AS first_component
+FROM embeddings
+""",
+)
+def projection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 `as_array` / P1 (reference vectordb.py:157-172): project only
+    (id, vector) — column pruning means the scan never reads other columns
+    (ReadSchema shows just the two)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+    )
+
+
+@query(
+    "ttl_expiry",
+    oracle="""
+SELECT event_id, event_type, ts
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+""",
+)
+def ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 cache TTL (reference cache.py:45-51: DELETE WHERE stamp older
+    than 1 month): the surviving-rows side of a TTL sweep with a fixed
+    cutoff. Range predicate on ts is pushed to the scan; with date
+    partitioning this is pure partition pruning at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")).select(
+        "event_id", "event_type", "ts"
+    )
+
+
+@query(
+    "id_set_filter",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_id IN (1, 2, 3, 42, 99, 12345)
+""",
+)
+def id_set_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 id-set filter (reference app.py:311-312 `Message.id.in_(ids)`);
+    small IN-lists stay pushdown-able predicates; large delete-sets become
+    a broadcast semi-join instead (see delete_anti_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id").isin(1, 2, 3, 42, 99, 12345)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "skiplist_filter",
+    oracle="""
+SELECT doc_id, source FROM documents
+WHERE NOT regexp_matches(source, '[13579]$')
+""",
+)
+def skiplist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 directory skiplist (reference reader.py:363-366 drops .git /
+    __pycache__ paths): negative regex filter on the provenance column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(~F.col("source").rlike("[13579]$")).select("doc_id", "source")
+
+
+@query(
+    "history_limit",
+    oracle="""
+SELECT event_id, ts, event_type
+FROM events WHERE user_id = 5
+ORDER BY ts ASC, event_id ASC LIMIT 200
+""",
+)
+def history_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 conversation history (reference app.py:280-287: ORDER BY
+    timestamp ASC LIMIT 200): filter + global limit plans a
+    TakeOrderedAndProject, not a full sort. Explicit event_id tiebreak
+    (the reference relies on implicit SQLite order — SURVEY.md §7.7)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") == 5)
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .limit(200)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+@query(
+    "last_n_window",
+    oracle="""
+SELECT user_id, event_id, ts, rnk FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)::BIGINT AS rnk
+  FROM events
+) WHERE rnk <= 20
+""",
+)
+def last_n_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 last-20-messages-per-conversation (reference app.py:341-348:
+    Python slice `[-20:]` after a full sorted fetch). One shuffle on the
+    partition key; Spark's WindowGroupLimit pushes the rank<=20 limit into
+    the sort at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("user_id", "event_id", "ts", "rnk")
+    )
+
+
+@query(
+    "latest_event",
+    oracle="""
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 newest-by-mtime (reference reader.py:210-222 `max(files,
+    key=mtime)`): argmax per group with a deterministic tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+@query(
+    "group_counts",
+    oracle="""
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 COUNT(*) (reference cache.py:150-151) widened to a grouped
+    aggregate — partial (map-side) aggregation shuffles only one row per
+    (partition, group)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "dual_store_join",
+    oracle="""
+SELECT e.vec_id AS vec_id, e.label AS label, d.lang AS lang, d.n_chars AS n_chars
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+""",
+)
+def dual_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 dual-store correlation (reference app.py:213-227: messages.id ==
+    qdrant point id). Equi-join on the shared id; AQE picks broadcast when
+    one side is small, else a co-partitioned sort-merge join (at scale:
+    bucket both tables by id so the shuffle disappears)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "label", "lang", "n_chars"
+    )
+
+
+@query(
+    "delete_anti_join",
+    oracle="""
+SELECT d.doc_id, d.source FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents x WHERE x.doc_id % 10 = 0 AND x.doc_id = d.doc_id
+)
+""",
+)
+def delete_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 delete-conversation (reference app.py:300-314): delete = anti-join
+    against the doomed key set; on Delta this is the DELETE rewrite."""
+    docs = load_table(spark, sf_dir, "documents")
+    doomed = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return docs.join(F.broadcast(doomed), "doc_id", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "union_sources",
+    oracle="""
+SELECT doc_id, lang FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang FROM documents WHERE lang = 'zh'
+""",
+)
+def union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 multi-spec union (reference reader.py:1155-1158 list concat of
+    per-spec entries): unionByName of two source scans — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    zh = docs.filter(F.col("lang") == "zh").select("doc_id", "lang")
+    return en.unionByName(zh)
+
+
+@query(
+    "spec_expansion",
+    oracle="""
+SELECT printf('%04d-%02d', y, m) AS spec
+FROM generate_series(2021, 2025) AS ys(y)
+CROSS JOIN (SELECT unnest([4, 5]) AS m)
+""",
+)
+def spec_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 mailing-list range expansion (reference reader.py:603-641:
+    `2021-2025/:` × month list → URL cartesian product): explode(sequence)
+    × crossJoin — the fan-out seed for S15-style fetch pipelines."""
+    years = spark.range(1).select(F.explode(F.sequence(F.lit(2021), F.lit(2025))).alias("y"))
+    months = spark.range(1).select(F.explode(F.array(F.lit(4), F.lit(5))).alias("m"))
+    return years.crossJoin(months).select(F.format_string("%04d-%02d", "y", "m").alias("spec"))
+
+
+@query(
+    "cache_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT doc_id AS key, 'updated' AS value FROM documents WHERE doc_id < 10
+),
+kept AS (
+  SELECT d.doc_id AS key, d.source AS value FROM documents d
+  WHERE d.doc_id >= 10
+)
+SELECT key, value FROM updates UNION ALL SELECT key, value FROM kept
+""",
+)
+def cache_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 cache INSERT OR REPLACE (reference cache.py:78-80): upsert =
+    updates ∪ (base ⟕̸ updates) — on Delta this is MERGE; here the
+    anti-join rewrite on plain parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    updates = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("key"), F.lit("updated").alias("value")
+    )
+    base = docs.select(F.col("doc_id").alias("key"), F.col("source").alias("value"))
+    kept = base.join(F.broadcast(updates.select("key")), "key", "left_anti")
+    return updates.unionByName(kept)
+
+
+@query(
+    "json_extract",
+    oracle="""
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val
+FROM events WHERE event_id < 100
+""",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 JSON decode (reference frontend.py:182-183 session JSON;
+    events.props carries a JSON payload here)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 100).select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )

@@ -1,0 +1,219 @@
+"""Vector retrieval query catalog (reference SURVEY.md §2.6/§2.11/§2.12).
+
+Each query has a DuckDB oracle computing the identical result. Scores are
+rounded to 6 decimals BEFORE ranking on both sides so last-ulp float drift
+can never flip an ordering; ties break on the id (SURVEY.md §7.7).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.vector import cosine_similarity, l2_norm, l2_normalize, truncate_dim
+from ..operators.retrieval import (
+    get_query_vector,
+    resolve_provenance,
+    score_against_query,
+    topk,
+)
+from ..tables import load_table
+from .catalog import query
+
+# DuckDB fragment: a FLOAT[] column as DOUBLE[] (scores computed in double
+# precision on both engines — SURVEY.md §7.7 risk 5)
+_D = "list_transform({v}, x -> x::DOUBLE)"
+
+
+@query(
+    "topk_retrieval",
+    oracle=f"""
+WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) AS score
+  FROM embeddings, q
+),
+top AS (SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 3)
+SELECT t.vec_id AS vec_id, t.score AS score, d.source AS source, d.lang AS lang
+FROM top t JOIN documents d ON d.doc_id = t.vec_id
+""",
+)
+def topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — reference R2 `retrieve_from_db` (retrieval.py:117-130,
+    vectordb.py:190-214): embed query → scan → cosine → top-k → provenance.
+
+    Spark plan: scan-side scoring expression → TakeOrderedAndProject (k=3)
+    → ONE broadcast hash join for provenance (reference does N+1 point
+    lookups, vectordb.py:210-213).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = get_query_vector(emb, 0)
+    winners = topk(score_against_query(emb, qv), k=3)
+    return resolve_provenance(winners, docs, "vec_id", "doc_id").select(
+        "vec_id", "score", "source", "lang"
+    )
+
+
+@query(
+    "topk_retrieval_filtered",
+    oracle=f"""
+WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT vec_id, label,
+         round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) AS score
+  FROM embeddings, q
+  WHERE label = 3
+)
+SELECT vec_id, label, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 5
+""",
+)
+def topk_retrieval_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R4 `/context` (app.py:239-277): payload filter pushed
+    BELOW the ANN search (P6). Catalyst pushes `label = 3` into the scan
+    (PushedFilters), so scoring touches only the filtered rows — same
+    pushdown the reference hand-codes via Qdrant Filter (app.py:250-263).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = get_query_vector(emb, 1)
+    scored = emb.filter(F.col("label") == 3).select(
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(F.col("embedding"), F.array(*[F.lit(x) for x in qv])), 6).alias(
+            "score"
+        ),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+@query(
+    "knn_join",
+    oracle=f"""
+WITH qs AS (SELECT vec_id AS qid, {_D.format(v='embedding')} AS qv
+            FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qs.qid, e.vec_id,
+         round(list_cosine_similarity({_D.format(v='e.embedding')}, qs.qv), 6) AS score
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id <> qs.qid
+),
+ranked AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC)::BIGINT AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, score, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force k-NN join (similarity-search baseline): top-3 neighbors
+    for each of 5 query vectors. The query side is broadcast (tiny), so the
+    big side streams through scoring without a shuffle; ranking shuffles
+    only by qid. Mirrors reference R1 `retrieve_onfly` (retrieval.py:59-83)
+    generalized to many queries.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "vector_normalize",
+    oracle="""
+WITH t AS (SELECT vec_id, list_transform(embedding[1:32], x -> x::DOUBLE) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM t)
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(list_transform(v, x -> x / nrm), y -> y * y))), 6)
+         AS unit_norm,
+       round(v[1] / nrm, 6) AS first_component
+FROM n
+""",
+)
+def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion invariant of the reference vector store (vectordb.py:81-86):
+    truncate to dim then L2-normalize — here dim=32 over the 64-d testdata.
+    Pure per-row Catalyst expressions: no shuffle, whole-stage codegen.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = truncate_dim(F.col("embedding"), 32)
+    n = l2_normalize(t)
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(n), 6).alias("unit_norm"),
+        F.round(F.element_at(n, 1), 6).alias("first_component"),
+    )
+
+
+@query(
+    "ann_ivf",
+    oracle=f"""
+WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 2),
+cent AS (
+  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS c
+  FROM embeddings, generate_series(1, 64) AS g(i)
+  GROUP BY label, i
+),
+cvec AS (SELECT label, array_agg(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+sel AS (
+  SELECT cvec.label FROM cvec, q
+  ORDER BY round(list_cosine_similarity(cv, q.qv), 6) DESC, label ASC LIMIT 2
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity({_D.format(v='e.embedding')}, q.qv), 6) AS score
+FROM embeddings e JOIN sel ON e.label = sel.label, q
+ORDER BY score DESC, vec_id ASC LIMIT 5
+""",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate search — the 100 TB scale path for retrieval.
+
+    Build per-cluster centroids (here: the `label` column plays cluster-id;
+    in production KMeans assigns it and it becomes a PARTITION column so
+    probing = partition pruning). Probe the nprobe=2 nearest clusters, then
+    exact-score only those. The exact brute-force scorer (topk_retrieval)
+    stays the recall oracle (BASELINE.md §2).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = get_query_vector(emb, 2)
+    qlit = F.array(*[F.lit(x) for x in qv])
+
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    sel = (
+        cent.select(
+            "label", F.round(cosine_similarity(F.col("cv"), qlit), 6).alias("cs")
+        )
+        .orderBy(F.desc("cs"), F.asc("label"))
+        .limit(2)
+        .select("label")
+    )
+    probed = emb.join(F.broadcast(sel), "label")
+    scored = probed.select(
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)

@@ -1,0 +1,289 @@
+"""Text-analysis query catalog — LLM-training-pipeline operators.
+
+Language-ID (marker-word heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), fingerprinting (min-hash over char
+shingles), plus the reference's scalar string ops (SURVEY.md §2.8).
+All pure Catalyst expressions — per-row, no shuffle, no UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import md5_long
+from ..functions.text import char_shingles, tokens
+from ..tables import load_table
+from .catalog import query
+
+# DuckDB: whitespace tokens with empties dropped (matches functions.text.tokens)
+_TOKS = r"list_filter(string_split_regex({t}, '\s+'), x -> x <> '')"
+# DuckDB twin of functions.hashing.md5_long
+_MD5L = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+_STOP = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_SQL = "('the','a','of','and','to','in','is','it')"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks, text FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       strlen(text)::BIGINT AS n_bytes,
+       length(text)::BIGINT AS n_chars_actual,
+       round(list_sum(list_transform(toks, x -> strlen(x)::DOUBLE)) / len(toks), 6)
+         AS avg_token_bytes
+FROM t
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + byte/char stats (F3 octet_length semantics —
+    reference mapreduce.py:73 sizes chunks in UTF-8 bytes, not chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(
+            F.aggregate(toks, F.lit(0.0), lambda a, x: a + F.octet_length(x).cast("double"))
+            / F.size(toks),
+            6,
+        ).alias("avg_token_bytes"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents)
+SELECT doc_id,
+       round(len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks), 6)
+         AS stopword_ratio,
+       round(least(len(toks)::DOUBLE / 100.0, 1.0), 6) AS length_score,
+       round(0.5 * (len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks))
+             + 0.5 * least(len(toks)::DOUBLE / 100.0, 1.0), 6) AS quality
+FROM t
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring for corpus filtering: stopword ratio
+    (fluency proxy) + length saturation, combined 50/50."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*_STOP)))
+    stop_ratio = stop_cnt.cast("double") / F.size(toks)
+    len_score = F.least(F.size(toks).cast("double") / 100.0, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(len_score, 6).alias("length_score"),
+        F.round(0.5 * stop_ratio + 0.5 * len_score, 6).alias("quality"),
+    )
+
+
+_EN = "('the','a','of','and','is','fast','slow','small','big')"
+_DE = "('der','die','das','und','ist','schnell','klein')"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS.format(t='text')} AS toks FROM documents),
+v AS (SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN {_EN}))::BIGINT AS en_votes,
+             len(list_filter(toks, x -> x IN {_DE}))::BIGINT AS de_votes
+      FROM t)
+SELECT doc_id, lang AS labeled_lang, en_votes, de_votes,
+       CASE WHEN en_votes >= de_votes AND en_votes > 0 THEN 'en'
+            WHEN de_votes > en_votes THEN 'de'
+            ELSE 'und' END AS predicted_lang
+FROM v
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-word language ID heuristic: count marker-word votes
+    per language, argmax with deterministic tie-break order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    en = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "is", "fast", "slow", "small", "big"))).cast("long")
+    de = F.size(F.filter(toks, lambda x: x.isin("der", "die", "das", "und", "ist", "schnell", "klein"))).cast("long")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_votes"),
+        de.alias("de_votes"),
+        F.when((en >= de) & (en > 0), "en").when(de > en, "de").otherwise("und").alias(
+            "predicted_lang"
+        ),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> substr(text, i, 5)) AS sh
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(sh, g -> {_MD5L.format(e='g')})) AS fingerprint
+FROM s
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min hash over all character
+    5-gram shingles — a 1-permutation MinHash; identical docs get
+    identical fingerprints, near-identical docs collide with prob ≈
+    Jaccard similarity of their shingle sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(F.col("text"), 5)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, lambda g: md5_long(g))).alias("fingerprint"),
+    )
+
+
+@query(
+    "token_count_bpe",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer proxy: regex token classes (letter runs, digit
+    runs, single punctuation) — the standard pre-tokenization split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "line_span_slice",
+    oracle="""
+SELECT doc_id,
+       array_to_string(list_slice(string_split(text, ' '), 2, 5), ' ') AS span
+FROM documents
+""",
+)
+def line_span_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 line-span slice (reference reader.py:1061-1063
+    `lines[start:end]`): slice tokens 2..5 and re-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 2, 4), " ").alias("span"),
+    )
+
+
+@query(
+    "regex_extract_span",
+    oracle="""
+SELECT doc_id, regexp_extract(text, 'key ([a-z]+)', 1) AS after_key
+FROM documents
+WHERE regexp_matches(text, 'key [a-z]+')
+""",
+)
+def regex_extract_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 regex span extraction (reference reader.py:256-284 extracts the
+    Build→Changes block of sbuild logs with a DOTALL regex)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike("key [a-z]+")).select(
+        "doc_id", F.regexp_extract("text", "key ([a-z]+)", 1).alias("after_key")
+    )
+
+
+@query(
+    "whitespace_collapse",
+    oracle="""
+SELECT doc_id, md5(trim(regexp_replace(text, ' +', ' ', 'g'))) AS digest
+FROM documents
+""",
+)
+def whitespace_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 whitespace normalization (reference reader.py:464-465
+    collapses blank runs + rstrips lines); digest keeps output compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace("text", " +", " ")).cast("binary")).alias("digest"),
+    )
+
+
+@query(
+    "string_shorten",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN length(text) > 64 THEN substr(text, 1, 64) || '...'
+            ELSE text END AS short_text
+FROM documents
+""",
+)
+def string_shorten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 string clamp (reference frontend.py:250-251: 512-char clamp +
+    ellipsis for retrieved snippets; 64 here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.length("text") > 64, F.concat(F.substring("text", 1, 64), F.lit("..."))
+        )
+        .otherwise(F.col("text"))
+        .alias("short_text"),
+    )
+
+
+@query(
+    "hash_embedding",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7),
+           i -> (({_MD5L.format(e="i::VARCHAR || '|' || text")}) % 1000)::DOUBLE / 1000.0 - 0.5)
+           AS raw
+  FROM documents
+),
+n AS (SELECT doc_id, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM h)
+SELECT doc_id,
+       round(raw[1] / nrm, 6) AS c0,
+       round(raw[2] / nrm, 6) AS c1,
+       round(sqrt(list_sum(list_transform(list_transform(raw, x -> x / nrm), y -> y * y))), 6)
+         AS unit_norm
+FROM n
+""",
+)
+def hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 deterministic embedding backend. The reference's test embedding
+    is np.random — NONdeterministic (embeddings.py:137,151); ours hashes
+    (dim_index | text) through md5 so tests are reproducible, then applies
+    the same truncate+normalize insert invariant (vectordb.py:81-86).
+    dim=8 shown; per-row expression, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: (
+            md5_long(F.concat_ws("|", i.cast("string"), F.col("text"))) % 1000
+        ).cast("double")
+        / 1000.0
+        - 0.5,
+    )
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    normed = F.transform(raw, lambda x: x / nrm)
+    unit = F.sqrt(F.aggregate(normed, F.lit(0.0), lambda a, y: a + y * y))
+    return docs.select(
+        "doc_id",
+        F.round(F.element_at(raw, 1) / nrm, 6).alias("c0"),
+        F.round(F.element_at(raw, 2) / nrm, 6).alias("c1"),
+        F.round(unit, 6).alias("unit_norm"),
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB case: AQE for runtime re-planning + skew-join
+handling, auto broadcast for small dims, Arrow for the (few) Pandas-UDF
+operators, and bounded shuffle partitions sized by the caller.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to *any* session handed to us (the
+# correctness driver owns its own SparkSession; these are all
+# session-conf-level, safe to set at runtime).
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata parquet uses TIMESTAMP(NANOS) which Spark cannot read
+    # natively; read as long and convert (see tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp rendering vs the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: coalesce post-shuffle partitions, convert
+    # sort-merge join to broadcast when a side turns out small, split
+    # skewed partitions — all essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDF / mapInPandas / applyInPandas
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an externally-owned session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — accept session default
+    return spark
+
+
+def get_spark(
+    app_name: str = "debgpt7_8_with_vectordb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

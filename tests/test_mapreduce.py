@@ -1,0 +1,88 @@
+"""Map → tree-reduce dataflow tests (reference test_mapreduce.py model:
+deterministic echo fake + exact structural expectations)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from debgpt7_8_with_vectordb_spark.operators.mapreduce import (
+    echo_lossy,
+    map_phase,
+    mapreduce_echo,
+    tree_reduce,
+)
+
+
+def chunks_df(spark, texts):
+    return spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(texts)],
+        "doc_id long, start int, content string",
+    )
+
+
+def test_echo_lossy_every_second_char(spark):
+    # reference EchoFrontend.lossy_mode semantics (frontend.py:289-293)
+    row = spark.range(1).select(echo_lossy(F.lit("abcdef"), 2).alias("v")).head()
+    assert row["v"] == "ace"
+
+
+def test_echo_lossy_rate_three(spark):
+    row = spark.range(1).select(echo_lossy(F.lit("abcdefg"), 3).alias("v")).head()
+    assert row["v"] == "adg"
+
+
+def test_echo_lossy_empty(spark):
+    row = spark.range(1).select(echo_lossy(F.lit(""), 2).alias("v")).head()
+    assert row["v"] == ""
+
+
+def test_tree_reduce_log2_rounds(spark):
+    mapped = chunks_df(spark, ["a", "b", "c", "d"]).select(
+        "doc_id", "start", F.col("content").alias("val")
+    )
+    final, rounds = tree_reduce(mapped)
+    assert rounds == 2  # ⌈log₂4⌉
+    assert final.count() == 1
+    assert final.head()["val"] == "a\nb\nc\nd"
+
+
+def test_tree_reduce_odd_tail_carried(spark):
+    mapped = chunks_df(spark, ["a", "b", "c"]).select(
+        "doc_id", "start", F.col("content").alias("val")
+    )
+    final, rounds = tree_reduce(mapped)
+    assert final.count() == 1
+    # pairing (a,b) then (ab, c): content preserved in order
+    assert final.head()["val"].replace("\n", "") == "abc"
+
+
+def test_single_chunk_short_circuit(spark):
+    # zero reduce rounds on single-chunk input (reference mapreduce.py:489-490)
+    mapped = chunks_df(spark, ["only"]).select(
+        "doc_id", "start", F.col("content").alias("val")
+    )
+    final, rounds = tree_reduce(mapped)
+    assert rounds == 0
+    assert final.head()["val"] == "only"
+
+
+def test_mapreduce_deterministic(spark):
+    chunks = chunks_df(spark, ["abcdef", "ghijkl", "mnopqr"])
+    r1 = mapreduce_echo(chunks).head()
+    r2 = mapreduce_echo(chunks).head()
+    assert r1 == r2
+    # echo rate 2 halves (ceil) each chunk; joins add separators
+    assert r1["final_len"] == 3 * 3 + 2
+
+
+def test_mapreduce_parallel_grid(spark):
+    """Reduced version of the reference's 96-combination grid
+    (test_mapreduce.py:189-213): vary chunk counts and echo rates, assert
+    convergence to exactly one deterministic row."""
+    for n_chunks in (1, 2, 5, 9):
+        for rate in (1, 2, 3):
+            chunks = chunks_df(spark, [f"chunk-{i}-payload" for i in range(n_chunks)])
+            out = mapreduce_echo(chunks, rate=rate)
+            rows = out.collect()
+            assert len(rows) == 1
+            assert rows[0]["digest"] is not None

@@ -1,0 +1,107 @@
+"""Catalog-level smoke + targeted semantics tests at sf0.001.
+
+The full DuckDB-oracle comparison lives in tools/check_oracle.py (it is
+the local replica of the driver gate and is run before every commit);
+here we assert structural properties cheap enough for CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from debgpt7_8_with_vectordb_spark.plans import ORACLE, QUERIES
+
+
+def test_catalog_is_populated():
+    assert len(QUERIES) >= 40
+    # every oracle has a matching query
+    assert set(ORACLE) <= set(QUERIES)
+    # the overwhelming majority of queries are oracle-checked
+    assert len(ORACLE) >= len(QUERIES) - 3
+
+
+def test_flagship_topk(spark, sf_dir):
+    rows = QUERIES["topk_retrieval"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    # self-similarity: the query vector is vec_id 0's embedding → rank 1
+    by_score = sorted(rows, key=lambda r: -r["score"])
+    assert by_score[0]["vec_id"] == 0
+    assert by_score[0]["score"] == pytest.approx(1.0)
+
+
+def test_filtered_retrieval_respects_filter(spark, sf_dir):
+    rows = QUERIES["topk_retrieval_filtered"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["label"] == 3 for r in rows)
+
+
+def test_knn_join_shape(spark, sf_dir):
+    rows = QUERIES["knn_join"](spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 queries × top-3
+    assert all(r["qid"] != r["vec_id"] for r in rows)  # self excluded
+
+
+def test_vector_normalize_unit(spark, sf_dir):
+    rows = QUERIES["vector_normalize"](spark, sf_dir).collect()
+    assert all(r["unit_norm"] == pytest.approx(1.0) for r in rows)
+
+
+def test_dedup_exact_finds_planted_duplicates(spark):
+    # duplicates are planted at sf0.1 (5000 docs, 4992 distinct texts)
+    rows = QUERIES["dedup_exact"](spark, "/root/testdata/sf0.1").collect()
+    total = sum(r["dup_count"] for r in rows)
+    assert total == 5000
+    assert any(r["dup_count"] > 1 for r in rows)
+
+
+def test_minhash_candidates_superset_of_exact_dups(spark):
+    """Exact duplicate pairs MUST collide in every MinHash band, so each
+    appears among LSH candidates — recall=1 on exact dups."""
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    sf_dir = "/root/testdata/sf0.1"
+    docs = load_table(spark, sf_dir, "documents")
+    dup_pairs = {
+        (a, b)
+        for digest, ids in (
+            docs.groupBy(F.md5(F.col("text").cast("binary")).alias("d"))
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select("d", "ids")
+            .rdd.map(lambda r: (r["d"], sorted(r["ids"])))
+            .collect()
+        )
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert dup_pairs, "testdata should contain exact duplicates"
+    assert dup_pairs <= cands
+
+
+def test_simhash_identical_docs_identical_hash(spark, sf_dir):
+    rows = QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    assert len(rows) == 500
+    assert all(r["simhash"] is not None and r["simhash"] >= 0 for r in rows)
+
+
+def test_sessionize_counts_sum_to_events(spark, sf_dir):
+    rows = QUERIES["sessionize_events"](spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in rows) == 1000
+
+
+def test_entry_contract(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
