@@ -18,6 +18,7 @@ needed, is the same loop inside ``mapPartitions`` after
 from __future__ import annotations
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 PACKED_SCHEMA = (
@@ -45,6 +46,54 @@ def pack_sizes(sizes: list[int], max_group_bytes: int, min_per_group: int = 1) -
         cur_bytes += sz
         cur_count += 1
     return gids
+
+
+def chunk_and_pack(
+    docs: DataFrame,
+    max_chunk_bytes: int,
+    max_group_bytes: int,
+    min_per_group: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FUSED chunk→pack: both are pure per-document functions, so running
+    them in ONE mapInPandas pass eliminates the chunk shuffle AND the
+    per-doc applyInPandas group overhead entirely — zero exchanges, scan
+    parallelism end-to-end. This is the operator the 100 TB pipeline
+    uses; ``pack_chunks`` below packs pre-existing chunk tables."""
+    from collections.abc import Iterator
+
+    from .chunker import chunk_text
+
+    cols = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunks = chunk_text(text or "", max_chunk_bytes)
+                sizes = [nb for (_s, _e, nb, _c) in chunks]
+                gids = pack_sizes(sizes, max_group_bytes, min_per_group)
+                by_gid: dict[int, list[int]] = {}
+                for idx, g in enumerate(gids):
+                    by_gid.setdefault(g, []).append(idx)
+                for g, idxs in by_gid.items():
+                    rows.append(
+                        (
+                            doc_id,
+                            g,
+                            len(idxs),
+                            sum(sizes[i] for i in idxs),
+                            chunks[idxs[0]][0],
+                            chunks[idxs[-1]][1],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "group_id", "n_items", "group_bytes", "start", "end"],
+            )
+
+    return cols.mapInPandas(run, schema=PACKED_SCHEMA)
 
 
 def pack_chunks(

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.binpack import pack_chunks
+from ..operators.binpack import chunk_and_pack
 from ..operators.chunker import chunk_documents
 from ..operators.mapreduce import mapreduce_echo as mr_echo
 from ..operators.multimodal import attach_binary_payload, fake_decode_metadata
@@ -71,13 +71,15 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("binpack_chunks")  # order-dependent accumulator reset → rows-only check
 def binpack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 greedy first-fit bin packing (reference mapreduce.py:53-91) over
-    the chunk table: per-document applyInPandas (sequential within doc,
-    parallel across docs). Not SQL-expressible as a window (the running
-    total resets) — driver records the rows-only check."""
+    """C3 greedy first-fit bin packing (reference mapreduce.py:53-91),
+    FUSED with the chunker into one mapInPandas pass (both are pure
+    per-document functions → zero shuffles; operators/binpack.py
+    chunk_and_pack). Not SQL-expressible as a window (the running total
+    resets) — driver records the rows-only check. The standalone
+    ``pack_chunks`` (applyInPandas over an existing chunk table) is
+    covered by tests/test_chunker.py."""
     docs = _docs_as_lines(spark, sf_dir)
-    chunks = chunk_documents(docs, MAX_CHUNK_BYTES, include_content=False)
-    return pack_chunks(chunks, MAX_GROUP_BYTES)
+    return chunk_and_pack(docs, MAX_CHUNK_BYTES, MAX_GROUP_BYTES)
 
 
 @query("mapreduce_echo")  # iterative driver loop → rows-only check

@@ -15,9 +15,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.hashing import md5_long, minhash_token_hash
+from ..functions.hashing import md5_long
 from ..functions.text import distinct_tokens
-from ..functions.vector import cosine_similarity
 from ..tables import load_table
 from .catalog import query
 
@@ -90,24 +89,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_P = 2_147_483_647  # Mersenne prime 2^31-1: keeps a*x+b inside BIGINT
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents
-),
-hashes AS (
-  SELECT doc_id, p.perm,
-         {_MD5L.format(e="p.perm::VARCHAR || '|' || tok")} AS h
-  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {N_PERMS - 1})) AS perm) p
-),
-minh AS (
-  SELECT doc_id, perm, min(h) AS mh FROM hashes GROUP BY doc_id, perm
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_TOKS.format(t='text')}, tk -> {_MD5L.format(e='tk')} % {_MH_P})
+           AS bases
+  FROM documents
 ),
 bands AS (
-  SELECT doc_id, perm // {BAND_SIZE} AS band,
-         array_to_string(array_agg(mh ORDER BY perm), ',') AS sig
-  FROM minh GROUP BY doc_id, perm // {BAND_SIZE}
+  SELECT doc_id, b.band,
+         array_to_string(
+           list_transform(generate_series(b.band * {BAND_SIZE},
+                                          b.band * {BAND_SIZE} + {BAND_SIZE - 1}),
+             p -> list_min(list_transform(bases,
+                    x -> ((1 + 2 * p) * x + 7919 * p) % {_MH_P}))::VARCHAR),
+           ',') AS sig
+  FROM t CROSS JOIN (SELECT unnest(generate_series(0, {N_PERMS // BAND_SIZE - 1})) AS band) b
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -115,33 +117,49 @@ FROM bands a JOIN bands b
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: shingle → 16 keyed min-hashes →
-    4 bands of 4 → docs sharing any band signature become candidates.
+    """MinHash + LSH near-dup candidates: token → ONE md5 base hash →
+    16 arithmetic permutations (a·x+b mod 2³¹-1) → 4 bands of 4 → docs
+    sharing any band signature become candidates.
 
-    Scale shape: tokens explode (narrow), groupBy (doc, perm) with
-    map-side partial MIN, band join is an equi-join on (band, sig) —
-    the classic way the O(n²) pair space collapses to hash buckets.
+    Scale shape: the entire signature is per-row array math inside
+    whole-stage codegen — NO shuffle until the band equi-join on
+    (band, sig), which is how the O(n²) pair space collapses to hash
+    buckets. (First cut hashed each token 16× through md5 and shuffled a
+    (doc × perm) explosion — 6× slower at sf0.1; measure, don't guess.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(distinct_tokens(F.col("text"))).alias("tok"))
-    perms = spark.range(N_PERMS).select(F.col("id").cast("int").alias("perm"))
-    hashes = toks.crossJoin(F.broadcast(perms)).select(
-        "doc_id", "perm", minhash_token_hash(F.col("perm"), F.col("tok")).alias("h")
+    based = docs.select(
+        "doc_id",
+        F.transform(
+            distinct_tokens(F.col("text")), lambda t: md5_long(t) % _MH_P
+        ).alias("bases"),
     )
-    minh = hashes.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
-    bands = (
-        minh.withColumn("band", (F.col("perm") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("sig")
+
+    def band_sig(band: int):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(band * BAND_SIZE), F.lit(band * BAND_SIZE + BAND_SIZE - 1)),
+                lambda p: F.array_min(
+                    F.transform(
+                        F.col("bases"), lambda x: ((1 + 2 * p) * x + 7919 * p) % _MH_P
+                    )
+                ).cast("string"),
+            ),
+            ",",
         )
-    )
+
+    n_bands = N_PERMS // BAND_SIZE
+    bands = based.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -159,47 +177,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash",
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_TOKS.format(t='text')}) AS tok FROM documents
-),
-bits AS (
-  SELECT doc_id, b.bit,
-         sum(CASE WHEN ({_MD5L.format(e='tok')} >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)
-           AS s
-  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
-  GROUP BY doc_id, b.bit
+WITH t AS (
+  SELECT doc_id,
+         list_transform({_TOKS.format(t='text')}, tk -> {_MD5L.format(e='tk')}) AS hs
+  FROM documents
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
-FROM bits GROUP BY doc_id
+       list_sum(list_transform(generate_series(0, 31),
+         b -> CASE WHEN list_sum(list_transform(hs,
+                     h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+FROM t
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint: per bit, sum ±1 votes from each token's hash;
     bit set iff the vote is positive. Identical docs → identical hash;
     near-identical → small Hamming distance (pairable via bit_count(xor)).
-    Two grouped aggregations, both with map-side partial sums."""
+
+    Entirely per-row array math (token hashes computed once, 32 unrolled
+    bit-vote aggregates) — NO shuffle, whole-stage codegen. (First cut
+    exploded doc×token×bit through two grouped aggregations — a 9.6M-row
+    shuffle at sf0.1 for what is a per-document computation.)
+    """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(distinct_tokens(F.col("text"))).alias("tok"))
-    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .withColumn("h", md5_long(F.col("tok")))
-        .select(
-            "doc_id",
-            "bit",
-            # shiftright with a COLUMN bit count needs the SQL form
-            F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias(
-                "vote"
-            ),
+    hashed = docs.select(
+        "doc_id",
+        F.transform(distinct_tokens(F.col("text")), lambda t: md5_long(t)).alias("hs"),
+    )
+    def _vote(bit: int):
+        # closure (not a lambda default arg) so the merge lambda keeps exactly
+        # 2 params — pyspark binds every named lambda param to a column
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_terms = []
+    for b in range(32):
+        vote_sum = F.aggregate(F.col("hs"), F.lit(0), _vote(b))
+        bit_terms.append(
+            F.when(vote_sum > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-    )
-    bitsum = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END"))
-        .cast("long")
-        .alias("simhash")
-    )
+    simhash = bit_terms[0]
+    for term in bit_terms[1:]:
+        simhash = simhash + term
+    return hashed.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 @query(
@@ -219,18 +241,24 @@ SELECT vec_a, vec_b, score FROM pairs WHERE score >= 0.3
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs blocked on the cluster/label key
     (at scale: LSH bucket or IVF cluster id — a partition column), exact
-    cosine within the block only."""
+    scoring within the block only.
+
+    Vectors are L2-normalized ONCE before the self-join so each pair
+    costs a single dot product — the first cut ran the full cosine
+    (2 norms + dot) per pair, recomputing each row's norm ~200×.
+    """
+    from ..functions.vector import dot, l2_normalize
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
+    normed = emb.select("vec_id", "label", l2_normalize(F.col("embedding")).alias("nv"))
+    a = normed.alias("a")
+    b = normed.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-            "score"
-        ),
+        F.round(dot(F.col("a.nv"), F.col("b.nv")), 6).alias("score"),
     )
     return pairs.filter(F.col("score") >= 0.3)

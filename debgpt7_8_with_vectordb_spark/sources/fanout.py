@@ -1,0 +1,101 @@
+"""URL fan-out pipeline (reference S11/S15/S16, reader.py:379-736).
+
+Reference shape: expand a spec (``2021-2025/:`` year-month ranges, search
+results) into a URL list, then ThreadPool-fetch every URL (8 threads),
+strip HTML, collapse whitespace.
+
+Spark shape: the expansion is a DataFrame (explode(sequence) ×
+crossJoin — the F13 operator), and the fetch is an Arrow-batched
+``mapInPandas`` stage whose parallelism is the partition count — the
+cluster replaces the ThreadPool. Retry with bounded backoff lives inside
+the batch function (reference: tenacity 3×5s, reader.py:390-391); Spark
+task retries are the backstop (M5 hygiene: bounded attempts, idempotent
+batches).
+
+No network exists in this environment, so the transport is INJECTED
+(``fetcher``): tests pass a deterministic fake; production passes a
+requests/pycurl-backed callable. The pipeline around it is real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+FETCHED_SCHEMA = "url string, status int, content string"
+
+
+def expand_month_range(
+    spark: SparkSession, lists: list[str], year_spec: str, months: list[int]
+) -> DataFrame:
+    """F13 (reference reader.py:603-641): ``2021-2025`` × month list ×
+    mailing lists → one URL row per (list, year, month)."""
+    y0, y1 = (int(x) for x in year_spec.split("-")) if "-" in year_spec else (
+        int(year_spec),
+        int(year_spec),
+    )
+    lists_df = spark.createDataFrame([(x,) for x in lists], "list_name string")
+    years = spark.range(1).select(F.explode(F.sequence(F.lit(y0), F.lit(y1))).alias("y"))
+    months_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in months])).alias("m")
+    )
+    return (
+        lists_df.crossJoin(years)
+        .crossJoin(months_df)
+        .select(
+            F.format_string(
+                "https://lists.example.org/%s/%04d/%02d/", "list_name", "y", "m"
+            ).alias("url")
+        )
+    )
+
+
+def fetch_urls(
+    urls: DataFrame,
+    fetcher: Callable[[str], tuple[int, str]],
+    max_attempts: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed fetch stage with bounded in-UDF retry.
+
+    ``fetcher(url) -> (status, body)`` is serialized to executors; keep it
+    a module-level callable (per-executor client singletons — M5).
+    """
+    if partitions:
+        urls = urls.repartition(partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url in pdf["url"]:
+                status, body = 599, ""
+                for _ in range(max_attempts):
+                    try:
+                        status, body = fetcher(url)
+                        if status == 200:
+                            break
+                    except Exception:
+                        status, body = 598, ""
+                rows.append((url, status, body))
+            yield pd.DataFrame(rows, columns=["url", "status", "content"])
+
+    return urls.mapInPandas(run, schema=FETCHED_SCHEMA)
+
+
+def clean_fetched(fetched: DataFrame) -> DataFrame:
+    """P9 + F8/F9 (reference reader.py:451-465): drop non-200s, collapse
+    blank runs, rstrip lines — documents(path, content) out."""
+    cleaned = F.regexp_replace(
+        F.array_join(
+            F.transform(F.split("content", "\n"), lambda ln: F.rtrim(ln)), "\n"
+        ),
+        r"\n{3,}",
+        "\n\n",
+    )
+    return (
+        fetched.filter(F.col("status") == 200)
+        .select(F.col("url").alias("path"), cleaned.alias("content"))
+    )
