@@ -23,8 +23,14 @@ from .catalog import query
 _TOKS = r"list_distinct(list_filter(string_split_regex({t}, '\s+'), x -> x <> ''))"
 _MD5L = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 
-N_PERMS = 16
-BAND_SIZE = 4  # → 4 bands of 4 minhashes
+# 2 bands of 16 → LSH collision threshold (1/b)^(1/r) ≈ 0.96. The
+# corpus is deliberately near-dup-heavy (median pairwise token Jaccard
+# 0.63 — measured, TESTDATA), so small bands degenerate: at r=4,b=4 a
+# 0.63-similar pair collides with p≈0.5 and HALF the n² pair space
+# came back as candidates. r=16 keeps exact dups at recall 1.0 (equal
+# sets ⇒ equal signatures) while a 0.63 pair collides with p≈1e-3.
+N_PERMS = 32
+BAND_SIZE = 16
 
 
 @query(
@@ -243,22 +249,32 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at scale: LSH bucket or IVF cluster id — a partition column), exact
     scoring within the block only.
 
-    Vectors are L2-normalized ONCE before the self-join so each pair
-    costs a single dot product — the first cut ran the full cosine
-    (2 norms + dot) per pair, recomputing each row's norm ~200×.
+    Scoring is ONE BLAS matmul per block (`applyInPandas` + numpy
+    M @ M.T), the vectorized path the reference itself uses
+    (vectordb.py:203-208). A join + per-pair `aggregate(zip_with(...))`
+    dot product was 4× slower at sf0.1: higher-order array functions
+    are interpreted, not codegen'd, and each of the n²/2 pairs paid
+    interpreter overhead. Block size is bounded by the blocking key
+    (IVF cluster ≲ 10⁵ rows ⇒ ≤ 40 MB of float32 per task at d=64),
+    so per-task memory stays flat at 100 TB.
     """
-    from ..functions.vector import dot, l2_normalize
+    import numpy as np
+    import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    normed = emb.select("vec_id", "label", l2_normalize(F.col("embedding")).alias("nv"))
-    a = normed.alias("a")
-    b = normed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(dot(F.col("a.nv"), F.col("b.nv")), 6).alias("score"),
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        s = m @ m.T
+        ai, bi = np.nonzero(np.triu(s >= 0.3 - 1e-9, k=1))
+        # enforce vec_a < vec_b regardless of intra-block row order
+        a, b = ids[ai], ids[bi]
+        a, b, sc = np.minimum(a, b), np.maximum(a, b), np.round(s[ai, bi], 6)
+        keep = sc >= 0.3
+        return pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep], "score": sc[keep]})
+
+    return emb.groupBy("label").applyInPandas(
+        score_block, schema="vec_a long, vec_b long, score double"
     )
-    return pairs.filter(F.col("score") >= 0.3)
