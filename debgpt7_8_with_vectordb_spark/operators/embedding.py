@@ -50,6 +50,22 @@ def hash_embed_expr(text: Column, dim: int = 64) -> Column:
     return l2_normalize(raw)
 
 
+def hash_embed_raw_py(text: str, dim: int = 64) -> list[float]:
+    """Pre-normalization components of the hash embedding — what a
+    provider would return; ``provider_embed`` applies truncate+normalize."""
+    return [
+        (int(hashlib.md5(f"{i}|{text}".encode()).hexdigest()[:15], 16) % 1000) / 1000.0
+        - 0.5
+        for i in range(dim)
+    ]
+
+
+def hash_provider_8(texts: list[str]) -> list[list[float]]:
+    """Module-level deterministic provider fake (dim=8) — picklable to
+    executors, stands in for a provider batch-embedding HTTP call."""
+    return [hash_embed_raw_py(t, 8) for t in texts]
+
+
 def hash_embed_py(text: str, dim: int = 64) -> list[float]:
     """Python twin of hash_embed_expr (for fakes/oracles in plain code)."""
     raw = [
@@ -85,8 +101,10 @@ def provider_embed(
                 vecs.extend(embed_fn(texts[i : i + batch_size]))
             yield pdf.assign(raw_vector=vecs)
 
+    # raw vectors stay DOUBLE through the normalize (float32 truncation
+    # before the norm shifts the 6th decimal); cast to float at write time
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
-    out = docs.mapInPandas(run, schema=f"{schema}, raw_vector array<float>")
+    out = docs.mapInPandas(run, schema=f"{schema}, raw_vector array<double>")
     return out.select(
         *cols,
         l2_normalize(truncate_dim(F.col("raw_vector"), dim)).alias("vector"),

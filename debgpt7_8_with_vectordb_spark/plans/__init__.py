@@ -13,3 +13,4 @@ from . import analytics_queries  # noqa: F401,E402
 from . import dedup_queries  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
 from . import dataflow_queries  # noqa: F401,E402
+from . import pipeline_queries  # noqa: F401,E402

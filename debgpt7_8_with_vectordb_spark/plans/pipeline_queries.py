@@ -1,0 +1,141 @@
+"""Pipeline-surface queries: sources, provider embedding, streaming.
+
+These exercise the engine's ingestion/pipeline modules through the same
+oracle gate as the relational catalog:
+
+- ``source_router`` — the S21 unified reader dispatch (reference
+  reader.py:766-1032) routing a parquet documents table into the
+  canonical (path, content) shape;
+- ``provider_embedding`` — the E1 ``mapInPandas`` provider-call path
+  (reference embeddings.py:156-258) with a deterministic fake provider;
+  proves the Arrow-batched UDF path produces bit-identical results to
+  the pure-Catalyst expression AND the DuckDB oracle;
+- ``sessionize_stream`` — the §2.13 Structured Streaming extension:
+  ``session_window`` gap sessions with a watermark, drained with
+  ``availableNow`` and compared against plain gap-session SQL. The
+  stream and the oracle agree because session_window's merge rule
+  (windows overlap ⇔ delta < gap) equals the SQL rule
+  ``new session iff ts - lag(ts) >= gap``.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.embedding import hash_provider_8, provider_embed
+from ..sources.readers import read_any_path
+from ..streaming.sessionize import sessionize_stream, stream_events_from_dir
+from ..tables import load_table
+from .catalog import query
+
+_MD5L = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+
+@query(
+    "source_router",
+    oracle="""
+SELECT source AS path, text AS content FROM documents
+""",
+)
+def source_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21 prefix/suffix reader dispatch: any spec → documents(path,
+    content). Here the spec is the parquet documents table; the router
+    normalizes its columns (source→path, text→content). Pure projection
+    — Catalyst prunes the scan to the two columns read."""
+    return read_any_path(spark, f"{sf_dir}/documents.parquet")
+
+
+@query(
+    "provider_embedding",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7),
+           i -> (({_MD5L.format(e="i::VARCHAR || '|' || text")}) % 1000)::DOUBLE / 1000.0 - 0.5)
+           AS raw
+  FROM documents
+),
+n AS (SELECT doc_id, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM h)
+SELECT doc_id,
+       round(raw[1] / nrm, 6) AS c0,
+       round(raw[2] / nrm, 6) AS c1,
+       round(sqrt(list_sum(list_transform(list_transform(raw, x -> x / nrm), y -> y * y))), 6)
+         AS unit_norm
+FROM n
+""",
+)
+def provider_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 provider-backed embedding through the Arrow-batched
+    ``mapInPandas`` path (operators/embedding.py provider_embed) with a
+    deterministic fake provider. Same oracle as ``hash_embedding`` (the
+    pure-expression path): UDF path ≡ expression path ≡ DuckDB, which is
+    exactly the invariant a provider swap must preserve (truncate +
+    L2-normalize applied JVM-side either way, vectordb.py:81-86)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    emb = provider_embed(docs, hash_provider_8, dim=8)
+    v = F.col("vector")
+    unit = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, y: a + y.cast("double") * y))
+    return emb.select(
+        "doc_id",
+        F.round(F.element_at(v, 1), 6).alias("c0"),
+        F.round(F.element_at(v, 2), 6).alias("c1"),
+        F.round(unit, 6).alias("unit_norm"),
+    )
+
+
+_SINK_SEQ = itertools.count()
+
+
+@query(
+    "sessionize_stream",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 1 HOUR AS session_end,
+       user_id,
+       count(*)::BIGINT AS n_events,
+       sum(value) AS total_value
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def sessionize_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 streaming extension: gap-based ``session_window`` sessions
+    over the events feed with a 2 h watermark, drained via availableNow
+    into a memory sink. State is bounded by the watermark (sessions
+    finalize once event time passes end+watermark — the property that
+    keeps a 100 TB/day feed's state finite). Oracle = batch gap-session
+    SQL; equality PROVES the streaming operator computes the same
+    sessions as the relational definition.
+
+    Note the boundary: session_window merges on delta < gap (half-open
+    windows), so the SQL oracle starts a new session on delta >= gap."""
+    ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+    sess = sessionize_stream(ev, gap="1 hour", watermark="2 hours")
+    name = f"sessionize_stream_sink_{next(_SINK_SEQ)}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -31,9 +31,16 @@ EVENTS_SCHEMA = (
 )
 
 
-def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of the events feed (new files = new batches)."""
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+def stream_events_from_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """File-source stream of the events feed (new files = new batches).
+    ``glob`` narrows a directory to matching files (the testdata keeps
+    ``events.parquet`` as a single file inside the sf dir)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

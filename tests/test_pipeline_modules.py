@@ -1,0 +1,210 @@
+"""Tests for the sources / streaming / embedding pipeline modules."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+import pyspark.sql.functions as F
+
+
+# ---------- sources ----------
+
+
+def test_source_router_parquet(spark, sf_dir):
+    from debgpt7_8_with_vectordb_spark.sources.readers import read_any_path
+
+    df = read_any_path(spark, f"{sf_dir}/documents.parquet")
+    assert df.columns == ["path", "content"]
+    assert df.count() == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def test_source_dir_skiplist(spark, tmp_path):
+    from debgpt7_8_with_vectordb_spark.sources.readers import read_directory
+
+    (tmp_path / "keep.txt").write_text("kept")
+    git = tmp_path / ".git"
+    git.mkdir()
+    (git / "HEAD").write_text("ref: refs/heads/main")
+    df = read_directory(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["content"] == "kept"
+
+
+def test_source_jsonl_and_bad_columns(spark, tmp_path):
+    from debgpt7_8_with_vectordb_spark.sources.readers import read_jsonl
+
+    good = tmp_path / "good.jsonl"
+    good.write_text(json.dumps({"source": "a", "text": "hello"}) + "\n")
+    assert read_jsonl(spark, str(good)).collect()[0]["content"] == "hello"
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(json.dumps({"a": 1}) + "\n")
+    with pytest.raises(ValueError, match="jsonl source needs"):
+        read_jsonl(spark, str(bad))
+
+
+def test_source_registry_dispatch(spark, sf_dir, tmp_path):
+    from debgpt7_8_with_vectordb_spark.sources.registry import read
+
+    df = read(spark, f"parquet_docs:{sf_dir}/documents.parquet")
+    assert df.columns == ["path", "content"]
+    # specs without a registered prefix fall through to the path router
+    # (reference reader.py:989-1032 semantics)
+    f = tmp_path / "plain.txt"
+    f.write_text("plain text")
+    assert read(spark, str(f)).collect()[0]["content"] == "plain text"
+
+
+# ---------- streaming ----------
+
+
+def test_stream_sessions_match_batch_gap_sessions(spark, sf_dir):
+    """The streaming session_window operator must produce exactly the
+    sessions the batch gap-session SQL defines (same gap)."""
+    from debgpt7_8_with_vectordb_spark.streaming.sessionize import (
+        sessionize_stream,
+        stream_events_from_dir,
+    )
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+    sess = sessionize_stream(ev, gap="1 hour", watermark="2 hours")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("t_sessions")
+
+    batch_ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = batch_ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 1 HOUR")),
+            1,
+        ).otherwise(0),
+    )
+    sids = flagged.withColumn(
+        "sid", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    batch = sids.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+    assert streamed.count() == batch.count()
+    sk = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in streamed.collect()
+    }
+    bk = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert sk == bk
+
+
+def test_incremental_index_build_idempotent_per_batch(spark, sf_dir, tmp_path):
+    from debgpt7_8_with_vectordb_spark.streaming.sessionize import (
+        incremental_index_build,
+        stream_events_from_dir,
+    )
+
+    def embed_batch(df):
+        return df.select(
+            "event_id", F.array(F.col("value"), F.lit(1.0)).alias("vector")
+        )
+
+    ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+    q = incremental_index_build(
+        ev, embed_batch, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    built = spark.read.parquet(str(tmp_path / "idx"))
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert built.count() == n_events
+    assert built.columns == ["event_id", "vector"]
+
+    # restart with the same checkpoint: no new files → no duplicate rows
+    ev2 = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+    q2 = incremental_index_build(
+        ev2, embed_batch, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "idx")).count() == n_events
+
+
+# ---------- embedding ----------
+
+
+def test_provider_embed_matches_expression_path(spark, sf_dir):
+    """mapInPandas provider path ≡ pure-Catalyst expression path."""
+    from debgpt7_8_with_vectordb_spark.operators.embedding import (
+        hash_embed_expr,
+        hash_provider_8,
+        provider_embed,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+        .limit(20)
+    )
+    via_udf = provider_embed(docs, hash_provider_8, dim=8)
+    via_expr = docs.select(
+        "doc_id", hash_embed_expr(F.col("content"), 8).alias("vector")
+    )
+    u = {r["doc_id"]: r["vector"] for r in via_udf.collect()}
+    e = {r["doc_id"]: r["vector"] for r in via_expr.collect()}
+    assert u.keys() == e.keys()
+    for k in u:
+        assert u[k] == pytest.approx(e[k], abs=1e-9)
+
+
+def test_provider_embed_truncates_and_normalizes(spark):
+    from debgpt7_8_with_vectordb_spark.operators.embedding import provider_embed
+
+    docs = spark.createDataFrame(
+        [(1, "abc")], "doc_id long, content string"
+    )
+
+    def wide_provider(texts):
+        return [[3.0, 4.0, 99.0, 99.0] for _ in texts]
+
+    out = provider_embed(docs, wide_provider, dim=2).collect()[0]["vector"]
+    # truncated to [3,4] then normalized → [0.6, 0.8] (vectordb.py:81-86 invariant)
+    assert out == pytest.approx([0.6, 0.8])
+
+
+def test_bulk_index_build_partition_pruning_layout(spark, sf_dir, tmp_path):
+    from debgpt7_8_with_vectordb_spark.operators.embedding import bulk_index_build
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "index")
+    bulk_index_build(docs, out, dim=16)
+    idx = spark.read.parquet(out)
+    assert idx.count() == docs.count()
+    assert set(idx.columns) == {"id", "text", "vector", "cluster_id"}
+    # unit vectors
+    row = idx.first()
+    assert math.isqrt(0) == 0  # keep math import honest
+    norm = math.sqrt(sum(x * x for x in row["vector"]))
+    assert norm == pytest.approx(1.0, abs=1e-6)
+    # cluster_id is a physical partition column → probe-side cluster
+    # pruning is partition pruning
+    one = idx.filter(F.col("cluster_id") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cluster_id" in plan or "cluster_id=3" in str(
+        one.inputFiles()
+    )
