@@ -36,6 +36,7 @@ HEADLINE = [
     # dedup suite
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "embedding_neardup",
@@ -44,10 +45,15 @@ HEADLINE = [
     "quality_score",
     "doc_fingerprint",
     "hash_embedding",
-    # dataflow
+    "provider_embedding",
+    "html_strip",
+    "section_split",
+    # dataflow / pipeline
     "chunk_documents",
     "binpack_chunks",
     "multimodal_metadata",
+    "source_router",
+    "sessionize_stream",
 ]
 
 

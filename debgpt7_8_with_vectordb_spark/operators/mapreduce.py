@@ -96,12 +96,86 @@ def tree_reduce(
     return df, rounds
 
 
+def compact_reduce(
+    mapped: DataFrame,
+    max_group_bytes: int,
+    combine: str = "\n",
+    max_rounds: int | None = None,
+) -> tuple[DataFrame, int]:
+    """A5/C4 compact (n-ary) reduction: greedily bin-pack rows into
+    ≤max_group_bytes groups — at least 2 per group so every round
+    strictly shrinks (reference mapreduce.py:287-326) — combine each
+    group, repeat until one row remains.
+
+    Scale shape: packing is order-dependent over the SIZE vector only,
+    so the driver packs sizes (one int per row — KBs even at 100 TB
+    chunk counts, and rounds shrink geometrically) and broadcast-joins
+    the group ids back; payloads never leave the executors.
+    """
+    from .binpack import pack_sizes
+
+    df = mapped.select("doc_id", "start", "val")
+    n = df.count()
+    rounds = 0
+    limit = max_rounds if max_rounds is not None else max(1, int(math.log2(max(n, 2))) + 2)
+    w = Window.orderBy("doc_id", "start")
+    while n > 1 and rounds < limit:
+        keyed = df.withColumn("rn", F.row_number().over(w) - 1)
+        sizes = [
+            r["nb"]
+            for r in keyed.select("rn", F.octet_length("val").alias("nb"))
+            .orderBy("rn")
+            .collect()
+        ]
+        gids = pack_sizes(sizes, max_group_bytes, min_per_group=2)
+        gid_map = keyed.sparkSession.createDataFrame(
+            list(enumerate(gids)), "rn long, pack long"
+        )
+        packed = keyed.join(F.broadcast(gid_map), "rn")
+
+        def combine_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("rn")
+            return pd.DataFrame(
+                {
+                    "doc_id": [pdf["doc_id"].iloc[0]],
+                    "start": [pdf["start"].iloc[0]],
+                    "val": [combine.join(pdf["val"])],
+                }
+            )
+
+        df = (
+            packed.groupBy("pack")
+            .applyInPandas(combine_group, schema="doc_id long, start int, val string")
+            .localCheckpoint(eager=True)
+        )
+        n = df.count()
+        rounds += 1
+    return df, rounds
+
+
 def mapreduce_echo(chunks: DataFrame, rate: int = 2) -> DataFrame:
     """Full M4 pipeline with the deterministic echo extractor; returns one
     row (final_len, digest, rounds). Single-chunk inputs short-circuit
     inside tree_reduce (n==1 → zero rounds), like mapreduce.py:489-490."""
     mapped = map_phase(chunks, rate=rate)
     final, rounds = tree_reduce(mapped)
+    return final.select(
+        F.length("val").cast("long").alias("final_len"),
+        F.md5(F.col("val").cast("binary")).alias("digest"),
+        F.lit(rounds).cast("long").alias("rounds"),
+    )
+
+
+def mapreduce_echo_compact(
+    chunks: DataFrame, max_group_bytes: int, rate: int = 2
+) -> DataFrame:
+    """M4 pipeline in COMPACT mode (reference mode matrix
+    mapreduce.py:494-547: {serial,parallel}×{binary,compact} — Spark is
+    always parallel, compact-vs-binary stays a parameter): echo map →
+    n-ary bin-packed reduce. Converges in ⌈log_f n⌉ rounds where f =
+    average group fan-in (≥2 guaranteed by C4's min-2 rule)."""
+    mapped = map_phase(chunks, rate=rate)
+    final, rounds = compact_reduce(mapped, max_group_bytes)
     return final.select(
         F.length("val").cast("long").alias("final_len"),
         F.md5(F.col("val").cast("binary")).alias("digest"),

@@ -93,6 +93,20 @@ def mapreduce_echo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mr_echo(chunks)
 
 
+@query("mapreduce_echo_compact")  # iterative driver loop → rows-only check
+def mapreduce_echo_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+A5 COMPACT mode (reference mapreduce.py:162-180, 287-326,
+    353-431): echo map → n-ary bin-packed reduce (≥2 per group so each
+    round strictly shrinks). Completes the reference's mode matrix
+    alongside ``mapreduce_echo`` (binary). Converges in fewer rounds —
+    fan-in is bounded by group byte budget, not fixed at 2."""
+    from ..operators.mapreduce import mapreduce_echo_compact as mr_compact
+
+    docs = _docs_as_lines(spark, sf_dir).filter(F.col("doc_id") < 64)
+    chunks = chunk_documents(docs, MAX_CHUNK_BYTES)
+    return mr_compact(chunks, MAX_GROUP_BYTES)
+
+
 @query(
     "multimodal_metadata",
     oracle="""

@@ -98,10 +98,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_P = 2_147_483_647  # Mersenne prime 2^31-1: keeps a*x+b inside BIGINT
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH t AS (
+# Shared bands CTE (used by the candidate query AND the verified
+# two-stage pipeline): token → md5 base → N_PERMS arithmetic
+# permutations → bands of BAND_SIZE, banded signature per doc.
+_BANDS_CTE = f"""
+t AS (
   SELECT doc_id,
          list_transform({_TOKS.format(t='text')}, tk -> {_MD5L.format(e='tk')} % {_MH_P})
            AS bases
@@ -116,15 +117,24 @@ bands AS (
                     x -> ((1 + 2 * p) * x + 7919 * p) % {_MH_P}))::VARCHAR),
            ',') AS sig
   FROM t CROSS JOIN (SELECT unnest(generate_series(0, {N_PERMS // BAND_SIZE - 1})) AS band) b
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_BANDS_CTE}
+SELECT doc_a, doc_b FROM cand
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: token → ONE md5 base hash →
-    16 arithmetic permutations (a·x+b mod 2³¹-1) → 4 bands of 4 → docs
+    32 arithmetic permutations (a·x+b mod 2³¹-1) → 2 bands of 16 → docs
     sharing any band signature become candidates.
 
     Scale shape: the entire signature is per-row array math inside
@@ -133,6 +143,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. (First cut hashed each token 16× through md5 and shuffled a
     (doc × perm) explosion — 6× slower at sf0.1; measure, don't guess.)
     """
+    return _minhash_candidates(spark, sf_dir)
+
+
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     based = docs.select(
         "doc_id",
@@ -166,6 +180,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # materialize signatures ONCE: the self-join broadcasts one side, so
+    # without this the md5+32-permutation signature subtree executes
+    # twice (once per join input). n_docs × n_bands small rows — at
+    # 100 TB this is the persisted signature table a dedup run writes
+    # anyway before pair generation.
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -177,6 +197,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+WITH {_BANDS_CTE},
+toksets AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_TOKS.format(t='text')},
+                                      tk -> {_MD5L.format(e='tk')} % {_MH_P})) AS hs
+  FROM documents
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ta.hs, tb.hs))::DOUBLE AS inter,
+         (len(ta.hs) + len(tb.hs))::DOUBLE AS total
+  FROM cand c
+  JOIN toksets ta ON ta.doc_id = c.doc_a
+  JOIN toksets tb ON tb.doc_id = c.doc_b
+  WHERE least(len(ta.hs), len(tb.hs))::DOUBLE
+          >= 0.8 * greatest(len(ta.hs), len(tb.hs))
+)
+SELECT doc_a, doc_b, round(inter / (total - inter), 6) AS jaccard
+FROM verified WHERE inter / (total - inter) >= 0.8
+""",
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full two-stage near-dup PIPELINE: LSH candidate generation
+    (probabilistic, cheap) → exact Jaccard verification (only on
+    candidates) → keep pairs ≥ 0.8. This is the shape a 100 TB dedup
+    run actually uses: stage 1 collapses O(n²) to hash buckets, stage 2
+    touches only the candidate set — its cost scales with TRUE
+    near-dup density, not corpus size (this corpus is deliberately
+    saturated: ~92% of candidates verify ≥ 0.8).
+
+    Verify-stage engineering, each worth measuring:
+    - Jaccard over DISTINCT TOKEN-HASH sets (int64), not token strings
+      — set cardinalities are identical minus md5 collisions (same on
+      both engines), and int64 array_intersect beats string intersect;
+    - size-ratio prefilter: J ≥ t forces min|A|,|B| ≥ t·max|A|,|B|,
+      so mismatched pairs skip the intersect entirely;
+    - the per-doc hash-set table broadcasts (5k docs × ~60 longs ≪
+      10 MB; at 100 TB it shuffle-joins on doc_id instead — both
+      sides already partition on it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _minhash_candidates(spark, sf_dir)
+    toksets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(distinct_tokens(F.col("text")), lambda t: md5_long(t) % _MH_P)
+        ).alias("hs"),
+    )
+    pairs = (
+        cand.join(
+            F.broadcast(toksets.withColumnRenamed("doc_id", "doc_a")), "doc_a"
+        )
+        .withColumnRenamed("hs", "hs_a")
+        .join(F.broadcast(toksets.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+        .withColumnRenamed("hs", "hs_b")
+    )
+    na, nb = F.size("hs_a"), F.size("hs_b")
+    prefilter = F.least(na, nb).cast("double") >= 0.8 * F.greatest(na, nb).cast(
+        "double"
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    total = (na + nb).cast("double")
+    jac = inter / (total - inter)
+    return (
+        pairs.filter(prefilter)
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

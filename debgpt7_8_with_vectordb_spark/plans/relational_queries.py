@@ -301,3 +301,35 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("event_id") < 100).select(
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
     )
+
+
+@query(
+    "vdb_dump",
+    oracle="""
+SELECT d.doc_id AS id, d.source, d.text,
+       strlen(d.text)::BIGINT AS n_bytes, len(e.embedding)::BIGINT AS dim
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.doc_id < 200
+""",
+)
+def vdb_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 `vdb dump` export (reference vectordb.py:258-279, cli.py:114-133):
+    rows with provenance + text, vector payload EXCLUDED
+    (include_vector=False → drop the array, keep its dim) — the id-range
+    predicate mirrors the CLI's id selection and prunes the scan. The
+    actual sink is `df.write.json(...)`; the query returns the projected
+    rows the dump would serialize (the driver gate hashes values, not
+    files)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("id"),
+            "source",
+            "text",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.size("embedding").cast("long").alias("dim"),
+        )
+    )

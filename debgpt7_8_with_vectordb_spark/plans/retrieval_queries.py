@@ -217,3 +217,86 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+@query(
+    "ann_recall",
+    oracle=f"""
+WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 2),
+exact AS (
+  SELECT vec_id FROM embeddings, q
+  ORDER BY round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) DESC,
+           vec_id ASC LIMIT 10
+),
+cent AS (
+  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS c
+  FROM embeddings, generate_series(1, 64) AS g(i)
+  GROUP BY label, i
+),
+cvec AS (SELECT label, array_agg(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+sel AS (
+  SELECT cvec.label FROM cvec, q
+  ORDER BY round(list_cosine_similarity(cv, q.qv), 6) DESC, label ASC LIMIT 2
+),
+approx AS (
+  SELECT e.vec_id FROM embeddings e JOIN sel ON e.label = sel.label, q
+  ORDER BY round(list_cosine_similarity({_D.format(v='e.embedding')}, q.qv), 6) DESC,
+           e.vec_id ASC LIMIT 10
+)
+SELECT (SELECT count(*) FROM exact JOIN approx ON exact.vec_id = approx.vec_id)::DOUBLE
+         / 10 AS recall_at_10
+""",
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF scale path vs the exact brute-force scorer —
+    the quality gate BASELINE.md §2 requires for any approximate
+    retrieval. Exact top-10 (full scan, TakeOrderedAndProject) and IVF
+    top-10 (nprobe=2 cluster pruning) computed in one job; recall =
+    |intersection| / k. The exact side IS the reference's semantics
+    (vectordb.py:203-208), so this measures precisely what switching to
+    the approximate path costs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = get_query_vector(emb, 2)
+    qlit = F.array(*[F.lit(x) for x in qv])
+
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    sel = (
+        cent.select(
+            "label", F.round(cosine_similarity(F.col("cv"), qlit), 6).alias("cs")
+        )
+        .orderBy(F.desc("cs"), F.asc("label"))
+        .limit(2)
+        .select("label")
+    )
+    approx = (
+        emb.join(F.broadcast(sel), "label")
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = exact.join(approx, "vec_id").count()
+    return spark.createDataFrame([(hits / 10.0,)], "recall_at_10 double")

@@ -287,3 +287,110 @@ def hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(raw, 2) / nrm, 6).alias("c1"),
         F.round(unit, 6).alias("unit_norm"),
     )
+
+
+@query(
+    "html_strip",
+    oracle="""
+WITH rendered AS (
+  SELECT doc_id,
+         '<html><body><h1>' || source || '</h1><p>' || text || '</p></body></html>'
+           AS html
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS stripped
+FROM rendered
+""",
+)
+def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 HTML→text (reference uses BeautifulSoup.get_text,
+    reader.py:462-463). The engine strips tags with a regexp chain —
+    tag removal, whitespace collapse, trim — all JVM-side codegen
+    (no Python UDF in the hot path; a bs4 UDF slots in behind the same
+    signature when fidelity to malformed HTML matters). Input HTML is
+    rendered deterministically from the documents table so the query
+    oracles."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace(html, "<[^>]+>", " "), r"\s+", " ")
+    )
+    return docs.select("doc_id", stripped.alias("stripped"))
+
+
+@query(
+    "section_split",
+    oracle="""
+WITH lines AS (
+  SELECT doc_id, s.i AS i,
+         CASE WHEN s.i % 11 = 1 THEN '====' ELSE s.w END AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(string_split(text, ' '))),
+                  i -> {'i': i, 'w': string_split(text, ' ')[i]})) AS s
+    FROM documents
+  )
+),
+sectioned AS (
+  SELECT doc_id, i, line,
+         sum(CASE WHEN line SIMILAR TO '=+' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS section
+  FROM lines
+)
+SELECT doc_id, section::BIGINT AS section, count(*)::BIGINT AS n_lines,
+       array_to_string(array_agg(line ORDER BY i), ' ') AS body
+FROM sectioned WHERE line NOT SIMILAR TO '=+'
+GROUP BY doc_id, section
+""",
+)
+def section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 sectioned-document source (reference policy.py:23-137: scan a
+    manual for separator lines, index sections, random access by section
+    number). Spark shape per SURVEY §2.1: posexplode the line axis →
+    DETECT separator lines by regex → section id = running count of
+    separators (window over line numbers) → group lines back into
+    section bodies. Separator lines are injected deterministically
+    (every 11th word-line) since the synthetic docs are separator-free;
+    detection is still by regex, as the reference does it.
+
+    Scale: the window partitions by doc_id — per-document state only,
+    no global sort; a billion-doc corpus sections in one pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        F.when(F.col("pos") % 11 == 0, F.lit("====")).otherwise(F.col("word")).alias(
+            "line"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    sectioned = lines.withColumn(
+        "section",
+        F.sum(F.when(F.col("line").rlike("^=+$"), 1).otherwise(0)).over(w),
+    )
+    return (
+        sectioned.filter(~F.col("line").rlike("^=+$"))
+        .groupBy("doc_id", "section")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("body"),
+        )
+    )

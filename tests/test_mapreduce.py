@@ -86,3 +86,28 @@ def test_mapreduce_parallel_grid(spark):
             rows = out.collect()
             assert len(rows) == 1
             assert rows[0]["digest"] is not None
+
+
+def test_compact_reduce_converges_and_matches_binary(spark):
+    """A5 compact reduce: same final string as binary (both are in-order
+    associative '\n'-joins), fewer rounds (fan-in > 2)."""
+    from debgpt7_8_with_vectordb_spark.operators.mapreduce import (
+        compact_reduce,
+        mapreduce_echo_compact,
+    )
+
+    texts = [f"chunk-{i}-payload-{'x' * i}" for i in range(9)]
+    chunks = chunks_df(spark, texts)
+    binary = mapreduce_echo(chunks, rate=2).head()
+    compact = mapreduce_echo_compact(chunks, max_group_bytes=64, rate=2).head()
+    assert binary["digest"] == compact["digest"]
+    assert binary["final_len"] == compact["final_len"]
+    assert compact["rounds"] <= binary["rounds"]
+
+    # min-2-per-group convergence guarantee (reference mapreduce.py:308-312):
+    # even a budget smaller than any pair still groups >=2 -> must terminate
+    mapped = chunks_df(spark, ["aaaa", "bbbb", "cccc"]).select(
+        "doc_id", "start", F.col("content").alias("val")
+    )
+    final, rounds = compact_reduce(mapped, max_group_bytes=1)
+    assert final.count() == 1 and rounds >= 1
