@@ -83,6 +83,8 @@ def provider_embed(
     dim: int,
     text_col: str = "content",
     batch_size: int = 256,
+    max_attempts: int = 5,
+    backoff_s: float = 1.0,
 ) -> DataFrame:
     """E1/E2 provider-backed batch embedding via mapInPandas.
 
@@ -90,15 +92,35 @@ def provider_embed(
     executor; build clients lazily inside it — M5 singleton hygiene).
     The truncate+normalize insert invariant (vectordb.py:81-86) is
     applied JVM-side after the UDF.
+
+    M5 retry (reference embeddings.py:28-59 retries rate limits
+    FOREVER with a fixed 15 s sleep): bounded attempts with exponential
+    backoff instead — an unbounded retry inside a Spark task turns a
+    provider outage into a hung stage; after ``max_attempts`` the raise
+    hands over to Spark's task-retry as the backstop, keeping batches
+    idempotent (pure function of the input rows).
     """
     cols = docs.columns
+
+    def call_with_retry(batch: list[str]) -> list[list[float]]:
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(max_attempts):
+            try:
+                return embed_fn(batch)
+            except Exception as exc:  # rate limit / transient transport
+                last = exc
+                if attempt < max_attempts - 1:
+                    _time.sleep(backoff_s * (2**attempt))
+        raise last  # type: ignore[misc]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts = list(pdf[text_col].fillna(""))
             vecs: list[list[float]] = []
             for i in range(0, len(texts), batch_size):
-                vecs.extend(embed_fn(texts[i : i + batch_size]))
+                vecs.extend(call_with_retry(texts[i : i + batch_size]))
             yield pdf.assign(raw_vector=vecs)
 
     # raw vectors stay DOUBLE through the normalize (float32 truncation

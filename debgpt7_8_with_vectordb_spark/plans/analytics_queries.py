@@ -219,3 +219,93 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "rag_generate",
+    oracle="""
+WITH hist AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM events WHERE user_id < 5
+),
+last20 AS (SELECT * FROM hist WHERE rn <= 20),
+prompts AS (
+  SELECT user_id,
+         string_agg(event_type || ': ' || round(value, 3)::VARCHAR,
+                    chr(10) ORDER BY ts ASC, event_id ASC) AS prompt
+  FROM last20 GROUP BY user_id
+)
+SELECT user_id,
+       length(prompt)::BIGINT AS prompt_len,
+       regexp_replace(prompt, '(.).', '\\1', 'g') AS reply
+FROM prompts
+""",
+)
+def rag_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 batch RAG generate loop (reference app.py:333-356): last-20
+    history per conversation (W1 window), chronological prompt concat
+    (F6 templating), deterministic 'LLM' reply = every-2nd-char echo
+    (the reference's own EchoFrontend lossy fake, frontend.py:289-293,
+    here as one regexp — '(.).'→'\\1' keeps char 1 of each pair).
+    user_id plays conversation_id on the events feed; the online
+    serving hop stays out of Spark per the north star — this is the
+    batch variant that backfills replies for N conversations in one
+    pass."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last20 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    prompts = last20.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.concat_ws(
+                                ": ",
+                                "event_type",
+                                F.round("value", 3).cast("string"),
+                            ).alias("line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("prompt")
+    )
+    return prompts.select(
+        "user_id",
+        F.length("prompt").cast("long").alias("prompt_len"),
+        F.regexp_replace("prompt", "(.).", r"$1").alias("reply"),
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS total
+FROM events GROUP BY event_type
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: a handful of event_type keys carry
+    millions of rows each at 100 TB, so a naive groupBy funnels each hot
+    key through ONE reducer. Salting splits every key 16 ways for the
+    partial agg, then a second (tiny — n_keys × 16 rows) agg merges the
+    partials. Same result as plain GROUP BY (the oracle), bounded
+    per-task input regardless of key skew. (Spark's partial aggregation
+    already map-side-combines; explicit salting additionally bounds the
+    REDUCE side and is the pattern AQE skew-join generalizes.)"""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.round(F.sum("pv"), 4).alias("total"),
+    )

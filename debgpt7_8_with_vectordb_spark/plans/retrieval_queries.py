@@ -300,3 +300,64 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = exact.join(approx, "vec_id").count()
     return spark.createDataFrame([(hits / 10.0,)], "recall_at_10 double")
+
+
+@query(
+    "context_injection",
+    oracle=f"""
+WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) AS score
+  FROM embeddings, q
+),
+top AS (
+  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored ORDER BY score DESC, vec_id ASC LIMIT 3
+),
+snip AS (
+  SELECT t.rn,
+         t.rn::VARCHAR || '. ' ||
+         CASE WHEN length(d.text) > 512 THEN substr(d.text, 1, 512) || '...'
+              ELSE d.text END AS snippet
+  FROM top t JOIN documents d ON d.doc_id = t.vec_id
+)
+SELECT string_agg(snippet, chr(10) ORDER BY rn) AS context_block,
+       count(*)::BIGINT AS n_snippets
+FROM snip
+""",
+)
+def context_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 context-injection prompt build (reference frontend.py:223-269):
+    take the top-k retrieved rows, clamp each text to 512 chars with an
+    ellipsis (frontend.py:250-251), number them, and join into the
+    system-message context block. The reference does this driver-side
+    after collect(); here the block is built as ONE aggregation so the
+    k-row result is the only thing that ever reaches the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = get_query_vector(emb, 0)
+    winners = topk(score_against_query(emb, qv), k=3)
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    numbered = winners.withColumn("rn", F.row_number().over(w))
+    snip = resolve_provenance(numbered, docs, "vec_id", "doc_id").select(
+        "rn",
+        F.concat(
+            F.col("rn").cast("string"),
+            F.lit(". "),
+            F.when(
+                F.length("text") > 512,
+                F.concat(F.substring("text", 1, 512), F.lit("...")),
+            ).otherwise(F.col("text")),
+        ).alias("snippet"),
+    )
+    return snip.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "snippet"))),
+                lambda s: s["snippet"],
+            ),
+            "\n",
+        ).alias("context_block"),
+        F.count("*").alias("n_snippets"),
+    )

