@@ -248,3 +248,42 @@ def test_provider_embed_retry_exhaustion_raises(spark):
     out = provider_embed(docs, always_failing, dim=2, max_attempts=2, backoff_s=0.0)
     with pytest.raises(Exception, match="permanent outage"):
         out.collect()
+
+
+# ---------- fanout ----------
+
+
+def test_fanout_expand_fetch_clean(spark):
+    """S15/S16 fan-out: range expansion → distributed fetch (injected
+    transport, bounded retry) → status filter + whitespace cleanup."""
+    from debgpt7_8_with_vectordb_spark.sources.fanout import (
+        clean_fetched,
+        expand_month_range,
+        fetch_urls,
+    )
+
+    urls = expand_month_range(spark, ["debian-devel", "debian-user"], "2021-2023", [4, 5])
+    assert urls.count() == 2 * 3 * 2  # lists × years × months
+    assert urls.filter(F.col("url").contains("/2022/04/")).count() == 2
+
+    def fake_fetcher(url):
+        if "debian-user" in url:
+            return 404, ""
+        return 200, "line one   \n\n\n\nline two  "
+
+    fetched = fetch_urls(urls, fake_fetcher, partitions=4)
+    docs = clean_fetched(fetched).collect()
+    assert len(docs) == 6  # 404s dropped
+    assert all(d["content"] == "line one\n\nline two" for d in docs)
+
+
+def test_fanout_retry_counts_failures(spark):
+    from debgpt7_8_with_vectordb_spark.sources.fanout import fetch_urls
+
+    urls = spark.createDataFrame([("http://x/1",)], "url string")
+
+    def always_500(url):
+        return 500, "err"
+
+    rows = fetch_urls(urls, always_500).collect()
+    assert rows[0]["status"] == 500  # bounded retry gave up, status surfaced
