@@ -24,6 +24,7 @@ HEADLINE = [
     "topk_retrieval_filtered",
     "knn_join",
     "ann_ivf",
+    "ann_ivf_kmeans",
     "vector_normalize",
     # relational / analytics
     "pricing_summary",

@@ -1,0 +1,113 @@
+"""KMeans-IVF approximate nearest-neighbor index (the 100 TB ANN path).
+
+The reference's retrieval is exact brute force — the full index
+materialized in RAM per query (vectordb.py:203-208, an anti-pattern at
+any scale, SURVEY §4.1). The scale path (SURVEY §4.3.4): cluster the
+corpus with KMeans (spark.ml), store cluster_id as a PARTITION column,
+and serve a query by probing only the nprobe nearest clusters —
+partition pruning does the index's job. Exact scoring stays the recall
+oracle (`ann_recall` pattern, BASELINE.md §2).
+
+Design notes:
+- vectors are L2-normalized BEFORE clustering so KMeans' euclidean
+  objective orders like cosine (‖a−b‖² = 2−2·cos on unit vectors);
+- the centroid table is tiny (k × dim) → broadcast to rank clusters;
+- seeded KMeans keeps index builds reproducible (the engine-wide
+  determinism rule).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.vector import cosine_similarity, l2_normalize
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Cluster → (indexed rows with cluster_id, centroid list).
+
+    Returns the indexed DataFrame (id, nv unit vector, cluster_id) and
+    the k centroids as plain python lists (driver-side — k×dim floats).
+    Production writes the DataFrame ``partitionBy('cluster_id')``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    normed = emb.select(
+        F.col(id_col).alias("id"),
+        l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
+    )
+    feats = normed.withColumn("features", array_to_vector("nv"))
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
+    indexed = (
+        model.transform(feats)
+        .select("id", "nv", F.col("prediction").alias("cluster_id"))
+    )
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def probe_ivf(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    nprobe: int,
+    topk: int,
+) -> DataFrame:
+    """Probe the nprobe cosine-nearest clusters, exact-score inside them.
+
+    The cluster filter is an `isin` on the partition column — partition
+    pruning on a partitioned index; everything else never gets read.
+    """
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+
+    def cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(c, q)) / cn
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
+    probe = ranked[:nprobe]
+
+    qlit = F.array(*[F.lit(x) for x in q])
+    return (
+        indexed.filter(F.col("cluster_id").isin(probe))
+        .select(
+            "id",
+            "cluster_id",
+            F.round(cosine_similarity(F.col("nv"), qlit), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(topk)
+    )
+
+
+def recall_at_k(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    nprobe: int,
+    k: int = 10,
+) -> float:
+    """recall@k of the IVF probe vs exact scoring over the same rows."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = {
+        r["id"]
+        for r in indexed.select(
+            "id", F.round(cosine_similarity(F.col("nv"), qlit), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .collect()
+    }
+    approx = {r["id"] for r in probe_ivf(indexed, centroids, query_vec, nprobe, k).collect()}
+    return len(exact & approx) / float(k)

@@ -361,3 +361,21 @@ def context_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("context_block"),
         F.count("*").alias("n_snippets"),
     )
+
+
+@query("ann_ivf_kmeans")  # KMeans clustering not reproducible in DuckDB → rows-only
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN path end-to-end: seeded KMeans IVF build
+    (operators/ann.py — vectors normalized first so euclidean KMeans
+    orders like cosine) → probe the 2 cosine-nearest clusters → exact
+    re-rank inside them, top-5. Replaces `ann_ivf`'s label-as-cluster
+    stand-in with a real learned clustering; cluster_id becomes the
+    partition column at scale so the probe is partition pruning.
+    Recall properties are pinned in tests/test_ann.py (nprobe=k ⇒
+    recall 1.0; recall monotonic in nprobe)."""
+    from ..operators.ann import build_ivf_index, probe_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = build_ivf_index(emb, k=8, seed=42)
+    qv = [float(x) for x in indexed.filter("id = 2").select("nv").head()[0]]
+    return probe_ivf(indexed, centroids, qv, nprobe=2, topk=5)

@@ -63,6 +63,7 @@ FULL_SCAN_OK = {
     "topk_retrieval",
     "context_injection",
     "ann_ivf",
+    "ann_ivf_kmeans",  # cluster filter applies post-KMeans, not a parquet predicate
     "ann_recall",
 }
 
