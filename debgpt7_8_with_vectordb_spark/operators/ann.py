@@ -30,6 +30,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Cluster → (indexed rows with cluster_id, centroid list).
 
@@ -45,7 +46,9 @@ def build_ivf_index(
         l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
     )
     feats = normed.withColumn("features", array_to_vector("nv"))
-    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
+    # a coarse quantizer doesn't need tight convergence: recall comes
+    # from nprobe, not centroid precision — cap the iterations
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(feats)
     indexed = (
         model.transform(feats)
         .select("id", "nv", F.col("prediction").alias("cluster_id"))

@@ -126,16 +126,30 @@ def sessionize_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions as the relational definition.
 
     Note the boundary: session_window merges on delta < gap (half-open
-    windows), so the SQL oracle starts a new session on delta >= gap."""
-    ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
-    sess = sessionize_stream(ev, gap="1 hour", watermark="2 hours")
-    name = f"sessionize_stream_sink_{next(_SINK_SEQ)}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    windows), so the SQL oracle starts a new session on delta >= gap.
+
+    State partitioning: a streaming agg fixes its state-store partition
+    count from spark.sql.shuffle.partitions at FIRST start (it can never
+    be changed for the life of the checkpoint). Size it to state volume:
+    one instance per partition costs provider init + commit per batch,
+    so 32 instances over this test feed were 4× slower than 8 (measured
+    — overhead, not compute). A 100 TB/day feed sets this to thousands
+    BEFORE the first start; this query scopes the setting to the stream
+    and restores the session conf after."""
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", min(8, int(old_sp)))
+    try:
+        ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+        sess = sessionize_stream(ev, gap="1 hour", watermark="2 hours")
+        name = f"sessionize_stream_sink_{next(_SINK_SEQ)}"
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
