@@ -1,0 +1,48 @@
+"""CLI-level tests — main() invoked with argv lists, the reference's own
+CLI test style (test_vectordb.py:184-241)."""
+
+from __future__ import annotations
+
+import json
+
+from debgpt7_8_with_vectordb_spark.cli import main
+
+
+def test_cli_retrieve_self_similarity(spark, sf_dir, capsys):
+    rc = main(["retrieve", "--sf-dir", sf_dir, "--query-id", "0", "-k", "3"])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 3
+    top = max(rows, key=lambda r: r["score"])
+    assert top["vec_id"] == 0 and abs(top["score"] - 1.0) < 1e-9
+
+
+def test_cli_dump_writes_jsonl(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "dump")
+    rc = main(["dump", "--sf-dir", sf_dir, "--out", out])
+    assert rc == 0
+    dumped = spark.read.json(out)
+    assert dumped.count() > 0
+    assert "vector" not in dumped.columns  # include_vector=False semantics
+    assert {"id", "source", "text"} <= set(dumped.columns)
+
+
+def test_cli_dedup_exact(spark, sf_dir, capsys):
+    rc = main(["dedup", "--sf-dir", sf_dir, "--method", "exact", "--limit", "5"])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(rows) <= 5
+    assert {"digest", "keep_id", "dup_count"} <= set(rows[0])
+
+
+def test_cli_unknown_query_exits_2(spark, sf_dir, capsys):
+    rc = main(["query", "--sf-dir", sf_dir, "--name", "nope"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "unknown query" in err and "available" in err
+
+
+def test_cli_does_not_stop_ambient_session(spark, sf_dir):
+    main(["query", "--sf-dir", sf_dir, "--name", "group_counts", "--limit", "1"])
+    # the shared fixture session must survive the CLI call
+    assert spark.range(3).count() == 3

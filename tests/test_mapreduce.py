@@ -76,16 +76,29 @@ def test_mapreduce_deterministic(spark):
 
 
 def test_mapreduce_parallel_grid(spark):
-    """Reduced version of the reference's 96-combination grid
-    (test_mapreduce.py:189-213): vary chunk counts and echo rates, assert
-    convergence to exactly one deterministic row."""
+    """The reference's combinatorial grid (test_mapreduce.py:189-213:
+    parallelism × {compact,binary} map/reduce × chunk sizes), collapsed
+    per SURVEY §2.10 M4: Spark is always parallel, so the matrix is
+    {binary, compact} reduce × chunk counts × echo rates × group
+    budgets. Every cell must converge to exactly ONE deterministic row,
+    and binary/compact must agree on the final string (both are
+    in-order '\\n'-joins)."""
+    from debgpt7_8_with_vectordb_spark.operators.mapreduce import (
+        mapreduce_echo_compact,
+    )
+
     for n_chunks in (1, 2, 5, 9):
         for rate in (1, 2, 3):
             chunks = chunks_df(spark, [f"chunk-{i}-payload" for i in range(n_chunks)])
-            out = mapreduce_echo(chunks, rate=rate)
-            rows = out.collect()
-            assert len(rows) == 1
-            assert rows[0]["digest"] is not None
+            binary = mapreduce_echo(chunks, rate=rate).collect()
+            assert len(binary) == 1
+            assert binary[0]["digest"] is not None
+            for budget in (16, 64):
+                compact = mapreduce_echo_compact(
+                    chunks, max_group_bytes=budget, rate=rate
+                ).collect()
+                assert len(compact) == 1
+                assert compact[0]["digest"] == binary[0]["digest"]
 
 
 def test_compact_reduce_converges_and_matches_binary(spark):
