@@ -85,6 +85,18 @@ def main() -> None:
 
     warm.mapInPandas(_noop_batch, schema=warm.schema).count()
 
+    # spark.ml class loading (KMeans jars/codegen) — also one-time
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    tiny = spark.range(8).select(
+        F.col("id"),
+        array_to_vector(F.array(F.col("id").cast("double"), F.lit(1.0))).alias(
+            "features"
+        ),
+    )
+    KMeans(k=2, seed=1, maxIter=1, initMode="random").fit(tiny)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

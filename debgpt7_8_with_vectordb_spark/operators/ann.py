@@ -45,14 +45,28 @@ def build_ivf_index(
         F.col(id_col).alias("id"),
         l2_normalize(F.col(vec_col).cast("array<double>")).alias("nv"),
     )
-    feats = normed.withColumn("features", array_to_vector("nv"))
-    # a coarse quantizer doesn't need tight convergence: recall comes
-    # from nprobe, not centroid precision — cap the iterations
-    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(feats)
-    indexed = (
-        model.transform(feats)
-        .select("id", "nv", F.col("prediction").alias("cluster_id"))
-    )
+    # cache: KMeans scans its input once per iteration — uncached, every
+    # iteration would re-run the normalize + vector conversion subtree
+    feats = normed.withColumn("features", array_to_vector("nv")).cache()
+    try:
+        # a coarse quantizer doesn't need tight convergence: recall comes
+        # from nprobe, not centroid precision — cap the iterations and
+        # use random init (k-means|| adds ~5 extra distributed passes
+        # for centroid quality the probe doesn't need)
+        model = KMeans(
+            k=k,
+            seed=seed,
+            maxIter=max_iter,
+            initMode="random",
+            featuresCol="features",
+        ).fit(feats)
+        indexed = (
+            model.transform(feats)
+            .select("id", "nv", F.col("prediction").alias("cluster_id"))
+            .localCheckpoint(eager=True)  # freeze assignments, release the cache
+        )
+    finally:
+        feats.unpersist()
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return indexed, centroids
 

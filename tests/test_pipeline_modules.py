@@ -287,3 +287,46 @@ def test_fanout_retry_counts_failures(spark):
 
     rows = fetch_urls(urls, always_500).collect()
     assert rows[0]["status"] == 500  # bounded retry gave up, status surfaced
+
+
+# ---------- custom stateful streaming ----------
+
+
+def test_stateful_running_profiles_match_batch(spark, sf_dir):
+    """applyInPandasWithState per-user profiles: after draining the feed,
+    the latest profile per user equals the batch groupBy answer."""
+    from debgpt7_8_with_vectordb_spark.streaming.sessionize import (
+        stream_events_from_dir,
+    )
+    from debgpt7_8_with_vectordb_spark.streaming.stateful import running_profiles
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+        prof = running_profiles(ev, idle_timeout_ms=None)
+        q = (
+            prof.writeStream.format("memory")
+            .queryName("t_profiles")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    got = {
+        r["user_id"]: r
+        for r in spark.table("t_profiles").orderBy("user_id").collect()
+    }
+    batch = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("tv"), F.max("ts").alias("mx")
+    )
+    for b in batch.collect():
+        g = got[b["user_id"]]
+        assert g["n_events"] == b["n"]
+        assert abs(g["total_value"] - b["tv"]) < 1e-6
+        assert g["last_ts"] == b["mx"]
+        assert g["final"] is False  # drained before any idle timeout fired
