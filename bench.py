@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
+    "dedup_lsh_keep",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "embedding_neardup",
