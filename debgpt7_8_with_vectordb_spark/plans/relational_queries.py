@@ -333,3 +333,44 @@ def vdb_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("embedding").cast("long").alias("dim"),
         )
     )
+
+
+@query(
+    "template_lookup",
+    oracle="""
+WITH templates(lang, template) AS (
+  VALUES ('en', 'Summarize this document: %s'),
+         ('es', 'Resume este documento: %s'),
+         ('zh', 'Summarize (zh): %s'),
+         ('de', 'Fasse zusammen: %s')
+)
+SELECT d.doc_id, printf(t.template, substr(d.text, 1, 40)) AS prompt
+FROM documents d JOIN templates t ON t.lang = d.lang
+WHERE d.doc_id < 100
+""",
+)
+def template_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20 static template table (reference nm_templates.py:19-96: a
+    literal dict of prompt texts dispatched by key, some entries
+    triggering further reads). Spark shape: the dict IS a broadcast
+    lookup table — a literal DataFrame broadcast-joined onto the data,
+    with F6-style template formatting. At any scale the template side is
+    bytes; the join never shuffles the big side."""
+    docs = load_table(spark, sf_dir, "documents")
+    templates = spark.createDataFrame(
+        [
+            ("en", "Summarize this document: %s"),
+            ("es", "Resume este documento: %s"),
+            ("zh", "Summarize (zh): %s"),
+            ("de", "Fasse zusammen: %s"),
+        ],
+        "lang string, template string",
+    )
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(templates), "lang")
+        .select(
+            "doc_id",
+            F.expr("printf(template, substr(text, 1, 40))").alias("prompt"),
+        )
+    )

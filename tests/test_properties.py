@@ -96,3 +96,27 @@ def test_hash_embedding_unit_norm_and_determinism(text, dim):
     assert len(v1) == dim
     n = sum(x * x for x in v1)
     assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+def _reference_chunk_spans(lines, max_bytes, start, end):
+    """Independent reimplementation of the reference's recursion
+    (reader.py:1035-1071: size check first, then the single-line
+    termination guard, midpoint (start+end)//2) for golden comparison."""
+    size = len("\n".join(lines[start:end]).encode("utf8"))
+    if size <= max_bytes or end - start == 1:
+        return {(start, end)}
+    middle = (start + end) // 2
+    return _reference_chunk_spans(lines, max_bytes, start, middle) | _reference_chunk_spans(
+        lines, max_bytes, middle, end
+    )
+
+
+@given(texts, st.integers(min_value=1, max_value=64))
+@settings(max_examples=200, deadline=None)
+def test_chunker_golden_parity_with_reference_algorithm(text, max_bytes):
+    """Split points must be IDENTICAL to the reference's bisection so
+    chunk keys (start, end) hash-match golden outputs (SURVEY §4.3.3)."""
+    lines = text.split("\n")
+    ours = set(chunk_spans(lines, max_bytes))
+    theirs = _reference_chunk_spans(lines, max_bytes, 0, len(lines))
+    assert ours == theirs

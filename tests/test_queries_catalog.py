@@ -115,3 +115,30 @@ def test_entry_contract(spark):
     assert df.count() >= 0
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
+
+
+def test_lsh_keep_collapses_exact_duplicates(spark):
+    """Identical text ⇒ identical signatures ⇒ same buckets in every
+    band ⇒ at most ONE of an exact-duplicate class survives the
+    keep-rule (and it is the min id)."""
+    import pyspark.sql.functions as F
+
+    from debgpt7_8_with_vectordb_spark.plans.dedup_queries import (
+        _minhash_bands_from,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (7, "alpha beta gamma"),
+         (3, "something else entirely")],
+        "doc_id long, text string",
+    )
+    bands = _minhash_bands_from(docs)
+    bucket_min = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("bmin"))
+    canon = (
+        bands.join(bucket_min, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("canon_id"))
+    )
+    rows = {r["doc_id"]: r["canon_id"] for r in canon.collect()}
+    assert rows[1] == 1 and rows[2] == 1 and rows[7] == 1  # class collapses to min
+    assert rows[3] == 3  # unrelated doc survives independently
