@@ -330,3 +330,14 @@ def test_stateful_running_profiles_match_batch(spark, sf_dir):
         assert abs(g["total_value"] - b["tv"]) < 1e-6
         assert g["last_ts"] == b["mx"]
         assert g["final"] is False  # drained before any idle timeout fired
+
+
+def test_source_cmd(spark):
+    """S12: command stdout becomes one document row."""
+    from debgpt7_8_with_vectordb_spark.sources.readers import read_cmd
+
+    df = read_cmd(spark, "echo hello-from-cmd")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["content"].strip() == "hello-from-cmd"
+    assert rows[0]["path"] == "cmd:echo hello-from-cmd"
