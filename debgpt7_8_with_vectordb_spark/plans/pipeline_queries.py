@@ -153,3 +153,84 @@ def sessionize_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
+
+
+@query(
+    "stream_join_attribution",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       p.ts AS p_ts, c.ts AS c_ts, p.value AS purchase_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_id <> p.event_id
+ AND p.event_type = 'purchase' AND c.event_type <> 'purchase'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+""",
+)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join (§2.13 extension): purchases
+    attributed to same-user events in the preceding 30 min, BOTH sides
+    live streams with watermarks bounding join state (streaming/joins.py).
+    Drained with availableNow the result is complete, so the plain-SQL
+    time-range join is a full oracle — streaming semantics == relational
+    semantics on finite input, which is exactly the property worth
+    proving."""
+    from ..streaming.joins import attribution_join
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", min(8, int(old_sp)))
+    try:
+        ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        clicks = ev.filter(F.col("event_type") != "purchase")
+        joined = attribution_join(purchases, clicks)
+        name = f"stream_attr_sink_{next(_SINK_SEQ)}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.table(name)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT count(*)::BIGINT AS n_rows, count(DISTINCT event_id)::BIGINT AS n_ids
+FROM events
+""",
+)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream dedup (dropDuplicatesWithinWatermark on event_id) —
+    the streaming twin of dedup_exact with watermark-bounded state.
+    The feed's event_ids are unique, so the deduped stream must carry
+    exactly one row per id — count == distinct-count, checked against
+    the batch oracle."""
+    from ..streaming.joins import stream_dedup
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", min(8, int(old_sp)))
+    try:
+        ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+        deduped = stream_dedup(ev)
+        name = f"stream_dedup_sink_{next(_SINK_SEQ)}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    t = spark.table(name)
+    return t.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_ids"),
+    )
