@@ -51,8 +51,6 @@ def _emit(df, limit: int | None, out: str | None) -> None:
 
 
 def cmd_retrieve(args) -> int:
-    from .plans import QUERIES
-
     spark = _spark(args)
     from .operators.retrieval import (
         get_query_vector,

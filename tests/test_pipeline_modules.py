@@ -341,3 +341,14 @@ def test_source_cmd(spark):
     assert len(rows) == 1
     assert rows[0]["content"].strip() == "hello-from-cmd"
     assert rows[0]["path"] == "cmd:echo hello-from-cmd"
+
+
+def test_source_stdin(spark, monkeypatch):
+    """S13: stdin becomes one document row."""
+    import io
+
+    from debgpt7_8_with_vectordb_spark.sources import readers
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("piped content"))
+    rows = readers.read_stdin(spark, "").collect()
+    assert len(rows) == 1 and rows[0]["content"] == "piped content"
