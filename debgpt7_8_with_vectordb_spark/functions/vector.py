@@ -52,8 +52,15 @@ def truncate_dim(v: Column, dim: int) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """cos(a, b) = a·b / (‖a‖·‖b‖) in double precision."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cos(a, b) = a·b / (‖a‖·‖b‖) in double precision.
+
+    Zero vectors (empty docs embed to 0⃗) yield NULL — `try_divide`,
+    because under ANSI mode (Spark 4 default) a plain division raises
+    DIVIDE_BY_ZERO and kills the whole job for one degenerate row; NULL
+    scores sort last under `desc()` so top-k semantics are unaffected.
+    Found by hypothesis driving random vectors through the Spark surface.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def vector_lit(v: Sequence[float]) -> Column:
