@@ -38,7 +38,11 @@ def _docs_as_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_documents",
     oracle=f"""
 WITH RECURSIVE base AS (
-  SELECT doc_id, string_split(text, ' ') AS lines FROM documents
+  -- line axis = newline-split of the derived doc; the Spark side joins
+  -- words with newlines and the chunker re-splits, so newlines embedded
+  -- in the original text merge into the axis; replace() reproduces that
+  SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
+  FROM documents
 ),
 spans AS (
   SELECT doc_id, 0 AS s, len(lines) AS e FROM base

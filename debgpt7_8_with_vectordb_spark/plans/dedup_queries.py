@@ -66,7 +66,7 @@ pairs AS (
     ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, round(inter / (total - inter), 6) AS jaccard
-FROM pairs WHERE inter / (total - inter) >= 0.5
+FROM pairs WHERE total > 0 AND inter / (total - inter) >= 0.5
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,8 +90,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("a.toks") + F.size("b.toks")).cast("double").alias("total"),
     )
     jac = F.col("inter") / (F.col("total") - F.col("inter"))
-    return pairs.filter(jac >= 0.5).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    # total > 0 guard FIRST: a both-token-less pair is 0/0 (ANSI raises)
+    return (
+        pairs.filter(F.col("total") > 0)
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -108,6 +111,7 @@ t AS (
            AS bases
   FROM {{src}}
 ),
+tnz AS (SELECT * FROM t WHERE len(bases) > 0),
 bands AS (
   SELECT doc_id, b.band,
          array_to_string(
@@ -116,7 +120,7 @@ bands AS (
              p -> list_min(list_transform(bases,
                     x -> ((1 + 2 * p) * x + 7919 * p) % {_MH_P}))::VARCHAR),
            ',') AS sig
-  FROM t CROSS JOIN (SELECT unnest(generate_series(0, {N_PERMS // BAND_SIZE - 1})) AS band) b
+  FROM tnz CROSS JOIN (SELECT unnest(generate_series(0, {N_PERMS // BAND_SIZE - 1})) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -172,7 +176,7 @@ def _minhash_bands_from(docs: DataFrame) -> DataFrame:
         F.transform(
             distinct_tokens(F.col("text")), lambda t: md5_long(t) % _MH_P
         ).alias("bases"),
-    )
+    ).filter(F.size("bases") > 0)  # token-less docs have no signature
 
     def band_sig(band: int):
         return F.array_join(

@@ -33,8 +33,9 @@ SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
        strlen(text)::BIGINT AS n_bytes,
        length(text)::BIGINT AS n_chars_actual,
-       round(list_sum(list_transform(toks, x -> strlen(x)::DOUBLE)) / len(toks), 6)
-         AS avg_token_bytes
+       CASE WHEN len(toks) = 0 THEN NULL
+            ELSE round(list_sum(list_transform(toks, x -> strlen(x)::DOUBLE)) / len(toks), 6)
+       END AS avg_token_bytes
 FROM t
 """,
 )
@@ -48,11 +49,16 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.length("text").cast("long").alias("n_chars_actual"),
-        F.round(
-            F.aggregate(toks, F.lit(0.0), lambda a, x: a + F.octet_length(x).cast("double"))
-            / F.size(toks),
-            6,
-        ).alias("avg_token_bytes"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0.0), lambda a, x: a + F.octet_length(x).cast("double")
+                )
+                / F.size(toks),
+                6,
+            ),
+        ).alias("avg_token_bytes"),  # NULL for token-less docs (ANSI: no /0)
     )
 
 
@@ -61,11 +67,14 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents)
 SELECT doc_id,
-       round(len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks), 6)
-         AS stopword_ratio,
+       CASE WHEN len(toks) = 0 THEN NULL
+            ELSE round(len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks), 6)
+       END AS stopword_ratio,
        round(least(len(toks)::DOUBLE / 100.0, 1.0), 6) AS length_score,
-       round(0.5 * (len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks))
-             + 0.5 * least(len(toks)::DOUBLE / 100.0, 1.0), 6) AS quality
+       CASE WHEN len(toks) = 0 THEN NULL
+            ELSE round(0.5 * (len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks))
+                       + 0.5 * least(len(toks)::DOUBLE / 100.0, 1.0), 6)
+       END AS quality
 FROM t
 """,
 )
@@ -75,7 +84,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*_STOP)))
-    stop_ratio = stop_cnt.cast("double") / F.size(toks)
+    # try_divide: NULL ratio for token-less docs (ANSI: plain / raises)
+    stop_ratio = F.try_divide(stop_cnt.cast("double"), F.size(toks))
     len_score = F.least(F.size(toks).cast("double") / 100.0, F.lit(1.0))
     return docs.select(
         "doc_id",
@@ -173,7 +183,8 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "line_span_slice",
     oracle="""
 SELECT doc_id,
-       array_to_string(list_slice(string_split(text, ' '), 2, 5), ' ') AS span
+       coalesce(array_to_string(list_slice(string_split(text, ' '), 2, 5), ' '), '')
+         AS span
 FROM documents
 """,
 )

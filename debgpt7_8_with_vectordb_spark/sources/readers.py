@@ -102,13 +102,15 @@ def read_stdin(spark: SparkSession, _rest: str) -> DataFrame:
 
 @register_source("parquet_docs")
 def read_parquet_documents(spark: SparkSession, path: str) -> DataFrame:
-    """Native columnar documents table (the 100 TB default)."""
+    """Native columnar documents table (the 100 TB default). Applies the
+    engine contract (NULL text reads as the empty document — tables.py,
+    plans.catalog) at the source boundary."""
     df = spark.read.parquet(path)
     if "path" in df.columns and "content" in df.columns:
         return _docs(df)
     return df.select(
         F.col("source").alias("path") if "source" in df.columns else F.col("doc_id").cast("string").alias("path"),
-        F.col("text").alias("content"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
     )
 
 

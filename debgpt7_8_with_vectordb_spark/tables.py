@@ -54,6 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _NANO_TS_COLS:
         df = _fix_nanos(df, _NANO_TS_COLS[name])
+    if name == "documents" and "text" in df.columns:
+        # engine contract (mirrored in every oracle via plans.catalog):
+        # NULL text reads as the empty document — downstream operators
+        # then have ONE degenerate case ('') instead of two ('', NULL)
+        df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     return df
 
 
