@@ -23,4 +23,11 @@ and the reference repo's observable behavior.
 __version__ = "0.1.0"
 
 from .session import get_spark  # noqa: F401
-from .tables import load_tables  # noqa: F401
+from .tables import load_table, load_tables  # noqa: F401
+
+
+def queries():
+    """The named query catalog (lazy — importing plans loads all modules)."""
+    from .plans import QUERIES
+
+    return dict(QUERIES)
