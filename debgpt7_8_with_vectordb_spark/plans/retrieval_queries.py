@@ -137,9 +137,14 @@ WITH t AS (SELECT vec_id, list_transform(embedding[1:32], x -> x::DOUBLE) AS v
            FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM t)
 SELECT vec_id,
-       round(sqrt(list_sum(list_transform(list_transform(v, x -> x / nrm), y -> y * y))), 6)
-         AS unit_norm,
-       round(v[1] / nrm, 6) AS first_component
+       -- zero-vector guard mirrors functions/vector.l2_normalize: 0-vec
+       -- stays 0-vec (the reference's np divide would emit NaN + warning)
+       CASE WHEN nrm = 0 THEN 0.0
+            ELSE round(sqrt(list_sum(list_transform(list_transform(v, x -> x / nrm), y -> y * y))), 6)
+       END AS unit_norm,
+       CASE WHEN nrm = 0 THEN round(v[1], 6)
+            ELSE round(v[1] / nrm, 6)
+       END AS first_component
 FROM n
 """,
 )

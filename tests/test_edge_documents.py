@@ -102,3 +102,31 @@ def test_zero_vector_cosine_is_null_not_crash(spark):
     ).collect()}
     assert out[1] is None
     assert out[2] == pytest.approx(1.0)
+
+
+def test_zero_vectors_rank_last_in_topk(spark, tmp_path):
+    """Planted zero vectors get NULL scores and NEVER displace real
+    results from the top-k (NULL sorts last under desc on both engines —
+    verified cross-engine via the edge-embeddings oracle gate)."""
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    emb = spark.read.parquet(str(d / "embeddings.parquet"))
+    dim = len(emb.first()["embedding"])
+    zeros = spark.createDataFrame(
+        [(9000, [0.0] * dim, 3), (9001, [0.0] * dim, 5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.unionByName(zeros).write.mode("overwrite").parquet(str(d / "embeddings.parquet.new"))
+    (d / "embeddings.parquet").unlink()  # the copied testdata file (not a dir)
+    (d / "embeddings.parquet.new").rename(d / "embeddings.parquet")
+
+    from debgpt7_8_with_vectordb_spark.plans import QUERIES
+
+    rows = QUERIES["topk_retrieval"](spark, str(d)).collect()
+    assert len(rows) == 3
+    assert all(r["vec_id"] not in (9000, 9001) for r in rows)
+    assert all(r["score"] is not None for r in rows)
