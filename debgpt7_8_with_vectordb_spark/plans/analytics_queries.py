@@ -204,7 +204,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 3600.0),
+            # interval arithmetic, not a double cast: works for both
+            # TIMESTAMP and TIMESTAMP_NTZ (standard-micros parquet reads
+            # as NTZ, which cannot cast to double)
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 1 HOUR")),
             1,
         )
         .otherwise(0)

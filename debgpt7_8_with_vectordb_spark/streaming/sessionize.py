@@ -24,9 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 # The testdata stores ts as TIMESTAMP(NANOS), which Spark's reader only
 # accepts as long (spark.sql.legacy.parquet.nanosAsLong — see tables.py);
-# the stream source converts nanos → micros exactly like the batch loader.
+# standard parquet stores micros and reads as a timestamp type directly.
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_TS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -36,12 +40,29 @@ def stream_events_from_dir(
 ) -> DataFrame:
     """File-source stream of the events feed (new files = new batches).
     ``glob`` narrows a directory to matching files (the testdata keeps
-    ``events.parquet`` as a single file inside the sf dir)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ``events.parquet`` as a single file inside the sf dir).
+
+    A stream source needs an EXPLICIT schema, but the physical ts type
+    varies by writer (nanos→long under nanosAsLong vs standard
+    micros→timestamp) — hardcoding either silently mis-scales the other
+    by 1000×. One batch footer read resolves the actual type up front
+    and picks the matching schema + conversion."""
+    probe_reader = spark.read
+    if glob:
+        probe_reader = probe_reader.option("pathGlobFilter", glob)
+    ts_type = dict(
+        (f.name, f.dataType.simpleString()) for f in probe_reader.parquet(path).schema
+    ).get("ts", "bigint")
+
+    reader = spark.readStream.schema(
+        EVENTS_SCHEMA if ts_type == "bigint" else EVENTS_SCHEMA_TS
+    )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def sessionize_stream(
