@@ -56,6 +56,7 @@ HEADLINE = [
     "multimodal_metadata",
     "source_router",
     "sessionize_stream",
+    "corpus_pipeline",
 ]
 
 

@@ -142,3 +142,10 @@ def test_lsh_keep_collapses_exact_duplicates(spark):
     rows = {r["doc_id"]: r["canon_id"] for r in canon.collect()}
     assert rows[1] == 1 and rows[2] == 1 and rows[7] == 1  # class collapses to min
     assert rows[3] == 3  # unrelated doc survives independently
+
+
+def test_corpus_pipeline_funnel_monotone(spark, sf_dir):
+    r = QUERIES["corpus_pipeline"](spark, sf_dir).first()
+    assert r["n_docs_in"] >= r["n_qualified"] >= r["n_survivors"] > 0
+    assert r["n_chunks"] == r["n_vectors"] >= r["n_survivors"]
+    assert r["sum_raw_norms"] > 0
