@@ -64,6 +64,7 @@ FULL_SCAN_OK = {
     "context_injection",
     "ann_ivf",
     "ann_ivf_kmeans",  # cluster filter applies post-KMeans, not a parquet predicate
+    "corpus_pipeline",  # curation DAG reads the whole corpus by definition
     "ann_recall",
 }
 
