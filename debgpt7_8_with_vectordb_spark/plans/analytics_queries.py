@@ -312,3 +312,89 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").cast("long").alias("n"),
         F.round(F.sum("pv"), 4).alias("total"),
     )
+
+
+@query(
+    "asof_join",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS c_ts FROM events WHERE event_type <> 'purchase'
+)
+SELECT p.user_id, p.purchase_id, p.p_ts, c.c_ts AS last_click_ts,
+       CASE WHEN c.c_ts IS NULL THEN NULL
+            ELSE date_diff('second', c.c_ts, p.p_ts) END::BIGINT AS gap_s
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+""",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — the time-series operator Spark has no native form of
+    (SURVEY §2.3 lists it absent in the reference too; DuckDB ships it
+    as ASOF JOIN, which is the oracle). For every purchase event: the
+    NEAREST click of the same user at-or-before it.
+
+    Spark composition (the standard scale pattern): union both sides
+    into one ordered stream, run `last(click_ts, ignoreNulls) OVER
+    (PARTITION BY key ORDER BY ts, clicks-first ROWS UNBOUNDED
+    PRECEDING)`, keep the purchase rows. ONE shuffle on the key — same
+    cost as a plain window — where a naive inequality join would be a
+    per-user cross product. Clicks sort before purchases at equal ts so
+    a same-instant click matches (ASOF's >= semantics).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") != "purchase").alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_last = marked.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("is_click"), F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        with_last.filter(~F.col("is_click"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "last_click_ts",
+            F.when(
+                F.col("last_click_ts").isNotNull(),
+                (
+                    F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+                ).cast("long"),
+            ).alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "orders_rollup",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (priority → status → grand
+    total) — SURVEY §2.4 notes grouping sets are absent in the reference
+    and free in Spark; this query makes the claim checkable. One shuffle;
+    Spark expands the grouping sets map-side (partial agg per set)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
