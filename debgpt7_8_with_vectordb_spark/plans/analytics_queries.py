@@ -398,3 +398,85 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+N_RANGES = 100
+RANGE_STEP = 5.0
+RANGE_WIDTH = 15.0  # overlapping ×3: value hits ~3 ranges
+BUCKET_W = 5.0
+
+
+@query(
+    "range_join",
+    oracle=f"""
+WITH ranges AS (
+  SELECT i AS range_id, i * {RANGE_STEP} AS lo, i * {RANGE_STEP} + {RANGE_WIDTH} AS hi
+  FROM generate_series(0, {N_RANGES - 1}) AS g(i)
+)
+SELECT e.event_id, r.range_id, e.value
+FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+""",
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join via BUCKETING — the scale pattern for inequality joins
+    (Spark's native plan for `v BETWEEN lo AND hi` against a non-tiny
+    range table is BroadcastNestedLoop or a cartesian refine: per-row
+    scans of every range). Instead: quantize into fixed-width buckets,
+    EXPLODE each range onto the buckets it overlaps, equi-join on
+    bucket id, refine with the exact predicate. ONE hash shuffle; work
+    scales with true overlap density, not |events| × |ranges|.
+    Oracle = the plain inequality join (same rows, any plan)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranges = spark.range(N_RANGES).select(
+        F.col("id").cast("int").alias("range_id"),
+        (F.col("id") * RANGE_STEP).alias("lo"),
+        (F.col("id") * RANGE_STEP + RANGE_WIDTH).alias("hi"),
+    )
+    # a range [lo, hi) overlaps buckets floor(lo/w) .. floor(hi/w)
+    r_bucketed = ranges.select(
+        "range_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / BUCKET_W).cast("int"),
+                F.floor(F.col("hi") / BUCKET_W).cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    e_bucketed = ev.withColumn(
+        "bucket", F.floor(F.col("value") / BUCKET_W).cast("int")
+    )
+    return (
+        e_bucketed.join(r_bucketed, "bucket")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .select("event_id", "range_id", "value")
+    )
+
+
+@query(
+    "hypertable_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: time-bucketed (hourly)
+    rollup per event type — the materialized-view shape a TSDB keeps
+    per hypertable chunk. In Spark the time bucket IS the partition
+    key of the rollup table (date partition pruning on reads); the agg
+    is one shuffle with map-side partials, and the streaming twin is a
+    tumbling-window aggregation over the same expression."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
