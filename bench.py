@@ -33,6 +33,10 @@ HEADLINE = [
     "top_parts_by_revenue",
     "last_n_window",
     "sessionize_events",
+    "asof_join",
+    "range_join",
+    "hypertable_rollup",
+    "orders_rollup",
     "dual_store_join",
     # dedup suite
     "dedup_exact",

@@ -65,6 +65,10 @@ FULL_SCAN_OK = {
     "ann_ivf",
     "ann_ivf_kmeans",  # cluster filter applies post-KMeans, not a parquet predicate
     "corpus_pipeline",  # curation DAG reads the whole corpus by definition
+    "asof_join",  # window over all purchases/clicks
+    "range_join",  # bucketed join reads all events by definition
+    "hypertable_rollup",  # full-corpus rollup
+    "orders_rollup",  # full-corpus rollup
     "ann_recall",
 }
 
