@@ -25,6 +25,7 @@ HEADLINE = [
     "knn_join",
     "ann_ivf",
     "ann_ivf_kmeans",
+    "ann_srp_lsh",
     "vector_normalize",
     # relational / analytics
     "pricing_summary",

@@ -384,3 +384,91 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed, centroids = build_ivf_index(emb, k=8, seed=42)
     qv = [float(x) for x in indexed.filter("id = 2").select("nv").head()[0]]
     return probe_ivf(indexed, centroids, qv, nprobe=2, topk=5)
+
+
+N_PLANES = 12
+_PLANE = (
+    "((('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 1000)"
+    "::DOUBLE / 1000.0 - 0.5)"
+)
+
+
+def _srp_planes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (j, i) =
+    (md5('j,i') % 1000)/1000 - 0.5 — same formula the oracle computes,
+    so both engines use bit-identical planes."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{j},{i}".encode()).hexdigest()[:15], 16) % 1000)
+            / 1000.0
+            - 0.5
+            for i in range(dim)
+        ]
+        for j in range(N_PLANES)
+    ]
+
+
+@query(
+    "ann_srp_lsh",
+    oracle=f"""
+WITH planes AS (
+  SELECT j, list_transform(generate_series(0, 63), i -> {_PLANE}) AS plane
+  FROM generate_series(0, {N_PLANES - 1}) AS g(j)
+),
+sigs AS (
+  SELECT e.vec_id, {_D.format(v='e.embedding')} AS v,
+         string_agg(CASE WHEN list_dot_product({_D.format(v='e.embedding')}, p.plane) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, {_D.format(v='e.embedding')}
+),
+q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 2)
+SELECT s.vec_id, round(list_cosine_similarity(s.v, q.qv), 6) AS score
+FROM sigs s, q WHERE s.sig = q.qsig
+ORDER BY score DESC, s.vec_id ASC LIMIT 5
+""",
+)
+def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH-bucketed ANN — the third ANN strategy beside brute force
+    (the oracle semantics) and IVF: sign of 12 random projections forms
+    a bucket key; only the query's bucket is exact-scored.
+
+    Scale shape: the signature is per-row math (planes are a broadcast
+    literal — 12×64 floats); candidate selection is an equi-FILTER on
+    the bucket key, which at rest is the table's partition/bucket
+    column, so a probe reads ~n/2¹² of the data. Unlike IVF there is no
+    training step (no KMeans); recall tunes via plane count and
+    multiprobe (flipping signature bits). Deterministic planes via the
+    md5 formula — both engines derive bit-identical hyperplanes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    planes = _srp_planes(dim)
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def bit(plane: list[float]) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[bit(p) for p in planes])
+    sigs = emb.select("vec_id", "embedding", sig.alias("sig"))
+
+    qrow = sigs.filter(F.col("vec_id") == 2).select("embedding", "sig").head()
+    qv, qsig = [float(x) for x in qrow[0]], qrow[1]
+    qlit = F.array(*[F.lit(x) for x in qv])
+
+    return (
+        sigs.filter(F.col("sig") == qsig)
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )

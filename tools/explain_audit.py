@@ -70,6 +70,7 @@ FULL_SCAN_OK = {
     "hypertable_rollup",  # full-corpus rollup
     "orders_rollup",  # full-corpus rollup
     "ann_recall",
+    "ann_srp_lsh",  # signature scan reads all vectors; bucket filter is the partition key at rest
 }
 
 # queries whose driver loops / streaming sinks make a single static plan
