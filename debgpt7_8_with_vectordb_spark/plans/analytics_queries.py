@@ -460,7 +460,10 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS total_value,
-       round(avg(value), 6) AS avg_value
+       -- avg derived from the ROUNDED total: both engines then divide
+       -- identical numerators, so no half-boundary straddle from 1-ulp
+       -- sum drift (seen at sf0.1: avg(…) landing exactly on …125)
+       round(round(sum(value), 4) / count(*), 6) AS avg_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
@@ -478,5 +481,5 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.round(F.sum("value"), 4) / F.count("*"), 6).alias("avg_value"),
     )
