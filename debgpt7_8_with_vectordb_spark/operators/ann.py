@@ -108,6 +108,45 @@ def probe_ivf(
     )
 
 
+def srp_signatures(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "sig",
+) -> DataFrame:
+    """Signed-random-projection bucket signatures via one Arrow-batched
+    BLAS matmul per batch: ``sign(round(M @ Pᵀ, 6))`` → bit string.
+
+    Replaces the round-1 per-plane ``aggregate``/``zip_with`` expression:
+    higher-order array functions are INTERPRETED (no codegen) and
+    measured ~10× slower than one numpy matmul per Arrow batch (the
+    `embedding_neardup` BLAS lesson, NOTES.md). The dot products are
+    rounded to 6 decimals BEFORE taking the sign — the engine-wide score
+    convention — so a projection landing within 1 ulp of 0 can never
+    round to opposite signs across engines and flip a bucket key.
+
+    Zero shuffle: the signature is per-row math; at rest it is the
+    table's partition/bucket column.
+    """
+    import numpy as np
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    P = np.asarray(planes, dtype=np.float64)
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                bits = np.round(M @ P.T, 6) >= 0
+                sig = ["".join("1" if b else "0" for b in row) for row in bits]
+            else:
+                sig = []
+            yield pdf.assign(**{out_col: sig})
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def recall_at_k(
     indexed: DataFrame,
     centroids: list[list[float]],

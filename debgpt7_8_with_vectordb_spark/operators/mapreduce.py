@@ -10,9 +10,11 @@ Spark shape:
 - the map phase is a column expression (deterministic extractors) or an
   Arrow-batched ``mapInPandas`` (real model calls) — task parallelism
   replaces the ThreadPool;
-- each reduce round pairs rows by ``row_number()//2`` within a group and
-  combines pairs with ``applyInPandas``; the driver loops while
-  ``count > 1`` (same shape as ``RDD.treeReduce``);
+- each reduce round pairs rows by an exact global index (per-partition
+  rank + broadcast partition offsets — never a single-partition window)
+  and combines pairs with ``applyInPandas``; the driver loops while
+  ``count > 1`` (same shape as ``RDD.treeReduce``) and only ever sees
+  the count;
 - ``localCheckpoint`` each round truncates the growing lineage
   (SURVEY.md §4.3.2).
 
@@ -28,6 +30,66 @@ import math
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+#: Rows per range partition when assigning the global pairing index.
+#: 64 Ki rows/partition keeps the per-partition window cheap and bounds
+#: the broadcast offset table at ~n/65536 rows (10¹¹ chunks → ~1.5 M
+#: offset rows ≈ 25 MB — broadcastable; the data itself never funnels).
+_RN_PARTITION_ROWS = 65536
+
+#: Rows per contiguous packing block in compact_reduce. Packing is
+#: greedy-sequential WITHIN a block (executor-side), blocks are exact
+#: rn//4096 slices, so results are deterministic under any physical
+#: partitioning. Inputs ≤ 4096 rows are one block = the reference's
+#: exact global greedy scan (mapreduce.py:287-326).
+_PACK_BLOCK_ROWS = 4096
+
+
+def _with_global_rn(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
+    """Exact 0-based global row number in ``order_cols`` order WITHOUT a
+    single-partition window (the round-1 scale-killer): range-partition
+    on the order key, rank within each partition, then add per-partition
+    offsets (a broadcast table of ≤ ⌈n/65536⌉ rows — the only data that
+    leaves the executors is one (partition, count) pair per partition).
+
+    Every stage is parallel; the offset cumulative sum runs over the
+    tiny counts table only. Ordering keys are unique per row (chunk
+    (doc_id, start)), so the result is deterministic regardless of where
+    the range sampler places partition boundaries.
+    """
+    nparts = max(1, math.ceil(n / _RN_PARTITION_ROWS))
+    cols = [F.col(c) for c in order_cols]
+    if nparts == 1:
+        # shrunken tail (≤ 64 Ki rows): no counts/offsets jobs needed —
+        # the constant-key window shuffles ONLY the bounded tail into one
+        # task (upstream stages keep their parallelism). This is the only
+        # place a single-partition window appears, and it is bounded by
+        # _RN_PARTITION_ROWS rows by construction.
+        w = Window.partitionBy(F.lit(0)).orderBy(*cols)
+        return df.withColumn(
+            "rn", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+    keyed = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+        )
+    )
+    counts = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # cumulative offsets over the COUNTS table (≤ nparts rows): the one
+    # place a global window is fine — it sees one row per partition, not
+    # one row per chunk.
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(ow), F.lit(0)).alias("_off")
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_off") + F.col("_lrn") - F.lit(1)).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
 
 
 def echo_lossy(col: Column, rate: int = 2) -> Column:
@@ -60,9 +122,12 @@ def tree_reduce(
     """A4 binary tree reduction: pair adjacent rows, concatenate, repeat
     until one row remains. Returns (1-row DataFrame, rounds run).
 
-    Pairing key = row_number()//2 over the stable (doc_id, start, val)
-    order; the odd tail element rides along unmerged (reference
-    mapreduce.py:337-350). Each round shuffles only ⌈n/2⌉ groups.
+    Pairing key = rn//2 over the stable global (doc_id, start) order; the
+    odd tail element rides along unmerged (reference mapreduce.py:337-350).
+    The global index comes from ``_with_global_rn`` (per-partition rank +
+    broadcast offsets), so every round is fully parallel: a range shuffle,
+    a per-partition window, and a ⌈n/2⌉-group combine — never a
+    single-partition funnel.
     """
     df = mapped.select(
         F.col("doc_id"), F.col("start"), F.col("val")
@@ -70,9 +135,8 @@ def tree_reduce(
     n = df.count()
     rounds = 0
     limit = max_rounds if max_rounds is not None else max(1, int(math.log2(max(n, 2))) + 2)
-    w = Window.orderBy("doc_id", "start")
     while n > 1 and rounds < limit:
-        paired = df.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        paired = _with_global_rn(df, ["doc_id", "start"], n).withColumn(
             "pair", (F.col("rn") / 2).cast("long")
         )
 
@@ -107,10 +171,16 @@ def compact_reduce(
     strictly shrinks (reference mapreduce.py:287-326) — combine each
     group, repeat until one row remains.
 
-    Scale shape: packing is order-dependent over the SIZE vector only,
-    so the driver packs sizes (one int per row — KBs even at 100 TB
-    chunk counts, and rounds shrink geometrically) and broadcast-joins
-    the group ids back; payloads never leave the executors.
+    Scale shape: the greedy scan is order-dependent, so it runs
+    EXECUTOR-SIDE over exact contiguous rn//4096 blocks — each task
+    packs and combines its own block in one ``applyInPandas`` pass;
+    nothing but the loop-control count ever reaches the driver. Blocks
+    are order-preserving slices, so the final concatenation is identical
+    to a global scan (the '\\n'-join is associative); inputs ≤ 4096 rows
+    are a single block and reproduce the reference's global greedy
+    byte-for-byte. A 1-row trailing block simply rides to the next round
+    (same as the odd-tail rule), and block 0 always holds ≥2 rows when
+    n ≥ 2, so every round shrinks.
     """
     from .binpack import pack_sizes
 
@@ -118,34 +188,32 @@ def compact_reduce(
     n = df.count()
     rounds = 0
     limit = max_rounds if max_rounds is not None else max(1, int(math.log2(max(n, 2))) + 2)
-    w = Window.orderBy("doc_id", "start")
     while n > 1 and rounds < limit:
-        keyed = df.withColumn("rn", F.row_number().over(w) - 1)
-        sizes = [
-            r["nb"]
-            for r in keyed.select("rn", F.octet_length("val").alias("nb"))
-            .orderBy("rn")
-            .collect()
-        ]
-        gids = pack_sizes(sizes, max_group_bytes, min_per_group=2)
-        gid_map = keyed.sparkSession.createDataFrame(
-            list(enumerate(gids)), "rn long, pack long"
+        keyed = _with_global_rn(df, ["doc_id", "start"], n).withColumn(
+            "block", (F.col("rn") / _PACK_BLOCK_ROWS).cast("long")
         )
-        packed = keyed.join(F.broadcast(gid_map), "rn")
 
-        def combine_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("rn")
-            return pd.DataFrame(
-                {
-                    "doc_id": [pdf["doc_id"].iloc[0]],
-                    "start": [pdf["start"].iloc[0]],
-                    "val": [combine.join(pdf["val"])],
-                }
-            )
+        def pack_and_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("rn").reset_index(drop=True)
+            sizes = [len((v or "").encode("utf-8")) for v in pdf["val"]]
+            gids = pack_sizes(sizes, max_group_bytes, min_per_group=2)
+            out: list[tuple[int, int, str]] = []
+            lo = 0
+            for hi in range(1, len(gids) + 1):
+                if hi == len(gids) or gids[hi] != gids[lo]:
+                    out.append(
+                        (
+                            int(pdf["doc_id"].iloc[lo]),
+                            int(pdf["start"].iloc[lo]),
+                            combine.join(pdf["val"].iloc[lo:hi]),
+                        )
+                    )
+                    lo = hi
+            return pd.DataFrame(out, columns=["doc_id", "start", "val"])
 
         df = (
-            packed.groupBy("pack")
-            .applyInPandas(combine_group, schema="doc_id long, start int, val string")
+            keyed.groupBy("block")
+            .applyInPandas(pack_and_combine, schema="doc_id long, start int, val string")
             .localCheckpoint(eager=True)
         )
         n = df.count()

@@ -419,7 +419,7 @@ WITH planes AS (
 ),
 sigs AS (
   SELECT e.vec_id, {_D.format(v='e.embedding')} AS v,
-         string_agg(CASE WHEN list_dot_product({_D.format(v='e.embedding')}, p.plane) >= 0
+         string_agg(CASE WHEN round(list_dot_product({_D.format(v='e.embedding')}, p.plane), 6) >= 0
                          THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
   FROM embeddings e CROSS JOIN planes p
   GROUP BY e.vec_id, {_D.format(v='e.embedding')}
@@ -435,32 +435,34 @@ def ann_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle semantics) and IVF: sign of 12 random projections forms
     a bucket key; only the query's bucket is exact-scored.
 
-    Scale shape: the signature is per-row math (planes are a broadcast
-    literal — 12×64 floats); candidate selection is an equi-FILTER on
-    the bucket key, which at rest is the table's partition/bucket
-    column, so a probe reads ~n/2¹² of the data. Unlike IVF there is no
-    training step (no KMeans); recall tunes via plane count and
-    multiprobe (flipping signature bits). Deterministic planes via the
-    md5 formula — both engines derive bit-identical hyperplanes."""
+    Scale shape: the signature is per-row math — ONE numpy BLAS matmul
+    per Arrow batch (`srp_signatures`; the round-1 interpreted
+    aggregate/zip_with HOF lost ~10× to this, NOTES.md); candidate
+    selection is an equi-FILTER on the bucket key, which at rest is the
+    table's partition/bucket column, so a probe reads ~n/2¹² of the
+    data. Unlike IVF there is no training step (no KMeans); recall tunes
+    via plane count and multiprobe (flipping signature bits).
+    Deterministic planes via the md5 formula — both engines derive
+    bit-identical hyperplanes — and dots are rounded to 6 decimals
+    BEFORE the sign on both sides, so a near-zero projection can't flip
+    a bucket bit across engines."""
+    from ..operators.ann import srp_signatures
+
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
     planes = _srp_planes(dim)
 
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sigs = srp_signatures(emb.select("vec_id", "embedding"), planes)
 
-    def bit(plane: list[float]) -> F.Column:
-        dot = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+    # query signature driver-side: fetch the query vector via a pushed
+    # point-lookup scan, then run the SAME float64 round-then-sign math
+    # in driver numpy — no second signature pass over the table (the
+    # vec_id filter can't push BELOW mapInPandas)
+    import numpy as np
 
-    sig = F.concat(*[bit(p) for p in planes])
-    sigs = emb.select("vec_id", "embedding", sig.alias("sig"))
-
-    qrow = sigs.filter(F.col("vec_id") == 2).select("embedding", "sig").head()
-    qv, qsig = [float(x) for x in qrow[0]], qrow[1]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 2).select("embedding").head()[0]]
+    qbits = np.round(np.asarray(qv, dtype=np.float64) @ np.asarray(planes, dtype=np.float64).T, 6) >= 0
+    qsig = "".join("1" if b else "0" for b in qbits)
     qlit = F.array(*[F.lit(x) for x in qv])
 
     return (
