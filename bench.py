@@ -59,9 +59,13 @@ HEADLINE = [
     "chunk_documents",
     "binpack_chunks",
     "multimodal_metadata",
+    "frame_sample",
     "source_router",
     "sessionize_stream",
     "corpus_pipeline",
+    # mapreduce reduce loops (round-2: measure the de-funneled rounds)
+    "mapreduce_echo",
+    "mapreduce_echo_compact",
 ]
 
 

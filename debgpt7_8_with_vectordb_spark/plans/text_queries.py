@@ -405,3 +405,105 @@ def section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("body"),
         )
     )
+
+
+@query(
+    "section_lookup",
+    oracle="""
+WITH lines AS (
+  SELECT doc_id, s.i AS i,
+         CASE WHEN s.i % 11 = 1 THEN '====' ELSE s.w END AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(string_split(text, ' '))),
+                  i -> {'i': i, 'w': string_split(text, ' ')[i]})) AS s
+    FROM documents
+  )
+),
+lv AS (
+  SELECT doc_id, i, line,
+         CASE WHEN line SIMILAR TO '=+'
+              THEN CASE WHEN ((i - 1) // 11) % 3 = 0 THEN 1 ELSE 2 END
+              ELSE 0 END AS lev
+  FROM lines
+),
+s1 AS (
+  SELECT *, sum(CASE WHEN lev = 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY i) AS sec1
+  FROM lv
+),
+s2 AS (
+  SELECT *, sum(CASE WHEN lev = 2 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id, sec1 ORDER BY i) AS sec2
+  FROM s1
+)
+SELECT doc_id, '2.1' AS section_no, count(*)::BIGINT AS n_lines,
+       array_to_string(array_agg(line ORDER BY i), ' ') AS body
+FROM s2
+WHERE lev = 0 AND sec1 = 2 AND sec2 = 1
+GROUP BY doc_id
+""",
+)
+def section_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 random access by DOTTED section number (reference
+    policy.py:92-137 ``__getitem__('4.9.2')``: map a dotted index to a
+    separator level, scan to the section start, collect lines until the
+    next same-level separator). Spark shape: the sectioning pass assigns
+    every line a hierarchical (sec1, sec2) number — level-1 separators
+    bump sec1, level-2 separators bump sec2 *within* the current sec1
+    (window partitioned by (doc_id, sec1), so the subsection counter
+    resets at each section boundary exactly like the reference's
+    scan-until-next-same-level rule) — then the lookup is a plain
+    equality filter on the dotted key.
+
+    Separator levels are derived arithmetically from the deterministic
+    injection (every 11th word-line; ordinal % 3 == 1 -> level 1) so no
+    extra window is needed to rank separators.
+
+    Scale: both windows partition by doc_id — per-document state, no
+    global sort; the dotted key is filterable/partition-prunable at
+    rest, so ``doc['2.1']`` on a billion-doc corpus is a pruned scan,
+    not a gather."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        F.when(F.col("pos") % 11 == 0, F.lit("====")).otherwise(F.col("word")).alias(
+            "line"
+        ),
+        F.when(
+            F.col("pos") % 11 == 0,
+            F.when((F.expr("pos div 11") % 3) == 0, F.lit(1)).otherwise(F.lit(2)),
+        )
+        .otherwise(F.lit(0))
+        .alias("lev"),
+    )
+    w1 = Window.partitionBy("doc_id").orderBy("i")
+    s1 = lines.withColumn(
+        "sec1", F.sum(F.when(F.col("lev") == 1, 1).otherwise(0)).over(w1)
+    )
+    w2 = Window.partitionBy("doc_id", "sec1").orderBy("i")
+    s2 = s1.withColumn(
+        "sec2", F.sum(F.when(F.col("lev") == 2, 1).otherwise(0)).over(w2)
+    )
+    return (
+        s2.filter((F.col("lev") == 0) & (F.col("sec1") == 2) & (F.col("sec2") == 1))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("body"),
+        )
+        .select(
+            "doc_id", F.lit("2.1").alias("section_no"), "n_lines", "body"
+        )
+    )
