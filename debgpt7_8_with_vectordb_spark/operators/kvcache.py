@@ -19,11 +19,20 @@ Versioned directories stand in for a transactional table format: each
 mutation writes a NEW snapshot dir and ``_latest`` flips atomically via
 rename — the parquet-only analogue of a Delta/Iceberg commit (readers of
 the old snapshot stay consistent; no read-modify-write in place).
+Commits are SINGLE-WRITER, enforced by an O_EXCL lock file around the
+version pick + flip (concurrent writers would otherwise race the
+``os.listdir`` version scan and clobber each other's snapshot dir); a
+retention sweep after each flip prunes snapshots older than the last
+``keep_snapshots`` so disk use is bounded at ~keep_snapshots table
+copies. Real deployments swap this shim for Delta/Iceberg, whose
+transaction log provides both properties natively.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+from typing import Iterator
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,10 +43,17 @@ CACHE_SCHEMA = "key string, value string, stamp timestamp"
 class KVCache:
     """Dict-protocol-shaped batch KV cache over versioned parquet."""
 
-    def __init__(self, spark: SparkSession, root: str, ttl: str = "INTERVAL 1 MONTH"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        ttl: str = "INTERVAL 1 MONTH",
+        keep_snapshots: int = 4,
+    ):
         self.spark = spark
         self.root = root
         self.ttl = ttl
+        self.keep_snapshots = max(1, keep_snapshots)
         os.makedirs(root, exist_ok=True)
 
     # -- snapshot plumbing -------------------------------------------------
@@ -49,15 +65,36 @@ class KVCache:
             return os.path.join(self.root, f.read().strip())
 
     def _commit(self, df: DataFrame) -> None:
-        versions = sorted(
-            int(d[1:]) for d in os.listdir(self.root) if d.startswith("v") and d[1:].isdigit()
-        )
-        nxt = f"v{(versions[-1] + 1) if versions else 0}"
-        df.write.mode("overwrite").parquet(os.path.join(self.root, nxt))
-        tmp = os.path.join(self.root, "_latest.tmp")
-        with open(tmp, "w") as f:
-            f.write(nxt)
-        os.replace(tmp, os.path.join(self.root, "_latest"))  # atomic flip
+        """Single-writer snapshot commit: O_EXCL lock → write vN+1 →
+        atomic _latest flip → prune snapshots beyond keep_snapshots.
+        A concurrent second writer fails fast (RuntimeError) instead of
+        silently clobbering — batch pipelines serialize mutations."""
+        lock = os.path.join(self.root, "_commit.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent KVCache commit in {self.root} (lock held); "
+                "the snapshot shim is single-writer — serialize mutations "
+                "or use a transactional table format"
+            )
+        try:
+            versions = sorted(
+                int(d[1:])
+                for d in os.listdir(self.root)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+            nxt = f"v{(versions[-1] + 1) if versions else 0}"
+            df.write.mode("overwrite").parquet(os.path.join(self.root, nxt))
+            tmp = os.path.join(self.root, "_latest.tmp")
+            with open(tmp, "w") as f:
+                f.write(nxt)
+            os.replace(tmp, os.path.join(self.root, "_latest"))  # atomic flip
+            for old in versions[: -(self.keep_snapshots - 1) or None]:
+                shutil.rmtree(os.path.join(self.root, f"v{old}"), ignore_errors=True)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     # -- reads -------------------------------------------------------------
     def df(self) -> DataFrame:
@@ -66,10 +103,18 @@ class KVCache:
             return self.spark.createDataFrame([], CACHE_SCHEMA)
         return self.spark.read.schema(CACHE_SCHEMA).parquet(path)
 
-    def get(self, key: str) -> str | None:
-        """S7 point get — pushdown equality filter (P3)."""
+    def get(self, key: str, default: str | None = None) -> str | None:
+        """S7 point get — pushdown equality filter (P3). Returns
+        ``default`` when absent (reference cache.py:215-229)."""
         row = self.df().filter(F.col("key") == key).select("value").head()
-        return None if row is None else row[0]
+        return default if row is None else row[0]
+
+    def __getitem__(self, key: str) -> str:
+        """Strict get (reference cache.py:83-103): KeyError when absent."""
+        row = self.df().filter(F.col("key") == key).select("value").head()
+        if row is None:
+            raise KeyError(f"Key {key} not found in cache")
+        return row[0]
 
     def __contains__(self, key: str) -> bool:
         return self.df().filter(F.col("key") == key).limit(1).count() > 0
@@ -78,8 +123,39 @@ class KVCache:
         """A1 COUNT(*) (reference cache.py:150-151)."""
         return self.df().count()
 
-    def keys(self) -> list[str]:
-        return [r[0] for r in self.df().select("key").collect()]
+    def __iter__(self) -> Iterator[str]:
+        """Key iterator (reference cache.py:133-142). Driver-side by
+        contract — see the ``keys`` scale warning."""
+        return iter(self.keys())
+
+    def keys(self, limit: int | None = None) -> list[str]:
+        """All keys, driver-side (reference cache.py:153-162).
+
+        SCALE WARNING: collects one row per key to the driver — a
+        dict-protocol parity shim for small control tables (sessions,
+        templates), NOT a data-plane read. At data scale use ``df()``
+        and keep the computation distributed; ``limit`` bounds the
+        collect when you only need a sample."""
+        df = self.df().select("key")
+        if limit is not None:
+            df = df.limit(limit)
+        return [r[0] for r in df.collect()]
+
+    def values(self, limit: int | None = None) -> list[str]:
+        """All values, driver-side (reference cache.py:164-176); same
+        scale warning as ``keys``."""
+        df = self.df().select("value")
+        if limit is not None:
+            df = df.limit(limit)
+        return [r[0] for r in df.collect()]
+
+    def items(self, limit: int | None = None) -> list[tuple[str, str]]:
+        """All (key, value) pairs, driver-side (reference
+        cache.py:178-188); same scale warning as ``keys``."""
+        df = self.df().select("key", "value")
+        if limit is not None:
+            df = df.limit(limit)
+        return [(r[0], r[1]) for r in df.collect()]
 
     # -- writes ------------------------------------------------------------
     def put_many(self, kv: DataFrame) -> None:
@@ -103,9 +179,66 @@ class KVCache:
             self.spark.createDataFrame([(key, value)], "key string, value string")
         )
 
+    __setitem__ = put
+
     def delete(self, keys: list[str]) -> None:
         """del semantics — anti-filter (isin → anti-join for large sets)."""
         self._commit(self.df().filter(~F.col("key").isin(keys)))
+
+    def __delitem__(self, key: str) -> None:
+        """Strict del (reference cache.py:105-119): KeyError when absent."""
+        if key not in self:
+            raise KeyError(f"Key {key} not found in cache")
+        self.delete([key])
+
+    def pop(self, key: str, default: str | None = None) -> str | None:
+        """Remove key and return its value, else ``default`` (reference
+        cache.py:231-248) — one point read + one anti-filter commit."""
+        row = self.df().filter(F.col("key") == key).select("value").head()
+        if row is None:
+            return default
+        self.delete([key])
+        return row[0]
+
+    def popitem(self) -> tuple[str, str]:
+        """Remove and return one (key, value) pair (reference
+        cache.py:250-267 ``SELECT ... LIMIT 1``). The K6 LIMIT-1 shape —
+        but ordered by key so the choice is deterministic under any
+        partitioning (the reference inherits SQLite scan order)."""
+        row = self.df().orderBy("key").select("key", "value").head()
+        if row is None:
+            raise KeyError("popitem(): cache is empty")
+        self.delete([row[0]])
+        return (row[0], row[1])
+
+    def setdefault(self, key: str, default: str | None = None) -> str | None:
+        """Return existing value, else insert ``default`` and return it
+        (reference cache.py:269-282)."""
+        row = self.df().filter(F.col("key") == key).select("value").head()
+        if row is not None:
+            return row[0]
+        self.put(key, default)
+        return default
+
+    def update(self, other: "dict[str, str] | KVCache | DataFrame") -> None:
+        """Upsert from a dict, another cache, or a (key, value)
+        DataFrame (reference cache.py:284-293). One put_many batch —
+        NOT the reference's per-row setitem loop: the whole merge is a
+        single shuffle on key regardless of batch size."""
+        if isinstance(other, KVCache):
+            kv = other.df().select("key", "value")
+        elif isinstance(other, DataFrame):
+            kv = other.select("key", "value")
+        else:
+            kv = self.spark.createDataFrame(
+                list(other.items()), "key string, value string"
+            )
+        self.put_many(kv)
+
+    def clear(self) -> None:
+        """Drop every row (reference cache.py:207-212) — commits an
+        empty snapshot so readers of prior versions stay consistent."""
+        self._commit(self.spark.createDataFrame([], CACHE_SCHEMA))
 
     def expire(self) -> int:
         """P4 TTL sweep (cache.py:45-51): drop rows older than ttl;

@@ -71,3 +71,89 @@ def test_snapshot_isolation(spark, tmp_path):
     assert c.get("k") == "v2"
     # the pre-mutation reader still resolves (old snapshot dir intact)
     assert reader.count() == 1
+
+
+def test_strict_getitem_delitem(spark, tmp_path):
+    """Reference cache.py:83-119 raises KeyError on missing keys."""
+    import pytest
+
+    c = KVCache(spark, str(tmp_path / "cache"))
+    c.put("a", "1")
+    assert c["a"] == "1"
+    with pytest.raises(KeyError):
+        c["missing"]
+    del c["a"]
+    assert "a" not in c
+    with pytest.raises(KeyError):
+        del c["a"]
+
+
+def test_pop_and_popitem(spark, tmp_path):
+    """Reference cache.py:231-267: pop returns value-or-default and
+    removes; popitem is the K6 LIMIT-1 shape on a nonempty cache."""
+    import pytest
+
+    c = KVCache(spark, str(tmp_path / "cache"))
+    c.put_many(
+        spark.createDataFrame(
+            [("a", "1"), ("b", "2"), ("c", "3")], "key string, value string"
+        )
+    )
+    assert c.pop("b") == "2"
+    assert c.pop("b", "dflt") == "dflt"
+    assert len(c) == 2
+    # deterministic choice: lowest key first
+    assert c.popitem() == ("a", "1")
+    assert c.popitem() == ("c", "3")
+    with pytest.raises(KeyError):
+        c.popitem()
+
+
+def test_setdefault_update_clear_items(spark, tmp_path):
+    """Reference cache.py:178-293: items/setdefault/update/clear."""
+    c = KVCache(spark, str(tmp_path / "cache"))
+    assert c.setdefault("k", "v0") == "v0"  # absent -> inserted
+    assert c.setdefault("k", "OTHER") == "v0"  # present -> existing wins
+    c.update({"x": "1", "y": "2"})
+    c.update(
+        spark.createDataFrame([("y", "22"), ("z", "3")], "key string, value string")
+    )
+    assert sorted(c.items()) == [("k", "v0"), ("x", "1"), ("y", "22"), ("z", "3")]
+    assert sorted(c) == ["k", "x", "y", "z"]  # __iter__ yields keys
+    assert sorted(c.values()) == ["1", "22", "3", "v0"]
+    assert len(c.keys(limit=2)) == 2  # bounded driver collect
+    c.clear()
+    assert len(c) == 0
+
+
+def test_update_from_other_cache(spark, tmp_path):
+    src = KVCache(spark, str(tmp_path / "src"))
+    src.update({"a": "1", "b": "2"})
+    dst = KVCache(spark, str(tmp_path / "dst"))
+    dst.put("b", "old")
+    dst.update(src)  # other-cache keys overwrite (dict.update semantics)
+    assert sorted(dst.items()) == [("a", "1"), ("b", "2")]
+
+
+def test_commit_lock_and_retention(spark, tmp_path):
+    """Single-writer lock fails fast; retention keeps only the last
+    keep_snapshots dirs while the live reader of the newest survives."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "cache")
+    c = KVCache(spark, root, keep_snapshots=2)
+    for i in range(5):
+        c.put(f"k{i}", str(i))
+    vdirs = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert vdirs == ["v3", "v4"]
+    assert len(c) == 5  # latest snapshot intact after pruning
+
+    lock = os.path.join(root, "_commit.lock")
+    open(lock, "w").close()
+    with pytest.raises(RuntimeError, match="single-writer"):
+        c.put("contended", "x")
+    os.unlink(lock)
+    c.put("contended", "x")  # lock released -> commits again
+    assert c.get("contended") == "x"
