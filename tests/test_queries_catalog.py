@@ -94,6 +94,26 @@ def test_minhash_candidates_superset_of_exact_dups(spark):
     assert dup_pairs <= cands
 
 
+def test_ngram_jaccard_banded_blocking_catches_one_char_edit(spark, tmp_path):
+    """Round-2 banded blocking (lang, n_chars div 16): a near-dup pair
+    differing by ONE char (lengths 59/60, same div-16 band) must surface
+    — round-1's exact-length blocking structurally never could."""
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy dogs again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, a, "en", "s1", len(a)),
+            (2, b, "en", "s2", len(b)),
+            (3, "completely different words entirely", "en", "s3", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, str(tmp_path)).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] >= 0.8  # 9 shared / 11 union tokens
+
+
 def test_simhash_identical_docs_identical_hash(spark, sf_dir):
     rows = QUERIES["dedup_simhash"](spark, sf_dir).collect()
     assert len(rows) == 500

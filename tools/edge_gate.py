@@ -57,7 +57,12 @@ COPY (
     (8, repeat('x', 2000), 'zh', 'src8', 2000),
     (9, 'normal words in a short document', 'en', 'src9', 32),
     (10, 'normal words in a short document', 'en', 'src10', 32),
-    (11, 'a', 'en', 'src11', 1)
+    (11, 'a', 'en', 'src11', 1),
+    -- near-dup pair differing by ONE char (dog->dogs): lengths 59/60
+    -- share len band 3 under div-16 blocking, so dedup_ngram_jaccard
+    -- must surface them (round-1 exact-length blocking never could)
+    (12, 'the quick brown fox jumps over the lazy dog again and again', 'en', 'src12', 59),
+    (13, 'the quick brown fox jumps over the lazy dogs again and again', 'en', 'src13', 60)
   ) AS t(doc_id, text, lang, source, n_chars)
 ) TO '{out}' (FORMAT PARQUET)
 """
