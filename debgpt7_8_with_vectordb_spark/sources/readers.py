@@ -114,8 +114,76 @@ def read_parquet_documents(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def pdf_decode_stub(payload: bytes) -> str:
+    """S9 real-decoder entry point (reference reader.py:310-333 extracts
+    page text via pypdf). pypdf is absent in this container — production
+    wires ``pypdf.PdfReader(io.BytesIO(payload))`` page extraction here;
+    tests inject a fake through the same seam to prove the plumbing."""
+    raise NotImplementedError(
+        "PDF text extraction requires pypdf; inject decoder= to read_pdf"
+    )
+
+
+def decode_binary_documents(
+    df: DataFrame, decoder: "callable", content_col: str = "payload"
+) -> DataFrame:
+    """The injectable decode stage: Arrow-batched ``mapInPandas`` over
+    binary payloads → (path, content). ``decoder(bytes) -> str`` is the
+    pluggable slot (pypdf, tika, ...) — the same seam shape
+    ``provider_embed`` uses for real embedding models: bytes arrive
+    columnar via Arrow, the Python batch loop is the ONLY non-JVM hop,
+    and partition parallelism is preserved."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "content": [
+                        decoder(bytes(p) if p is not None else b"")
+                        for p in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema="path string, content string")
+
+
+@register_source("pdf")
+def read_pdf(spark: SparkSession, path: str, decoder=None) -> DataFrame:
+    """S9 PDF source (reference reader.py:310-333): files load via the
+    ``binaryFile`` source (bytes stay columnar, never hit the driver);
+    text extraction runs through ``decode_binary_documents``'s
+    injectable seam. Default decoder is the honest pypdf stub."""
+    df = spark.read.format("binaryFile").load(path).select("path", F.col("content").alias("payload"))
+    return decode_binary_documents(df, decoder or pdf_decode_stub)
+
+
+@register_source("html")
+def read_html(spark: SparkSession, path: str, extractor=None) -> DataFrame:
+    """HTML → text source (reference reader.py:462-463 bs4.get_text).
+    Default path is the JVM regexp strip chain (whole-stage codegen, no
+    Python hop); pass ``extractor(bytes) -> str`` (e.g. real bs4) to run
+    full-fidelity extraction through the same Arrow seam as PDFs."""
+    df = (
+        spark.read.text(path, wholetext=True)
+        .withColumn("path", F.input_file_name())
+        .withColumnRenamed("value", "content")
+    )
+    if extractor is not None:
+        return decode_binary_documents(
+            df.select("path", F.col("content").cast("binary").alias("payload")),
+            extractor,
+        )
+    stripped = F.trim(
+        F.regexp_replace(F.regexp_replace("content", "<[^>]+>", " "), r"\s+", " ")
+    )
+    return df.select("path", stripped.alias("content"))
+
+
 @register_source("path")
-def read_any_path(spark: SparkSession, path: str) -> DataFrame:
+def read_any_path(spark: SparkSession, path: str, decoder=None) -> DataFrame:
     """Fallthrough router by suffix (reference reader.py:989-1032)."""
     import os
 
@@ -125,6 +193,10 @@ def read_any_path(spark: SparkSession, path: str) -> DataFrame:
         return read_jsonl(spark, path)
     if path.endswith(".json"):
         return read_session_json(spark, path)
+    if path.endswith(".pdf"):
+        return read_pdf(spark, path, decoder=decoder)
+    if path.endswith((".html", ".htm")):
+        return read_html(spark, path, extractor=decoder)
     if os.path.isdir(path):
         return read_directory(spark, path)
     return read_text_file(spark, path)

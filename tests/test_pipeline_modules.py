@@ -57,6 +57,65 @@ def test_source_registry_dispatch(spark, sf_dir, tmp_path):
     assert read(spark, str(f)).collect()[0]["content"] == "plain text"
 
 
+def test_injected_pdf_decoder_through_arrow_seam(spark, tmp_path):
+    """S9 decode seam (reference reader.py:310-333 pypdf): the container
+    lacks pypdf, so a FAKE decoder is injected through the same
+    mapInPandas slot a real one uses — bytes must arrive intact on the
+    executor and the extracted text must flow back through Arrow."""
+    import pytest
+
+    from debgpt7_8_with_vectordb_spark.sources.readers import (
+        pdf_decode_stub,
+        read_any_path,
+    )
+
+    (tmp_path / "a.pdf").write_bytes(b"%PDF-1.4 alpha body")
+    (tmp_path / "b.pdf").write_bytes(b"%PDF-1.4 beta")
+
+    # closure, not module-level fn: test modules aren't importable on workers
+    def fake_pypdf(payload: bytes) -> str:
+        assert payload.startswith(b"%PDF"), "decoder must see the raw bytes"
+        return f"pages=1 text={payload[9:].decode()} bytes={len(payload)}"
+
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r["content"]
+        for r in read_any_path(spark, str(tmp_path / "*.pdf"), decoder=fake_pypdf).collect()
+    }
+    assert rows == {
+        "a.pdf": "pages=1 text=alpha body bytes=19",
+        "b.pdf": "pages=1 text=beta bytes=13",
+    }
+    # the default slot is the honest stub, not a silent fake
+    with pytest.raises(NotImplementedError):
+        pdf_decode_stub(b"%PDF")
+
+
+def test_injected_html_extractor_and_default_strip(spark, tmp_path):
+    """HTML source: default = JVM regexp strip (no Python hop); a real
+    bs4-grade extractor injects through the identical Arrow seam."""
+    from debgpt7_8_with_vectordb_spark.sources.readers import read_html
+
+    f = tmp_path / "page.html"
+    f.write_text("<html><body><h1>Title</h1><p>Hello   world</p></body></html>")
+
+    assert (
+        read_html(spark, str(f)).collect()[0]["content"] == "Title Hello world"
+    )
+
+    def fake_bs4(payload: bytes) -> str:
+        # stands in for BeautifulSoup(payload).get_text(" ", strip=True)
+        import re
+
+        return "|".join(
+            t for t in re.split(r"<[^>]+>", payload.decode()) if t.strip()
+        )
+
+    assert (
+        read_html(spark, str(f), extractor=fake_bs4).collect()[0]["content"]
+        == "Title|Hello   world"
+    )
+
+
 # ---------- streaming ----------
 
 
