@@ -108,6 +108,23 @@ def probe_ivf(
     )
 
 
+def srp_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (j, i) =
+    (md5('j,i') % 1000)/1000 - 0.5 — the same formula a SQL oracle can
+    compute, so any engine derives bit-identical planes."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{j},{i}".encode()).hexdigest()[:15], 16) % 1000)
+            / 1000.0
+            - 0.5
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def srp_signatures(
     df: DataFrame,
     planes: list[list[float]],

@@ -394,20 +394,11 @@ _PLANE = (
 
 
 def _srp_planes(dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: component (j, i) =
-    (md5('j,i') % 1000)/1000 - 0.5 — same formula the oracle computes,
-    so both engines use bit-identical planes."""
-    import hashlib
+    """Deterministic hyperplanes shared with the oracle — see
+    operators.ann.srp_planes (md5 formula, bit-identical both engines)."""
+    from ..operators.ann import srp_planes
 
-    return [
-        [
-            (int(hashlib.md5(f"{j},{i}".encode()).hexdigest()[:15], 16) % 1000)
-            / 1000.0
-            - 0.5
-            for i in range(dim)
-        ]
-        for j in range(N_PLANES)
-    ]
+    return srp_planes(dim, N_PLANES)
 
 
 @query(

@@ -112,12 +112,25 @@ def incremental_index_build(
     checkpoint: str,
 ):
     """foreachBatch incremental vector-index build: embed each micro-batch
-    and append to the index table — idempotent per batch id (Spark
-    replays a failed batch with the same id)."""
+    and land it in the index table, idempotent per batch id.
+
+    Spark replays a failed micro-batch under the SAME batch_id, so the
+    write must be a per-batch upsert, not a blind append (a replayed
+    append would silently duplicate index rows). Shape: each batch
+    writes its own ``batch_id=N`` partition with DYNAMIC partition
+    overwrite — a replay overwrites exactly its own partition and
+    touches nothing else. The batch id rides along as a partition
+    column; ``read_index`` strips it for consumers."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         embedded = embed_batch(batch_df)
-        embedded.write.mode("append").parquet(sink_path)
+        (
+            embedded.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_path)
+        )
 
     return (
         events.writeStream.foreachBatch(handle)
@@ -125,3 +138,10 @@ def incremental_index_build(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_index(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Consumer view of the incrementally-built index: the batch_id
+    bookkeeping partition column is an implementation detail of the
+    idempotent sink, not part of the index schema."""
+    return spark.read.parquet(sink_path).drop("batch_id")

@@ -177,6 +177,7 @@ def test_stream_sessions_match_batch_gap_sessions(spark, sf_dir):
 def test_incremental_index_build_idempotent_per_batch(spark, sf_dir, tmp_path):
     from debgpt7_8_with_vectordb_spark.streaming.sessionize import (
         incremental_index_build,
+        read_index,
         stream_events_from_dir,
     )
 
@@ -190,7 +191,7 @@ def test_incremental_index_build_idempotent_per_batch(spark, sf_dir, tmp_path):
         ev, embed_batch, str(tmp_path / "idx"), str(tmp_path / "ckpt")
     )
     q.awaitTermination()
-    built = spark.read.parquet(str(tmp_path / "idx"))
+    built = read_index(spark, str(tmp_path / "idx"))
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert built.count() == n_events
     assert built.columns == ["event_id", "vector"]
@@ -201,7 +202,18 @@ def test_incremental_index_build_idempotent_per_batch(spark, sf_dir, tmp_path):
         ev2, embed_batch, str(tmp_path / "idx"), str(tmp_path / "ckpt")
     )
     q2.awaitTermination()
-    assert spark.read.parquet(str(tmp_path / "idx")).count() == n_events
+    assert read_index(spark, str(tmp_path / "idx")).count() == n_events
+
+    # a FAILED-AND-REPLAYED micro-batch reruns handle() with the same
+    # batch_id against the existing sink (simulated by a fresh
+    # checkpoint, which reprocesses the input as batch 0); the
+    # per-batch-partition overwrite must not double rows
+    ev3 = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+    q3 = incremental_index_build(
+        ev3, embed_batch, str(tmp_path / "idx"), str(tmp_path / "ckpt_replay")
+    )
+    q3.awaitTermination()
+    assert read_index(spark, str(tmp_path / "idx")).count() == n_events
 
 
 # ---------- embedding ----------
@@ -262,11 +274,45 @@ def test_bulk_index_build_partition_pruning_layout(spark, sf_dir, tmp_path):
     assert norm == pytest.approx(1.0, abs=1e-6)
     # cluster_id is a physical partition column → probe-side cluster
     # pruning is partition pruning
-    one = idx.filter(F.col("cluster_id") == 3)
+    some_cluster = idx.first()["cluster_id"]
+    one = idx.filter(F.col("cluster_id") == some_cluster)
     plan = one._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(cluster_id" in plan or "cluster_id=3" in str(
-        one.inputFiles()
+    assert "PartitionFilters: [isnotnull(cluster_id" in plan or (
+        f"cluster_id={some_cluster}" in str(one.inputFiles())
     )
+
+
+def test_bulk_index_bucket_is_geometric(spark, tmp_path):
+    """The partition key must follow vector GEOMETRY (ADVICE r1: a
+    text-hash bucket probes at near-zero recall): a vector's own bucket
+    must contain its exact-duplicate text, and a home-bucket probe must
+    retrieve the duplicate as top hit."""
+    from debgpt7_8_with_vectordb_spark.operators.embedding import (
+        bulk_index_build,
+        probe_bulk_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 7}") for i in range(100)]
+        + [(1000, "document number 42 about topic 0")],  # exact dup text of 42
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "geo_index")
+    bulk_index_build(docs, out, dim=16)
+
+    idx = spark.read.parquet(out)
+    by_id = {r["id"]: (r["cluster_id"], r["vector"]) for r in idx.collect()}
+    # identical text → identical embedding → identical bucket, always
+    assert by_id[42][0] == by_id[1000][0]
+
+    # probing ONLY the query's home bucket still finds the duplicate
+    got = probe_bulk_index(spark, out, list(by_id[42][1]), topk=2).collect()
+    assert {r["id"] for r in got} == {42, 1000}
+    assert all(r["score"] == pytest.approx(1.0, abs=1e-6) for r in got)
+    # and the probe read only the home partition (pruning, not a scan)
+    probed = probe_bulk_index(spark, out, list(by_id[42][1]), topk=2)
+    files = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in files
 
 
 def test_provider_embed_bounded_retry(spark, tmp_path):
