@@ -308,6 +308,117 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_recall_sweep",
+    oracle=f"""
+WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 2),
+exact AS (
+  SELECT vec_id FROM embeddings, q
+  ORDER BY round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) DESC,
+           vec_id ASC LIMIT 10
+),
+cent AS (
+  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS c
+  FROM embeddings, generate_series(1, 64) AS g(i)
+  GROUP BY label, i
+),
+cvec AS (SELECT label, array_agg(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+ranked AS (
+  SELECT label,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(cv, q.qv), 6) DESC, label ASC
+         ) AS cr
+  FROM cvec, q
+),
+scored AS (
+  SELECT e.vec_id, r.cr,
+         round(list_cosine_similarity({_D.format(v='e.embedding')}, q.qv), 6) AS s
+  FROM embeddings e JOIN ranked r USING (label), q
+),
+lv AS (
+  SELECT p.np, scored.vec_id, scored.s
+  FROM scored JOIN (VALUES (1), (2), (4), (8)) p(np) ON scored.cr <= p.np
+),
+topped AS (
+  SELECT np, vec_id,
+         row_number() OVER (PARTITION BY np ORDER BY s DESC, vec_id ASC) AS rn
+  FROM lv
+)
+SELECT np::BIGINT AS nprobe,
+       (sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact) THEN 1 ELSE 0 END)
+          / 10.0)::DOUBLE AS recall_at_10
+FROM topped WHERE rn <= 10 GROUP BY np
+""",
+)
+def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 for nprobe in {1, 2, 4, 8} in ONE action — the IVF
+    quality/cost trade measured per round (generalizes ``ann_recall``;
+    VERDICT r1 #10). Clusters rank once by centroid cosine; each probe
+    level is its own filter → TakeOrderedAndProject branch (never a
+    global per-level window — each branch is the same pruned top-k shape
+    a production probe runs), unioned and compared against the exact
+    top-10 under the same tie rule.
+
+    Recall must be monotone in nprobe by construction (probe sets nest);
+    the pytest pins it. nprobe = #clusters ⇒ recall 1.0 exactly
+    (the probe set IS the full corpus)."""
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = get_query_vector(emb, 2)
+    qlit = F.array(*[F.lit(x) for x in qv])
+
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    # the cluster ranking is a tiny table (one row per cluster) — the
+    # constant-key window funnels only k rows, then broadcasts
+    rw = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc(F.round(cosine_similarity(F.col("cv"), qlit), 6)), F.asc("label")
+    )
+    ranked = cent.withColumn("cr", F.row_number().over(rw)).select("label", "cr")
+
+    scored = emb.join(F.broadcast(ranked), "label").select(
+        "vec_id",
+        "cr",
+        F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("s"),
+    )
+    ex = F.broadcast(exact.withColumn("hit", F.lit(1)))
+    branches = [
+        scored.filter(F.col("cr") <= p)
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .join(ex, "vec_id", "left")
+        .groupBy()
+        .agg(
+            F.lit(p).cast("long").alias("nprobe"),
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0).alias("recall_at_10"),
+        )
+        for p in (1, 2, 4, 8)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), branches).select(
+        "nprobe", F.col("recall_at_10").cast("double").alias("recall_at_10")
+    )
+
+
+@query(
     "context_injection",
     oracle=f"""
 WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 0),

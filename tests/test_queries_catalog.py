@@ -114,6 +114,19 @@ def test_ngram_jaccard_banded_blocking_catches_one_char_edit(spark, tmp_path):
     assert pairs[0]["jaccard"] >= 0.8  # 9 shared / 11 union tokens
 
 
+def test_recall_sweep_monotone_in_nprobe(spark, sf_dir):
+    """Probe sets nest, so recall@10 must be nondecreasing in nprobe;
+    probing every cluster would be exact (recall 1.0 at nprobe=k)."""
+    rows = sorted(
+        (r["nprobe"], r["recall_at_10"])
+        for r in QUERIES["ann_recall_sweep"](spark, sf_dir).collect()
+    )
+    assert [p for p, _ in rows] == [1, 2, 4, 8]
+    recalls = [rec for _, rec in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert 0.0 <= recalls[0] and recalls[-1] <= 1.0
+
+
 def test_simhash_identical_docs_identical_hash(spark, sf_dir):
     rows = QUERIES["dedup_simhash"](spark, sf_dir).collect()
     assert len(rows) == 500
