@@ -255,7 +255,18 @@ def rag_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id plays conversation_id on the events feed; the online
     serving hop stays out of Spark per the north star — this is the
     batch variant that backfills replies for N conversations in one
-    pass."""
+    pass. The reply backend resolves through the generation registry
+    (operators/generation.py — reference backends.py:121-139)."""
+    from ..operators.generation import generate_with_backend
+
+    return generate_with_backend(_rag_prompts(spark, sf_dir), "echo").select(
+        "user_id", "prompt_len", "reply"
+    )
+
+
+def _rag_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared RAG prompt build: last-20 history per conversation,
+    chronological concat."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     last20 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
@@ -281,9 +292,41 @@ def rag_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prompt")
     )
     return prompts.select(
-        "user_id",
-        F.length("prompt").cast("long").alias("prompt_len"),
-        F.regexp_replace("prompt", "(.).", r"$1").alias("reply"),
+        "user_id", F.length("prompt").cast("long").alias("prompt_len"), "prompt"
+    )
+
+
+@query(
+    "rag_generate_reverse",
+    oracle="""
+WITH hist AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM events WHERE user_id < 5
+),
+last20 AS (SELECT * FROM hist WHERE rn <= 20),
+prompts AS (
+  SELECT user_id,
+         string_agg(event_type || ': ' || round(value, 3)::VARCHAR,
+                    chr(10) ORDER BY ts ASC, event_id ASC) AS prompt
+  FROM last20 GROUP BY user_id
+)
+SELECT user_id,
+       length(prompt)::BIGINT AS prompt_len,
+       reverse(prompt) AS reply
+FROM prompts
+""",
+)
+def rag_generate_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 through the SECOND registry backend ('reverse'): same prompt
+    build, different backend name — the pair of queries proves the
+    registry dispatches by name (reference backends.py:134-139) instead
+    of hardcoding one fake, with both reply shapes hash-oracled."""
+    from ..operators.generation import generate_with_backend
+
+    return generate_with_backend(_rag_prompts(spark, sf_dir), "reverse").select(
+        "user_id", "prompt_len", "reply"
     )
 
 

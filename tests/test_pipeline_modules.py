@@ -457,3 +457,19 @@ def test_source_stdin(spark, monkeypatch):
     monkeypatch.setattr("sys.stdin", io.StringIO("piped content"))
     rows = readers.read_stdin(spark, "").collect()
     assert len(rows) == 1 and rows[0]["content"] == "piped content"
+
+
+def test_generation_backend_registry_dispatch(spark):
+    """Reference backends.py:121-139: dispatch by (case-insensitive)
+    name, ValueError naming the unknown backend."""
+    import pytest
+
+    from debgpt7_8_with_vectordb_spark.operators.generation import (
+        generate_with_backend,
+    )
+
+    df = spark.createDataFrame([(1, "abcdef")], "id long, prompt string")
+    assert generate_with_backend(df, "echo").first()["reply"] == "ace"
+    assert generate_with_backend(df, "REVERSE").first()["reply"] == "fedcba"
+    with pytest.raises(ValueError, match="Unknown backend: nope"):
+        generate_with_backend(df, "nope")
