@@ -56,6 +56,9 @@ HEADLINE = [
     "provider_embedding",
     "html_strip",
     "section_split",
+    "section_lookup",
+    "rag_generate",
+    "rag_generate_reverse",
     # dataflow / pipeline
     "chunk_documents",
     "binpack_chunks",

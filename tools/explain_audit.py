@@ -70,7 +70,9 @@ FULL_SCAN_OK = {
     "hypertable_rollup",  # full-corpus rollup
     "orders_rollup",  # full-corpus rollup
     "ann_recall",
+    "ann_recall_sweep",  # centroid build + exact oracle read every vector by definition
     "ann_srp_lsh",  # signature scan reads all vectors; bucket filter is the partition key at rest
+    "section_lookup",  # sectioning pass reads every doc; the dotted key prunes at rest
 }
 
 # queries whose driver loops / streaming sinks make a single static plan
