@@ -47,7 +47,10 @@ HEADLINE = [
     "dedup_lsh_keep",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_incremental",
     "embedding_neardup",
+    "sample_stratified",
+    "embedding_quantize",
     # text analytics / embedding
     "text_stats",
     "quality_score",

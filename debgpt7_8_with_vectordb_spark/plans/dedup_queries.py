@@ -572,3 +572,80 @@ def dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.select(
         "doc_id", "canon_id", (F.col("doc_id") == F.col("canon_id")).alias("keep")
     )
+
+
+_MIX_RATES = {"en": 0.3, "zh": 0.8}  # downweight dominant strata; rest 1.0
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ({_MD5L.format(e="'smp|' || doc_id::VARCHAR")} % 10000)
+        < 10000 * (CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.8 ELSE 1.0 END)
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-MIXING primitive of
+    a training-corpus pipeline (downweight dominant languages/sources to
+    hit a target mixture, e.g. RefinedWeb/Pile-style recipes).
+
+    A row survives iff md5('smp|' || doc_id) % 10000 < rate(lang)·10000:
+    - deterministic and seedable (the 'smp|' salt decouples this
+      decision from every other hash use), so reruns, retries, and
+      incremental extensions of the corpus keep IDENTICAL samples —
+      `df.sample()`'s RNG cannot promise that under partition changes;
+    - pure per-row Catalyst expression, zero shuffle, pushable to the
+      scan; the rate table rides in the plan as a literal CASE (a
+      thousand-stratum recipe would broadcast-join a rates dim instead).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v)).otherwise(F.lit(None))
+            for k, v in _MIX_RATES.items()
+        ],
+        F.lit(1.0),
+    )
+    ticket = md5_long(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))) % 10000
+    return docs.filter(ticket < 10000 * rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+WITH split AS (SELECT max(doc_id) // 2 AS s FROM documents),
+prior AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents, split WHERE doc_id < split.s
+),
+batch AS (
+  SELECT doc_id, md5(text) AS digest FROM documents, split WHERE doc_id >= split.s
+)
+SELECT b.doc_id, b.digest
+FROM batch b LEFT JOIN prior p ON b.digest = p.digest
+WHERE p.digest IS NULL
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the daily-ingest shape at 100 TB: a new
+    batch (here: the upper half of doc_ids) keeps only documents whose
+    content digest does not already exist in the prior corpus (lower
+    half). One LEFT ANTI join on the digest.
+
+    Scale shape: the prior side is a digest-only table (one 32-byte
+    digest per historical doc — the thing a real lake persists at
+    ingest, like minhash_signature_table for the near-dup variant);
+    with both sides bucketed by digest at rest the anti-join is
+    shuffle-free. Near-dup incremental = the same anti-join on
+    (band, sig) against the persisted signature table."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg((F.max("doc_id") / 2).cast("long")).head()[0]
+    digest = F.md5(F.col("text").cast("binary"))
+    prior = (
+        docs.filter(F.col("doc_id") < split).select(digest.alias("digest")).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= split).select(
+        "doc_id", digest.alias("digest")
+    )
+    return batch.join(prior, "digest", "left_anti").select("doc_id", "digest")

@@ -7,6 +7,7 @@ here we assert structural properties cheap enough for CI.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from debgpt7_8_with_vectordb_spark.plans import ORACLE, QUERIES
@@ -182,3 +183,66 @@ def test_corpus_pipeline_funnel_monotone(spark, sf_dir):
     assert r["n_docs_in"] >= r["n_qualified"] >= r["n_survivors"] > 0
     assert r["n_chunks"] == r["n_vectors"] >= r["n_survivors"]
     assert r["sum_raw_norms"] > 0
+
+
+def test_sample_stratified_deterministic_and_mixing(spark, sf_dir):
+    """The sampling ticket is a pure hash of doc_id: reruns keep the
+    IDENTICAL sample (df.sample's RNG cannot promise that), and the
+    dominant 'en' stratum is downweighted to ~its 0.3 rate."""
+    a = {r["doc_id"] for r in QUERIES["sample_stratified"](spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in QUERIES["sample_stratified"](spark, sf_dir).collect()}
+    assert a == b and a
+
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept_en = (
+        QUERIES["sample_stratified"](spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    assert 0.15 <= kept_en / n_en <= 0.45  # ~0.3 modulo hash noise
+
+
+def test_dedup_incremental_novel_only(spark, sf_dir):
+    """Every surviving batch doc's digest must be absent from the prior
+    half; planted cross-half duplicates must be suppressed."""
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg((F.max("doc_id") / 2).cast("long")).head()[0]
+    prior_digests = {
+        r[0]
+        for r in docs.filter(F.col("doc_id") < split)
+        .select(F.md5(F.col("text").cast("binary")))
+        .distinct()
+        .collect()
+    }
+    out = QUERIES["dedup_incremental"](spark, sf_dir).collect()
+    assert out and all(r["digest"] not in prior_digests for r in out)
+
+
+def test_dedup_incremental_suppresses_planted_cross_half_dup(spark, tmp_path):
+    """A batch doc whose text already exists in the prior half must be
+    suppressed; novel batch docs survive."""
+    rows = [(i, f"unique text {i}", "en", f"s{i}", 20) for i in range(10)]
+    rows.append((11, "unique text 3", "en", "s11", 20))  # dup of prior doc 3
+    rows.append((12, "genuinely new", "en", "s12", 13))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"] for r in QUERIES["dedup_incremental"](spark, str(tmp_path)).collect()}
+    # split = max/2 = 6: batch docs are 6..12; 11 is suppressed (dup of 3)
+    assert 11 not in out and 12 in out
+    assert out == {6, 7, 8, 9, 12}
+
+
+def test_embedding_quantize_error_bound(spark, sf_dir):
+    """Symmetric int8 quantization: reconstruction error of any
+    component is at most scale/2 (round-to-nearest), rmse <= max_err."""
+    rows = QUERIES["embedding_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_err"] <= r["scale"] / 2 + 1e-6
+        assert r["rmse"] <= r["max_err"] + 1e-6

@@ -71,6 +71,8 @@ FULL_SCAN_OK = {
     "orders_rollup",  # full-corpus rollup
     "ann_recall",
     "ann_recall_sweep",  # centroid build + exact oracle read every vector by definition
+    "sample_stratified",  # the md5 sampling ticket is per-row math, not a pushable predicate
+    "embedding_quantize",  # per-row transform over every vector by definition
     "ann_srp_lsh",  # signature scan reads all vectors; bucket filter is the partition key at rest
     "section_lookup",  # sectioning pass reads every doc; the dotted key prunes at rest
 }
