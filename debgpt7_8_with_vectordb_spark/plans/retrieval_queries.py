@@ -393,7 +393,14 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rw = Window.partitionBy(F.lit(0)).orderBy(
         F.desc(F.round(cosine_similarity(F.col("cv"), qlit), 6)), F.asc("label")
     )
-    ranked = cent.withColumn("cr", F.row_number().over(rw)).select("label", "cr")
+    # materialize the k-row ranking ONCE: four union branches each
+    # broadcast it, and without this the centroid build (posexplode +
+    # two shuffles) would re-execute per branch
+    ranked = (
+        cent.withColumn("cr", F.row_number().over(rw))
+        .select("label", "cr")
+        .localCheckpoint(eager=True)
+    )
 
     scored = emb.join(F.broadcast(ranked), "label").select(
         "vec_id",

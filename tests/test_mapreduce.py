@@ -124,3 +124,28 @@ def test_compact_reduce_converges_and_matches_binary(spark):
     )
     final, rounds = compact_reduce(mapped, max_group_bytes=1)
     assert final.count() == 1 and rounds >= 1
+
+
+def test_with_global_rn_matches_sort_order(spark):
+    """_with_global_rn must equal the index of each row in the global
+    (doc_id, start) sort — across the single-partition fast path and
+    the multi-partition offsets path."""
+    from debgpt7_8_with_vectordb_spark.operators import mapreduce as mr
+
+    rows = [(i % 37, (i * 7919) % 1009, f"v{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, start int, val string").repartition(13)
+
+    expected = {
+        (d, s): i for i, (d, s, _) in enumerate(sorted(rows, key=lambda r: (r[0], r[1])))
+    }
+    for n_override in (500, 70):  # 70 forces ceil(500/70)=8 range partitions
+        old = mr._RN_PARTITION_ROWS
+        mr._RN_PARTITION_ROWS = n_override
+        try:
+            got = {
+                (r["doc_id"], r["start"]): r["rn"]
+                for r in mr._with_global_rn(df, ["doc_id", "start"], 500).collect()
+            }
+        finally:
+            mr._RN_PARTITION_ROWS = old
+        assert got == expected
