@@ -136,6 +136,48 @@ def tree_reduce(
     rounds = 0
     limit = max_rounds if max_rounds is not None else max(1, int(math.log2(max(n, 2))) + 2)
     while n > 1 and rounds < limit:
+        if n <= _PACK_BLOCK_ROWS:
+            # END-GAME (RDD.treeAggregate's final-reduce move): the
+            # surviving tail fits one task, so finish ALL remaining
+            # rounds in a single applyInPandas pass instead of paying
+            # ~log2(n) more Spark jobs. The in-task loop replays the
+            # identical per-round adjacent pairing over the identical
+            # (doc_id, start) order, so the result is byte-for-byte the
+            # distributed result (tests pin the digests).
+            remaining = limit - rounds
+
+            def finish_tree(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(["doc_id", "start"]).reset_index(drop=True)
+                rows = list(zip(pdf["doc_id"], pdf["start"], pdf["val"]))
+                r = 0
+                while len(rows) > 1 and r < remaining:
+                    rows = [
+                        (
+                            rows[i][0],
+                            rows[i][1],
+                            combine.join(v for _, _, v in rows[i : i + 2]),
+                        )
+                        for i in range(0, len(rows), 2)
+                    ]
+                    r += 1
+                return pd.DataFrame(
+                    [(int(d), int(s), v, r) for d, s, v in rows],
+                    columns=["doc_id", "start", "val", "_rounds"],
+                )
+
+            done = (
+                df.withColumn("_g", F.lit(0))
+                .groupBy("_g")
+                .applyInPandas(
+                    finish_tree,
+                    schema="doc_id long, start int, val string, _rounds int",
+                )
+                .localCheckpoint(eager=True)
+            )
+            rounds += int(done.agg(F.max("_rounds")).head()[0])
+            df = done.select("doc_id", "start", "val")
+            n = df.count()
+            continue
         paired = _with_global_rn(df, ["doc_id", "start"], n).withColumn(
             "pair", (F.col("rn") / 2).cast("long")
         )
@@ -189,6 +231,53 @@ def compact_reduce(
     rounds = 0
     limit = max_rounds if max_rounds is not None else max(1, int(math.log2(max(n, 2))) + 2)
     while n > 1 and rounds < limit:
+        if n <= _PACK_BLOCK_ROWS:
+            # END-GAME: the tail is a single packing block anyway, so
+            # run ALL remaining pack→combine rounds in one task (see
+            # tree_reduce) instead of one Spark job per round. Identical
+            # per-round semantics: global greedy pack over the
+            # (doc_id, start) order, min-2 groups, repeat.
+            remaining = limit - rounds
+
+            def finish_pack(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(["doc_id", "start"]).reset_index(drop=True)
+                rows = list(zip(pdf["doc_id"], pdf["start"], pdf["val"]))
+                r = 0
+                while len(rows) > 1 and r < remaining:
+                    sizes = [len((v or "").encode("utf-8")) for _, _, v in rows]
+                    gids = pack_sizes(sizes, max_group_bytes, min_per_group=2)
+                    nxt: list[tuple[int, int, str]] = []
+                    lo = 0
+                    for hi in range(1, len(gids) + 1):
+                        if hi == len(gids) or gids[hi] != gids[lo]:
+                            nxt.append(
+                                (
+                                    rows[lo][0],
+                                    rows[lo][1],
+                                    combine.join(v for _, _, v in rows[lo:hi]),
+                                )
+                            )
+                            lo = hi
+                    rows = nxt
+                    r += 1
+                return pd.DataFrame(
+                    [(int(d), int(s), v, r) for d, s, v in rows],
+                    columns=["doc_id", "start", "val", "_rounds"],
+                )
+
+            done = (
+                df.withColumn("_g", F.lit(0))
+                .groupBy("_g")
+                .applyInPandas(
+                    finish_pack,
+                    schema="doc_id long, start int, val string, _rounds int",
+                )
+                .localCheckpoint(eager=True)
+            )
+            rounds += int(done.agg(F.max("_rounds")).head()[0])
+            df = done.select("doc_id", "start", "val")
+            n = df.count()
+            continue
         keyed = _with_global_rn(df, ["doc_id", "start"], n).withColumn(
             "block", (F.col("rn") / _PACK_BLOCK_ROWS).cast("long")
         )
