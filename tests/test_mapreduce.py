@@ -149,3 +149,41 @@ def test_with_global_rn_matches_sort_order(spark):
         finally:
             mr._RN_PARTITION_ROWS = old
         assert got == expected
+
+
+def test_tree_reduce_endgame_matches_distributed(spark):
+    """The single-task end-game must produce byte-identical results and
+    round counts to the fully-distributed loop on the same input."""
+    from debgpt7_8_with_vectordb_spark.operators import mapreduce as mr
+
+    rows = [(i % 11, i, f"chunk-{i:03d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, start int, val string").repartition(7)
+
+    results = {}
+    for label, block in (("distributed", 1), ("mixed", 50), ("endgame", 10**6)):
+        old = mr._PACK_BLOCK_ROWS
+        mr._PACK_BLOCK_ROWS = block
+        try:
+            out, rounds = mr.tree_reduce(df)
+            results[label] = (out.collect()[0]["val"], rounds)
+        finally:
+            mr._PACK_BLOCK_ROWS = old
+    assert results["distributed"] == results["mixed"] == results["endgame"]
+
+    # compact: block boundaries legitimately change intermediate
+    # grouping (and so round counts), but the FINAL value is the
+    # order-preserving join of all inputs — identical for any block
+    # size (the associativity claim in compact_reduce's docstring).
+    # block=1 is excluded: a one-row block cannot meet min_per_group=2.
+    finals = {}
+    for label, block in (("mixed", 50), ("endgame", 10**6)):
+        old = mr._PACK_BLOCK_ROWS
+        mr._PACK_BLOCK_ROWS = block
+        try:
+            out, _rounds = mr.compact_reduce(df, 400)
+            rows_out = out.collect()
+            assert len(rows_out) == 1
+            finals[label] = rows_out[0]["val"]
+        finally:
+            mr._PACK_BLOCK_ROWS = old
+    assert finals["mixed"] == finals["endgame"]
