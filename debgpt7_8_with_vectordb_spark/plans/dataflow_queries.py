@@ -73,25 +73,116 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select("doc_id", "start", "end", "n_bytes")
 
 
-@query("binpack_chunks")  # order-dependent accumulator reset → rows-only check
+@query(
+    "binpack_chunks",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 0 AS s, len(lines) AS e FROM base
+  UNION ALL
+  SELECT sp.doc_id,
+         CASE WHEN h.half = 0 THEN sp.s ELSE sp.s + ((sp.e - sp.s) // 2) END,
+         CASE WHEN h.half = 0 THEN sp.s + ((sp.e - sp.s) // 2) ELSE sp.e END
+  FROM spans sp
+  JOIN base b USING (doc_id)
+  CROSS JOIN (SELECT unnest([0, 1]) AS half) h
+  WHERE sp.e - sp.s > 1
+    AND strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) > {MAX_CHUNK_BYTES}
+),
+chunkrows AS (
+  SELECT sp.doc_id, sp.s AS cstart, sp.e AS cend,
+         strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) AS n_bytes
+  FROM spans sp JOIN base b USING (doc_id)
+  WHERE sp.e - sp.s <= 1
+     OR strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) <= {MAX_CHUNK_BYTES}
+),
+ordered AS (
+  SELECT doc_id, cstart, cend, n_bytes,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cstart) AS idx
+  FROM chunkrows
+),
+walk AS (
+  -- the greedy reset-accumulator scan, one recursion step per chunk:
+  -- overflow starts a new group and resets the byte accumulator
+  SELECT doc_id, idx, cstart, cend, n_bytes, 0 AS gid, n_bytes AS acc
+  FROM ordered WHERE idx = 1
+  UNION ALL
+  SELECT o.doc_id, o.idx, o.cstart, o.cend, o.n_bytes,
+         CASE WHEN w.acc + o.n_bytes > {MAX_GROUP_BYTES} THEN w.gid + 1 ELSE w.gid END,
+         CASE WHEN w.acc + o.n_bytes > {MAX_GROUP_BYTES} THEN o.n_bytes ELSE w.acc + o.n_bytes END
+  FROM walk w JOIN ordered o ON o.doc_id = w.doc_id AND o.idx = w.idx + 1
+)
+SELECT doc_id, gid::INT AS group_id, count(*)::BIGINT AS n_items,
+       sum(n_bytes)::BIGINT AS group_bytes,
+       min(cstart)::INT AS start, max(cend)::INT AS "end"
+FROM walk GROUP BY doc_id, gid
+""",
+)
 def binpack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 greedy first-fit bin packing (reference mapreduce.py:53-91),
     FUSED with the chunker into one mapInPandas pass (both are pure
     per-document functions → zero shuffles; operators/binpack.py
-    chunk_and_pack). Not SQL-expressible as a window (the running total
-    resets) — driver records the rows-only check. The standalone
-    ``pack_chunks`` (applyInPandas over an existing chunk table) is
-    covered by tests/test_chunker.py."""
+    chunk_and_pack). The running total resets, so it is not a window —
+    but it IS a linear recursion, and the oracle (round 2) replays the
+    exact scan with a per-doc recursive CTE over chunk indexes on top of
+    the recursive-bisection chunker CTE: full cross-engine hash check of
+    chunking AND packing composed."""
     docs = _docs_as_lines(spark, sf_dir)
     return chunk_and_pack(docs, MAX_CHUNK_BYTES, MAX_GROUP_BYTES)
 
 
-@query("mapreduce_echo")  # iterative driver loop → rows-only check
+@query(
+    "mapreduce_echo",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
+  FROM documents WHERE doc_id < 64
+),
+spans AS (
+  SELECT doc_id, 0 AS s, len(lines) AS e FROM base
+  UNION ALL
+  SELECT sp.doc_id,
+         CASE WHEN h.half = 0 THEN sp.s ELSE sp.s + ((sp.e - sp.s) // 2) END,
+         CASE WHEN h.half = 0 THEN sp.s + ((sp.e - sp.s) // 2) ELSE sp.e END
+  FROM spans sp
+  JOIN base b USING (doc_id)
+  CROSS JOIN (SELECT unnest([0, 1]) AS half) h
+  WHERE sp.e - sp.s > 1
+    AND strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) > {MAX_CHUNK_BYTES}
+),
+chunks AS (
+  SELECT sp.doc_id, sp.s AS start,
+         array_to_string(b.lines[sp.s + 1 : sp.e], chr(10)) AS chunk
+  FROM spans sp JOIN base b USING (doc_id)
+  WHERE sp.e - sp.s <= 1
+     OR strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) <= {MAX_CHUNK_BYTES}
+),
+mapped AS (
+  SELECT doc_id, start, regexp_replace(chunk, '(?s)(.).', '\\1', 'g') AS val
+  FROM chunks
+),
+agg AS (
+  SELECT string_agg(val, chr(10) ORDER BY doc_id, start) AS final, count(*) AS n
+  FROM mapped
+)
+SELECT length(final)::BIGINT AS final_len, md5(final) AS digest,
+       (CASE WHEN n <= 1 THEN 0 ELSE ceil(log2(n)) END)::BIGINT AS rounds
+FROM agg
+""",
+)
 def mapreduce_echo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+A4 map → binary tree-reduce (reference mapreduce.py:148-431)
     with the deterministic echo-lossy extractor (frontend.py:289-293).
-    Iterative shrinking-DataFrame loop; deterministic single-row result
-    (final length, digest, round count)."""
+    Iterative shrinking-DataFrame loop — yet FULLY oracle-able (round 2):
+    the '\\n'-join combine is associative, so the binary tree's final
+    string equals the flat ordered string_agg of the mapped chunks, and
+    the adjacent-pairing round count is exactly ceil(log2(n)). The
+    oracle replays chunker → echo map (dotall every-2nd-char regex) →
+    ordered agg and pins all three output columns. (The compact variant
+    stays rows-only: its round count depends on the greedy packing.)"""
     docs = _docs_as_lines(spark, sf_dir).filter(F.col("doc_id") < 64)
     chunks = chunk_documents(docs, MAX_CHUNK_BYTES)
     return mr_echo(chunks)

@@ -16,9 +16,7 @@ from debgpt7_8_with_vectordb_spark.plans import ORACLE, QUERIES
 # genuinely non-SQL-expressible ops (driver-loop iteration / learned
 # clustering) — the ONLY queries allowed to lack a DuckDB oracle
 ROWS_ONLY = {
-    "mapreduce_echo",
     "mapreduce_echo_compact",
-    "binpack_chunks",
     "ann_ivf_kmeans",
 }
 
