@@ -55,6 +55,9 @@ HEADLINE = [
     "text_stats",
     "quality_score",
     "doc_fingerprint",
+    "repetition_stats",
+    "topk_ngrams",
+    "contamination_check",
     "hash_embedding",
     "provider_embedding",
     "html_strip",

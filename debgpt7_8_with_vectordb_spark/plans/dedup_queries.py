@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.hashing import md5_long
-from ..functions.text import distinct_tokens
+from ..functions.text import distinct_tokens, tokens, word_shingles
 from ..tables import load_table
 from .catalog import query
 
@@ -664,3 +664,70 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", digest.alias("digest")
     )
     return batch.join(prior, "digest", "left_anti").select("doc_id", "digest")
+
+
+_TOKS_SEQ = r"list_filter(string_split_regex({t}, '\s+'), x -> x <> '')"
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SEQ.format(t='text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> {_MD5L.format(e="toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]")}))
+           AS hs
+  FROM t WHERE len(toks) >= 3
+),
+ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h
+       FROM sh WHERE doc_id % 97 <> 0)
+SELECT doc_id, count(*)::BIGINT AS n_shared,
+       round(count(*)::DOUBLE / any_value(n_sh), 6) AS overlap_frac
+FROM tr JOIN ev USING (h)
+GROUP BY doc_id
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval CONTAMINATION check — the benchmark-leakage gate a
+    training pipeline runs before a corpus ships: flag every training
+    document sharing a word n-gram with the held-out eval split
+    (doc_id % 97 here stands in for the benchmark suite), with the
+    shared-shingle count and the contaminated fraction of the doc's
+    own shingles. n=3 because the synthetic corpus has no longer
+    shared runs outside planted exact dups; real pipelines use 8-13.
+
+    Scale shape: candidate generation is an equi-join on the shingle
+    HASH (int64 via md5 — cross-engine and 8 bytes of shuffle width,
+    never the string) — and the eval side is benchmark-sized (MBs even
+    when the train side is 100 TB), so it BROADCASTS: the check is one
+    map-side join + per-doc count, no shuffle of the train corpus at
+    all. Shingles are distinct-per-doc before the join, so count(*)
+    after it IS the distinct shared count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sh = docs.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(word_shingles(F.col("text"), 3), md5_long)
+        ).alias("hs"),
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    tr = sh.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.round(
+                F.count("*").cast("double") / F.first("n_sh"), 6
+            ).alias("overlap_frac"),
+        )
+    )

@@ -12,7 +12,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.hashing import md5_long
-from ..functions.text import char_shingles, tokens
+from ..functions.text import char_shingles, tokens, word_shingles
+from ..operators.textprofile import repetition_counts
 from ..tables import load_table
 from .catalog import query
 
@@ -506,4 +507,103 @@ def section_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.lit("2.1").alias("section_no"), "n_lines", "body"
         )
+    )
+
+
+@query(
+    "repetition_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+tw AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc FROM wc GROUP BY doc_id),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])) AS b
+       FROM t WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+tb AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(n, 0)::BIGINT AS n_tokens,
+       coalesce(nd, 0)::BIGINT AS n_distinct,
+       coalesce(topc, 0)::BIGINT AS top_token_count,
+       coalesce(topb, 0)::BIGINT AS top_bigram_count,
+       CASE WHEN n IS NULL THEN NULL
+            ELSE round(1.0 - nd::DOUBLE / n, 6) END AS dup_token_frac,
+       CASE WHEN n IS NULL THEN NULL
+            ELSE round(topc::DOUBLE / n, 6) END AS top_token_frac,
+       CASE WHEN n >= 2 THEN round(topb::DOUBLE / (n - 1), 6)
+            ELSE NULL END AS top_bigram_frac
+FROM t LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+""",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction
+    of duplicate tokens, and the occurrence fraction of the most common
+    token / adjacent bigram — the standard "degenerate repetition" gate
+    a training-data pipeline applies before dedup.
+
+    Counts come from one zero-shuffle Arrow pass
+    (operators/textprofile.py — modal counts have no Catalyst builtin
+    and HOF folds are interpreted); all ratios + round(6) stay JVM-side
+    so both engines share identical IEEE division. NULL ratios for
+    token-less docs (ANSI: no /0), NULL bigram fraction for 1-token
+    docs. The oracle replays the same counts via unnest + GROUP BY."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = repetition_counts(docs)
+    n = F.col("n_tokens").cast("double")
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_count",
+        "top_bigram_count",
+        F.round(
+            F.lit(1.0) - F.try_divide(F.col("n_distinct").cast("double"), n), 6
+        ).alias("dup_token_frac"),
+        F.round(
+            F.try_divide(F.col("top_token_count").cast("double"), n), 6
+        ).alias("top_token_frac"),
+        F.round(
+            F.try_divide(
+                F.col("top_bigram_count").cast("double"),
+                F.when(F.col("n_tokens") >= 2, n - 1),
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "topk_ngrams",
+    oracle=f"""
+WITH t AS (SELECT {_TOKS.format(t='text')} AS toks FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+       FROM t WHERE len(toks) >= 2)
+SELECT ngram, count(*)::BIGINT AS cnt
+FROM bg GROUP BY ngram
+ORDER BY cnt DESC, ngram LIMIT 20
+""",
+)
+def topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics op: global top-20 adjacent word bigrams —
+    the vocabulary/phrase census a pipeline runs to spot boilerplate
+    (navigation strings, license headers) worth filtering.
+
+    Scale shape: bigrams are per-row array math (no self-join), the
+    count is a map-side-combined groupBy on the ngram (the only
+    shuffle, already shrunk to distinct-ngrams-per-partition), and the
+    top-k plans TakeOrderedAndProject — never a global sort. Ties at
+    the k-boundary break on the ngram string so the result SET is
+    deterministic cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(word_shingles(F.col("text"), 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(20)
     )

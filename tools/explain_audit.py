@@ -35,6 +35,9 @@ FULL_SCAN_OK = {
     "text_stats",
     "quality_score",
     "lang_id",
+    "repetition_stats",  # per-doc stats over the whole corpus
+    "topk_ngrams",  # global census over the whole corpus
+    "contamination_check",  # every train doc is checked by design
     "doc_fingerprint",
     "token_count_bpe",
     "dedup_exact",
