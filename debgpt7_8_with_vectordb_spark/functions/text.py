@@ -29,10 +29,31 @@ def char_shingles(text: Column, n: int = 5) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """All word n-grams as strings (for MinHash over shingles)."""
+    """All word n-grams as strings (for MinHash over shingles).
+
+    Built with n ``element_at`` probes per shingle, NOT
+    ``array_join(slice(...))``: HOF lambdas are interpreted, and a
+    slice allocates an n-element array copy per shingle — measured 6.6×
+    slower at sf0.1 (4.7 s vs 0.7 s for the n=3 corpus shingling).
+    ``concat_ws`` skips the NULLs that ``element_at`` yields past the
+    array end, so short texts still produce their single truncated
+    shingle exactly like the slice version did.
+
+    The token array is BOUND ONCE per row via an outer single-element
+    ``transform`` whose lambda variable the probes close over —
+    referencing ``tokens(text)`` directly inside the inner lambda
+    re-evaluates the whole split per probe (measured 10 s for the same
+    job: worse than the slice it replaced).
+    """
     toks = tokens(text)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+
+    def shingles(arr: Column) -> Column:
+        count = F.greatest(F.size(arr) - (n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(n)]
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(toks), shingles), 1)
