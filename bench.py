@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_incremental",
+    "dedup_clusters",
     "embedding_neardup",
     "sample_stratified",
     "embedding_quantize",

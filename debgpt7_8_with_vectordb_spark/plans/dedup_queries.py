@@ -731,3 +731,108 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_frac"),
         )
     )
+
+
+#: Label-propagation round cap for dedup_clusters. Near-dup graphs are
+#: unions of near-cliques (a duplicate class pairs all-to-all), so the
+#: min label reaches every member in 1-2 hops; the cap only guards
+#: against an adversarial long-chain graph.
+_CC_MAX_ROUNDS = 30
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {{BANDS}},
+toksets AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_TOKS.format(t='text')},
+                                      tk -> {_MD5L.format(e='tk')} % {_MH_P})) AS hs
+  FROM documents
+),
+vpairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN toksets ta ON ta.doc_id = c.doc_a
+  JOIN toksets tb ON tb.doc_id = c.doc_b
+  WHERE least(len(ta.hs), len(tb.hs))::DOUBLE
+          >= 0.8 * greatest(len(ta.hs), len(tb.hs))
+    AND len(list_intersect(ta.hs, tb.hs))::DOUBLE
+          / ((len(ta.hs) + len(tb.hs)) - len(list_intersect(ta.hs, tb.hs)))::DOUBLE
+          >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM vpairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM vpairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT e.a AS node, r.lab FROM edges e JOIN reach r ON r.node = e.b
+),
+labs AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS n FROM labs GROUP BY cluster_id)
+SELECT l.node::BIGINT AS doc_id, l.cluster_id::BIGINT AS cluster_id,
+       s.n::BIGINT AS cluster_size
+FROM labs l JOIN sizes s USING (cluster_id)
+""".replace("{BANDS}", _BANDS_CTE_TMPL.format(src="documents")),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    verified near-dup pair graph (dedup_minhash_verified edges), every
+    document labeled with the min doc_id of its component + the
+    component size. This is the canonicalization step between pair
+    emission and keep-one selection in a curation pipeline — unlike
+    ``dedup_lsh_keep``'s bucket-local rule, a doc N hops from the
+    canonical still attributes to it.
+
+    Spark shape (reference has no equivalent; this is pure engine): an
+    ITERATIVE dataflow — per round, each node takes the min of its own
+    label and its neighbors' (one equi-join edges⋈labels + one union +
+    one min-groupBy), loop until the exact decimal sum of labels stops
+    falling (monotone ⇒ the sum IS the convergence certificate; no
+    extra join to diff against the previous round). ``localCheckpoint``
+    truncates the per-round lineage exactly like the mapreduce loops.
+    Rounds = eccentricity of the min node: 1-2 for duplicate classes
+    (near-cliques). At 100 TB with adversarial chain-shaped graphs the
+    O(diameter) loop upgrades to O(log n) large-star/small-star — the
+    per-round primitives (equi-join + min-agg) are the same, so the
+    shuffle story doesn't change.
+
+    Oracle: transitive closure as a recursive CTE (min reachable id ≡
+    component min — the UNION-distinct fixpoint terminates because the
+    reachable-label set is finite).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("dst"), F.col("doc_b").alias("src"))
+        .union(pairs.select(F.col("doc_b").alias("dst"), F.col("doc_a").alias("src")))
+        .localCheckpoint(eager=True)  # edges re-scanned every round
+    )
+    labels = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("lab"),
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(_CC_MAX_ROUNDS):
+        nbr = sym.join(
+            labels.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(F.col("src").alias("doc_id"), "lab")
+        labels = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        # exact convergence check: labels only decrease, so an unchanged
+        # decimal (overflow-proof) sum means a fixpoint
+        cur_sum = labels.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).head()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("lab").agg(F.count("*").cast("long").alias("cluster_size"))
+    return labels.join(sizes, "lab").select(
+        "doc_id", F.col("lab").alias("cluster_id"), "cluster_size"
+    )

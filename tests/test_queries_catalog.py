@@ -244,3 +244,26 @@ def test_embedding_quantize_error_bound(spark, sf_dir):
     for r in rows:
         assert r["max_err"] <= r["scale"] / 2 + 1e-6
         assert r["rmse"] <= r["max_err"] + 1e-6
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    from debgpt7_8_with_vectordb_spark.plans.dedup_queries import (
+        dedup_clusters,
+        dedup_minhash_verified,
+    )
+
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    # every verified near-dup pair lands in the same cluster
+    for p in dedup_minhash_verified(spark, sf_dir).collect():
+        assert labels[p["doc_a"]][0] == labels[p["doc_b"]][0]
+    # cluster id IS the min member id; sizes count the members
+    from collections import Counter
+
+    members = Counter(cid for cid, _ in labels.values())
+    for doc_id, (cid, size) in labels.items():
+        assert cid <= doc_id
+        assert size == members[cid]
+    assert all(labels[cid][0] == cid for cid, _ in labels.values())
