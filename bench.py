@@ -49,13 +49,17 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_incremental",
     "dedup_clusters",
+    "dedup_recall",
     "embedding_neardup",
     "sample_stratified",
+    "sample_upweight",
     "embedding_quantize",
     # text analytics / embedding
     "text_stats",
     "quality_score",
+    "corpus_quantiles",
     "doc_fingerprint",
+    "pii_redact",
     "repetition_stats",
     "topk_ngrams",
     "contamination_check",

@@ -836,3 +836,125 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "lab").select(
         "doc_id", F.col("lab").alias("cluster_id"), "cluster_size"
     )
+
+
+_UPW_RATES = {"en": 1.0, "zh": 2.5}  # epochs per stratum; rest 1.5
+
+
+@query(
+    "sample_upweight",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         (CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 2.5 ELSE 1.5 END) AS f,
+         {_MD5L.format(e="'upw|' || doc_id::VARCHAR")} % 10000 AS ticket
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         (floor(f) + CASE WHEN ticket < 10000 * (f - floor(f)) THEN 1 ELSE 0 END)::INT
+           AS n_copies
+  FROM w
+)
+SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy_idx FROM n
+""",
+)
+def sample_upweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UP-weighting — the other half of data mixing
+    (``sample_stratified`` downweights): strata with epoch factor f > 1
+    are repeated ⌊f⌋ times plus one more with probability frac(f),
+    decided by the same salted-hash ticket trick ('upw|' salt keeps it
+    independent of the downsampling decision). Reruns produce the
+    identical multiset — a resample under `rand()` cannot.
+
+    Scale shape: per-row CASE + one ``explode(sequence(...))`` — rows
+    expand in place on their partitions (no shuffle, no join); the
+    expansion factor is the mixture's epoch budget (~1-3×), not a
+    blow-up. copy_idx lets the trainer shard repeats across epochs."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        F.when(F.col("lang") == "en", F.lit(1.0))
+        .when(F.col("lang") == "zh", F.lit(2.5))
+        .otherwise(F.lit(1.5))
+    )
+    ticket = md5_long(F.concat(F.lit("upw|"), F.col("doc_id").cast("string"))) % 10000
+    n_copies = (
+        F.floor(f) + F.when(ticket < 10000 * (f - F.floor(f)), 1).otherwise(0)
+    ).cast("int")
+    return (
+        docs.select("doc_id", "lang", n_copies.alias("n_copies"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+    )
+
+
+@query(
+    "dedup_recall",
+    oracle=f"""
+WITH {_BANDS_CTE_TMPL.format(src="documents")},
+jt AS (
+  SELECT doc_id, lang, n_chars // 16 AS len_band,
+         list_distinct(list_transform({_TOKS.format(t='text')},
+                                      tk -> {_MD5L.format(e='tk')} % {_MH_P})) AS hs
+  FROM documents
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.hs, b.hs))::DOUBLE
+           / ((len(a.hs) + len(b.hs)) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6)
+           AS jac
+  FROM jt a JOIN jt b
+    ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+  WHERE least(len(a.hs), len(b.hs))::DOUBLE >= 0.8 * greatest(len(a.hs), len(b.hs))
+    AND (len(a.hs) + len(b.hs)) > 0
+),
+hits AS (
+  SELECT t.jac, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  WHERE t.jac >= 0.8
+)
+SELECT tier,
+       count(*)::BIGINT AS n_truth,
+       coalesce(sum(hit), 0)::BIGINT AS n_hit,
+       round(coalesce(sum(hit), 0)::DOUBLE / count(*), 6) AS recall
+FROM hits
+JOIN (VALUES (0.8::DOUBLE), (0.96::DOUBLE), (1.0::DOUBLE)) tiers(tier)
+  ON jac >= tier
+GROUP BY tier
+""",
+)
+def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIERED LSH candidate-recall gate — `ann_recall`'s twin for the
+    dedup family: of the pairs an exact (blocked) Jaccard pass scores ≥
+    each tier {0.8, 0.96, 1.0}, what fraction does MinHash-LSH candidate
+    generation surface? The tiers bracket the design point: r=16, b=2
+    bands have an S-curve threshold (1/b)^(1/r) ≈ 0.96, so recall at
+    0.96 is the parameter check, recall at 0.8 quantifies what the
+    saturated-corpus banding trade deliberately gives up (measured
+    ~0.34 at sf0.01 — the number you retune r/b against on a real
+    corpus), and recall at 1.0 is a HARD invariant: equal token sets ⇒
+    equal signatures ⇒ exactly 1.0 (pytest-pinned).
+
+    Ground truth is the (lang, len-band)-blocked exact pass — the
+    strongest oracle computable without the O(n²) cross join. One LEFT
+    join truth→candidates, a 3-row tier theta-join (broadcast), one
+    grouped agg; both inputs are equi-join-blocked, so the gate scales
+    like the queries it audits."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
+    cand = _minhash_candidates(spark, sf_dir).withColumn("hit", F.lit(1))
+    joined = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    tiers = spark.createDataFrame([(0.8,), (0.96,), (1.0,)], "tier double")
+    return (
+        joined.join(F.broadcast(tiers), F.col("jaccard") >= F.col("tier"))
+        .groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.sum("hit").cast("long").alias("n_hit"),
+            F.round(F.sum("hit").cast("double") / F.count("*"), 6).alias("recall"),
+        )
+    )

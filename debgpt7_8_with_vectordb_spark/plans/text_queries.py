@@ -607,3 +607,96 @@ def topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("ngram"))
         .limit(20)
     )
+
+
+# PII patterns — deliberately restricted to constructs Java regex and
+# RE2 (DuckDB) interpret identically: literal classes, bounded repeats,
+# \b word boundaries; no backreferences or lookarounds. Redaction order
+# is email → IP → phone (emails may contain digits; IPs contain dots the
+# phone class excludes, so later passes never see earlier matches).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\- ]{7,13}\d"
+
+_PII_ORACLE = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '@EMAIL@', '<EMAIL>', 'g'),
+         '@IP@', '<IP>', 'g'),
+         '@PHONE@', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '@EMAIL@'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '@IP@'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '@PHONE@'))::BIGINT AS n_phones
+FROM documents
+""".replace("@EMAIL@", _PII_EMAIL).replace("@IP@", _PII_IP).replace(
+    "@PHONE@", _PII_PHONE
+)
+
+
+@query("pii_redact", oracle=_PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a curation pipeline runs
+    before a corpus ships (emails, IPv4 addresses, phone-shaped number
+    runs → typed placeholders), with per-doc match counts for the
+    removal report.
+
+    Scale shape: a per-row chain of three codegen'd regexp_replace
+    calls + three regexp_count probes on the original text — zero
+    shuffle, zero UDFs, pushable behind any upstream filter. Counts are
+    taken on the RAW text so they are independent of redaction order;
+    the replace chain is ordered so no pass can match inside an earlier
+    pass's output. The synthetic corpus contains no PII (counts are 0
+    — cross-engine agreement on the identity transform); planted
+    PII docs are pinned in tests and the edge-corpus gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+    )
+
+
+@query(
+    "corpus_quantiles",
+    oracle="""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(avg(n_chars), 6) AS mean_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+FROM documents GROUP BY lang
+""",
+)
+def corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution profile: per-language doc counts and
+    exact n_chars percentiles — the profiling pass a pipeline runs
+    BEFORE choosing length-filter thresholds (the min/max-length cuts
+    in quality_score are someone's p1/p99 read off this table).
+
+    EXACT percentiles (both engines interpolate identically on the
+    sorted values) so the query oracles; at 100 TB the same query ships
+    with ``approx_percentile`` (t-digest: one pass, mergeable sketches,
+    no per-group sort) — the swap is one function name, and the exact
+    variant stays as the sketch's accuracy gate at sample scale. The
+    groupBy key is low-cardinality (languages), so the shuffle moves
+    one sketch per (partition, lang), not rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pcts = {"p50_chars": 0.5, "p90_chars": 0.9, "p99_chars": 0.99}
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        *[
+            F.round(F.percentile(F.col("n_chars"), F.lit(p)), 6).alias(name)
+            for name, p in pcts.items()
+        ],
+    )

@@ -130,3 +130,36 @@ def test_zero_vectors_rank_last_in_topk(spark, tmp_path):
     assert len(rows) == 3
     assert all(r["vec_id"] not in (9000, 9001) for r in rows)
     assert all(r["score"] is not None for r in rows)
+
+
+def test_pii_redact_planted_matches(spark, tmp_path):
+    """The main corpus has no PII (identity transform); planted docs
+    prove each pattern fires and the replace chain composes."""
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs = spark.createDataFrame(
+        [
+            (14, "contact alice@example.com or bob.smith@corp.co.uk for info", "en", "s", 58),
+            (15, "server at 192.168.0.1 and 10.0.0.255 responded", "en", "s", 46),
+            (16, "call +1 555-123-4567 or 020 7946 0958 now", "en", "s", 41),
+            (17, "no pii here at all", "en", "s", 18),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    for t in ("embeddings", "events"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+
+    from debgpt7_8_with_vectordb_spark.plans import QUERIES
+
+    out = {r["doc_id"]: r for r in QUERIES["pii_redact"](spark, str(d)).collect()}
+    assert out[14]["n_emails"] == 2
+    assert out[14]["clean_text"] == "contact <EMAIL> or <EMAIL> for info"
+    assert out[15]["n_ips"] == 2
+    assert out[15]["clean_text"] == "server at <IP> and <IP> responded"
+    assert out[16]["n_phones"] == 2
+    assert out[16]["clean_text"] == "call <PHONE> or <PHONE> now"
+    assert out[17]["clean_text"] == "no pii here at all"
+    assert out[17]["n_emails"] == out[17]["n_ips"] == out[17]["n_phones"] == 0

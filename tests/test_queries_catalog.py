@@ -267,3 +267,17 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         assert cid <= doc_id
         assert size == members[cid]
     assert all(labels[cid][0] == cid for cid, _ in labels.values())
+
+
+def test_dedup_recall_exact_tier_is_total(spark, sf_dir):
+    """Equal token sets ⇒ equal minhash signatures ⇒ every jaccard-1.0
+    truth pair MUST be an LSH candidate (recall exactly 1.0); lower
+    tiers are monotone in the S-curve."""
+    rows = {r["tier"]: r for r in QUERIES["dedup_recall"](spark, sf_dir).collect()}
+    if 1.0 in rows:
+        assert rows[1.0]["recall"] == 1.0
+    tiers = sorted(rows)
+    recalls = [rows[t]["recall"] for t in tiers]
+    assert recalls == sorted(recalls)  # higher similarity ⇒ higher recall
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= r["n_truth"]

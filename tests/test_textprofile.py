@@ -109,3 +109,22 @@ def test_contamination_flags_exact_copy_of_eval_doc(spark, tmp_path):
     }
     assert got[9001]["overlap_frac"] == pytest.approx(1.0)
     assert 9002 not in got
+
+
+def test_word_shingles_degenerate_texts(spark):
+    """try_element_at, not element_at: under ANSI mode a past-the-end
+    probe on a short/empty token array must yield the truncated shingle,
+    not raise (edge-gate regression)."""
+    import pyspark.sql.functions as F
+    from debgpt7_8_with_vectordb_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("one two",), ("one two three four",)],
+        "text string",
+    )
+    out = [r["sh"] for r in df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()]
+    assert out[0] == [""]          # no tokens: single empty shingle
+    assert out[1] == [""]
+    assert out[2] == ["one"]       # truncated shingle below n tokens
+    assert out[3] == ["one two"]
+    assert out[4] == ["one two three", "two three four"]

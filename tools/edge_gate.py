@@ -62,7 +62,12 @@ COPY (
     -- share len band 3 under div-16 blocking, so dedup_ngram_jaccard
     -- must surface them (round-1 exact-length blocking never could)
     (12, 'the quick brown fox jumps over the lazy dog again and again', 'en', 'src12', 59),
-    (13, 'the quick brown fox jumps over the lazy dogs again and again', 'en', 'src13', 60)
+    (13, 'the quick brown fox jumps over the lazy dogs again and again', 'en', 'src13', 60),
+    -- planted PII (pii_redact must agree cross-engine on real matches,
+    -- not just on the no-PII identity transform)
+    (14, 'contact alice@example.com or bob.smith@corp.co.uk for info', 'en', 'src14', 58),
+    (15, 'server at 192.168.0.1 and 10.0.0.255 responded', 'en', 'src15', 46),
+    (16, 'call +1 555-123-4567 or 020 7946 0958 now', 'en', 'src16', 41)
   ) AS t(doc_id, text, lang, source, n_chars)
 ) TO '{out}' (FORMAT PARQUET)
 """

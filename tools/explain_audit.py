@@ -78,6 +78,11 @@ FULL_SCAN_OK = {
     "embedding_quantize",  # per-row transform over every vector by definition
     "ann_srp_lsh",  # signature scan reads all vectors; bucket filter is the partition key at rest
     "section_lookup",  # sectioning pass reads every doc; the dotted key prunes at rest
+    "pii_redact",  # per-row redaction over the whole corpus by definition
+    "corpus_quantiles",  # distribution profile reads every doc by definition
+    "sample_upweight",  # the md5 epoch ticket is per-row math, not a pushable predicate
+    "dedup_clusters",  # label propagation reads the whole pair graph
+    "dedup_recall",  # the recall gate replays both pair generators in full
 }
 
 # queries whose driver loops / streaming sinks make a single static plan
