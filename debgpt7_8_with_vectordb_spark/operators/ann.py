@@ -21,7 +21,49 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.vector import cosine_similarity, l2_normalize
+from ..functions.vector import cosine_similarity, l2_normalize, vector_lit
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "nv",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure Catalyst expression:
+    argmin over squared euclidean distances ROUNDED to 6 decimals, ties
+    to the smaller cluster_id.
+
+    Why not ``model.transform``: the rounded-distance argmin is a formula
+    a SQL oracle replays bit-for-bit (DuckDB runs the identical fold), so
+    the whole IVF path becomes cross-engine checkable — and it is the
+    production probe shape anyway: a stored index is (vectors + centroid
+    table), not a live KMeansModel. k expressions of dim-length folds per
+    row; no shuffle.
+    """
+    dists = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), vector_lit(c), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for c in centroids
+        ]
+    )
+    return (
+        df.withColumn("_dists", dists)
+        .withColumn(
+            out_col,
+            (F.expr("array_position(_dists, array_min(_dists))") - 1).cast("long"),
+        )
+        .drop("_dists")
+    )
 
 
 def build_ivf_index(
@@ -60,14 +102,16 @@ def build_ivf_index(
             initMode="random",
             featuresCol="features",
         ).fit(feats)
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        # assignment via the rounded-argmin EXPRESSION (not model.transform)
+        # so the stored index is exactly replayable by a SQL oracle from
+        # the persisted centroid table — see assign_clusters
         indexed = (
-            model.transform(feats)
-            .select("id", "nv", F.col("prediction").alias("cluster_id"))
+            assign_clusters(feats.select("id", "nv"), centroids)
             .localCheckpoint(eager=True)  # freeze assignments, release the cache
         )
     finally:
         feats.unpersist()
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return indexed, centroids
 
 
@@ -89,8 +133,10 @@ def probe_ivf(
     q = [x / qn for x in query_vec]
 
     def cos(c: list[float]) -> float:
+        # rounded to 6dp BEFORE ranking — the engine-wide score convention,
+        # so a SQL oracle ranking by round(cosine, 6) picks the same probes
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        return sum(a * b for a, b in zip(c, q)) / cn
+        return round(sum(a * b for a, b in zip(c, q)) / cn, 6)
 
     ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
     probe = ranked[:nprobe]
@@ -106,6 +152,38 @@ def probe_ivf(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(topk)
     )
+
+
+#: Fixed artifact path the ann_ivf_kmeans oracle reads. The Spark query
+#: (re)writes it before the oracle replays — query-then-oracle is the
+#: driver's per-query order, so the file always matches the sf under test.
+CENTROID_PARQUET = "/tmp/spark_graft_artifacts/ivf_centroids.parquet"
+
+
+def persist_centroids(
+    centroids: list[list[float]], path: str = CENTROID_PARQUET
+) -> str:
+    """Write the (tiny, k × dim) centroid table to ONE parquet file —
+    the stored half of the IVF index. Production writes it next to the
+    partitioned vector table; an external engine (here: the DuckDB
+    oracle) can then replay assignment + probe from it. Atomic replace
+    so a concurrent reader never sees a torn file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table(
+        {
+            "cluster_id": pa.array(range(len(centroids)), type=pa.int64()),
+            "centroid": pa.array(centroids, type=pa.list_(pa.float64())),
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def srp_planes(dim: int, n_planes: int) -> list[list[float]]:

@@ -486,7 +486,46 @@ def context_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_kmeans")  # KMeans clustering not reproducible in DuckDB → rows-only
+_IVF_CENTROIDS = "/tmp/spark_graft_artifacts/ivf_centroids.parquet"
+
+@query(
+    "ann_ivf_kmeans",
+    oracle=f"""
+WITH cent AS (SELECT cluster_id, centroid FROM '{_IVF_CENTROIDS}'),
+raw AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+nv AS (
+  SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS nv
+  FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM raw)
+),
+q AS (
+  SELECT CASE WHEN qn = 0 THEN nv ELSE list_transform(nv, x -> x / qn) END AS qv
+  FROM (SELECT nv, sqrt(list_sum(list_transform(nv, x -> x * x))) AS qn
+        FROM nv WHERE vec_id = 2)
+),
+dist AS (
+  SELECT n.vec_id, c.cluster_id,
+         round(list_sum(list_transform(generate_series(1, len(n.nv)),
+               i -> (n.nv[i] - c.centroid[i]) * (n.nv[i] - c.centroid[i]))), 6) AS d
+  FROM nv n CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, cluster_id
+  FROM (SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster_id ASC) AS rk
+        FROM dist)
+  WHERE rk = 1
+),
+sel AS (
+  SELECT c.cluster_id FROM cent c, q
+  ORDER BY round(list_cosine_similarity(c.centroid, q.qv), 6) DESC, c.cluster_id ASC
+  LIMIT 2
+)
+SELECT a.vec_id AS id, a.cluster_id AS cluster_id,
+       round(list_cosine_similarity(n.nv, q.qv), 6) AS score
+FROM asg a JOIN sel USING (cluster_id) JOIN nv n ON n.vec_id = a.vec_id, q
+ORDER BY score DESC, id ASC LIMIT 5
+""",
+)
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ANN path end-to-end: seeded KMeans IVF build
     (operators/ann.py — vectors normalized first so euclidean KMeans
@@ -494,12 +533,21 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank inside them, top-5. Replaces `ann_ivf`'s label-as-cluster
     stand-in with a real learned clustering; cluster_id becomes the
     partition column at scale so the probe is partition pruning.
-    Recall properties are pinned in tests/test_ann.py (nprobe=k ⇒
-    recall 1.0; recall monotonic in nprobe)."""
-    from ..operators.ann import build_ivf_index, probe_ivf
+
+    FULLY ORACLED (round 3; was the last `no_oracle` driver row): the
+    query persists the seeded centroid table to parquet — the stored
+    half of a real IVF index — and assignment is a rounded-argmin
+    EXPRESSION over that table (operators/ann.assign_clusters), not
+    KMeansModel.transform, so DuckDB replays normalize → assign →
+    probe-selection → exact top-5 bit-for-bit from the same artifact.
+    KMeans training itself (the part SQL cannot replay) only produces
+    the centroid table the oracle consumes. Recall properties stay
+    pinned in tests/test_ann.py (nprobe=k ⇒ recall 1.0; monotone)."""
+    from ..operators.ann import build_ivf_index, persist_centroids, probe_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     indexed, centroids = build_ivf_index(emb, k=8, seed=42)
+    persist_centroids(centroids, _IVF_CENTROIDS)
     qv = [float(x) for x in indexed.filter("id = 2").select("nv").head()[0]]
     return probe_ivf(indexed, centroids, qv, nprobe=2, topk=5)
 
