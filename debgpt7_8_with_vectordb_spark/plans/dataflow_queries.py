@@ -188,13 +188,82 @@ def mapreduce_echo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mr_echo(chunks)
 
 
-@query("mapreduce_echo_compact")  # iterative driver loop → rows-only check
+@query(
+    "mapreduce_echo_compact",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
+  FROM documents WHERE doc_id < 64
+),
+spans AS (
+  SELECT doc_id, 0 AS s, len(lines) AS e FROM base
+  UNION ALL
+  SELECT sp.doc_id,
+         CASE WHEN h.half = 0 THEN sp.s ELSE sp.s + ((sp.e - sp.s) // 2) END,
+         CASE WHEN h.half = 0 THEN sp.s + ((sp.e - sp.s) // 2) ELSE sp.e END
+  FROM spans sp
+  JOIN base b USING (doc_id)
+  CROSS JOIN (SELECT unnest([0, 1]) AS half) h
+  WHERE sp.e - sp.s > 1
+    AND strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) > {MAX_CHUNK_BYTES}
+),
+chunks AS (
+  SELECT sp.doc_id, sp.s AS start,
+         array_to_string(b.lines[sp.s + 1 : sp.e], chr(10)) AS chunk
+  FROM spans sp JOIN base b USING (doc_id)
+  WHERE sp.e - sp.s <= 1
+     OR strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) <= {MAX_CHUNK_BYTES}
+),
+mapped AS (
+  SELECT doc_id, start, regexp_replace(chunk, '(?s)(.).', '\\1', 'g') AS val
+  FROM chunks
+),
+sizes0 AS (
+  SELECT list(strlen(val)::BIGINT ORDER BY doc_id, start) AS sizes FROM mapped
+),
+packrounds AS (
+  -- one recursion step per REDUCE ROUND; the per-round greedy min-2
+  -- packing (operators/binpack.py pack_sizes) is a list_reduce fold whose
+  -- accumulator is [closed group sizes..., cur_bytes, cur_count]; closing
+  -- a group costs sum(bytes) + count - 1 (the 1-byte '\\n' separators)
+  SELECT 0 AS r, sizes FROM sizes0
+  UNION ALL
+  SELECT r + 1,
+         (SELECT st[1:len(st)-2] || [st[-2] + st[-1] - 1]
+          FROM (SELECT list_reduce(
+            list_prepend([0::BIGINT, 0::BIGINT], list_transform(sizes, s -> [s])),
+            (a, x) -> CASE
+              WHEN a[-1] > 0 AND a[-2] + x[1] > {MAX_GROUP_BYTES} AND a[-1] >= 2
+              THEN a[1:len(a)-2] || [a[-2] + a[-1] - 1, x[1], 1::BIGINT]
+              ELSE a[1:len(a)-2] || [a[-2] + x[1], a[-1] + 1]
+            END) AS st) t
+         )
+  FROM packrounds WHERE len(sizes) > 1
+),
+agg AS (
+  SELECT string_agg(val, chr(10) ORDER BY doc_id, start) AS final FROM mapped
+)
+SELECT length(final)::BIGINT AS final_len, md5(final) AS digest,
+       (SELECT max(r) FROM packrounds)::BIGINT AS rounds
+FROM agg
+""",
+)
 def mapreduce_echo_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+A5 COMPACT mode (reference mapreduce.py:162-180, 287-326,
     353-431): echo map → n-ary bin-packed reduce (≥2 per group so each
     round strictly shrinks). Completes the reference's mode matrix
     alongside ``mapreduce_echo`` (binary). Converges in fewer rounds —
-    fan-in is bounded by group byte budget, not fixed at 2."""
+    fan-in is bounded by group byte budget, not fixed at 2.
+
+    FULLY ORACLED (round 3): the '\\n'-join is associative, so final_len
+    and digest equal the flat ordered string_agg (same argument as the
+    binary oracle); the round count — the one output that depends on the
+    greedy packing — is replayed exactly by a recursive CTE whose state
+    is the ordered LIST of current string byte-sizes, advancing one
+    reduce round per recursion step via a list_reduce fold of the
+    first-fit min-2 scan. Group size after combine = sum + count - 1
+    (1-byte separators), which is the only size information the next
+    round's packing needs — so the sizes list is a complete state."""
     from ..operators.mapreduce import mapreduce_echo_compact as mr_compact
 
     docs = _docs_as_lines(spark, sf_dir).filter(F.col("doc_id") < 64)
