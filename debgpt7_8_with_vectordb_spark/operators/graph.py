@@ -55,7 +55,13 @@ def connected_components(
             labels.withColumnRenamed("doc_id", "dst"), "dst"
         ).select(F.col("src").alias("doc_id"), "lab")
         cand = (
-            labels.union(nbr).groupBy("doc_id").agg(F.min("lab").alias("lab"))
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lab").alias("lab"))
+            # materialize BEFORE the self-join: cand appears twice in the
+            # jump, and without this its lineage (the edges⋈labels join —
+            # the round's expensive stage) would execute twice per round
+            .localCheckpoint(eager=True)
         )
         # 2. pointer jump: lab ← label OF the label (labels are node ids,
         #    every node has a row, so this is a self-equi-join; min keeps

@@ -88,6 +88,71 @@ def provider_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _deterministic_fetch(url: str) -> tuple[int, str]:
+    """Injected transport for the cached-fetch query: no network in this
+    environment, so the body is a deterministic md5 derivation — the
+    same expression DuckDB replays (sources/fanout.py module docstring)."""
+    import hashlib
+
+    return 200, "fetched|" + hashlib.md5(url.encode("utf-8")).hexdigest()
+
+
+@query(
+    "cached_fetch",
+    oracle="""
+SELECT 'doc://' || doc_id::VARCHAR AS url,
+       200 AS status,
+       (CASE WHEN doc_id % 2 = 0 THEN 'seeded|' ELSE 'fetched|' END)
+         || md5('doc://' || doc_id::VARCHAR) AS content,
+       CASE WHEN doc_id % 2 = 0 THEN 'cache' ELSE 'fetch' END AS served_from
+FROM documents WHERE doc_id < 256
+""",
+)
+def cached_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 cached-source read-through (reference reader.py:157-175
+    ``@enable_cache`` memoization around expensive fetchers), composed
+    from the KV cache table (operators/kvcache.py) + the injected-
+    transport fan-out (sources/fanout.py fetch_urls_cached): a LEFT-ANTI
+    join on the cache key splits specs into hits and misses, only the
+    misses run the fetch stage, and the fresh bodies are upserted so a
+    rerun fetches zero (tests/test_cached_fetch.py counts transport
+    calls with an accumulator).
+
+    For the oracle the cache is RESET and seeded deterministically each
+    run (even doc_ids cached, odd ones cold), so both engines can state
+    the exact post-read-through table: even → seeded body served from
+    cache, odd → fetched body. The deterministic-md5 bodies make the
+    whole composite — seed, split, fetch, union — hash-checkable."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.kvcache import KVCache
+    from ..sources.fanout import fetch_urls_cached
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|cachedfetch_v1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join("/tmp/spark_graft_cachedfetch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    cache = KVCache(spark, root)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    urls = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "doc_id",
+    )
+    cache.put_many(
+        urls.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("url").alias("key"),
+            F.concat(F.lit("seeded|"), F.md5(F.col("url").cast("binary"))).alias(
+                "value"
+            ),
+        )
+    )
+    return fetch_urls_cached(urls.select("url"), cache, _deterministic_fetch)
+
+
 _SINK_SEQ = itertools.count()
 
 

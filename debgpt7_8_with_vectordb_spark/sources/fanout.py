@@ -85,6 +85,51 @@ def fetch_urls(
     return urls.mapInPandas(run, schema=FETCHED_SCHEMA)
 
 
+def fetch_urls_cached(
+    urls: DataFrame,
+    cache,
+    fetcher: Callable[[str], tuple[int, str]],
+    max_attempts: int = 3,
+) -> DataFrame:
+    """O6 cached-source READ-THROUGH (reference reader.py:157-175
+    ``@enable_cache``, applied around the URL/policy fetchers at
+    reader.py:379,552,739): serve known URLs from the KV cache table,
+    fetch ONLY the misses, then upsert the fresh bodies so the next run
+    fetches nothing.
+
+    Spark shape: one LEFT-ANTI equi-join on the cache key splits the
+    spec list into hits/misses (the cache table is keyed parquet —
+    broadcast when benchmark-sized, shuffle-on-key otherwise), the miss
+    side runs the injected-transport ``fetch_urls`` stage, and
+    ``cache.put_many`` commits the new snapshot. Hits never touch the
+    network path at all — the reference's memoization decorator becomes
+    a dataflow split. Returns (url, status, content, served_from) with
+    served_from ∈ {'cache', 'fetch'}.
+
+    The upsert is an ACTION (snapshot commit) — the returned DataFrame
+    reads the PRE-upsert cache state, so the result is stable however
+    many times the plan re-executes within this call.
+    """
+    cached = cache.df().select(
+        F.col("key").alias("url"), F.col("value").alias("content")
+    )
+    hits = urls.join(cached, "url").select(
+        "url",
+        F.lit(200).alias("status"),
+        "content",
+        F.lit("cache").alias("served_from"),
+    )
+    fetched = fetch_urls(
+        urls.join(cached, "url", "left_anti"), fetcher, max_attempts
+    ).localCheckpoint(eager=True)  # fetch once: upsert + result share it
+    cache.put_many(
+        fetched.filter(F.col("status") == 200).select(
+            F.col("url").alias("key"), F.col("content").alias("value")
+        )
+    )
+    return hits.union(fetched.withColumn("served_from", F.lit("fetch")))
+
+
 def clean_fetched(fetched: DataFrame) -> DataFrame:
     """P9 + F8/F9 (reference reader.py:451-465): drop non-200s, collapse
     blank runs, rstrip lines — documents(path, content) out."""
