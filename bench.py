@@ -77,6 +77,8 @@ HEADLINE = [
     "multimodal_metadata",
     "frame_sample",
     "source_router",
+    "cached_fetch",
+    "paginated_fetch",
     "sessionize_stream",
     "corpus_pipeline",
     # mapreduce reduce loops (round-2: measure the de-funneled rounds)

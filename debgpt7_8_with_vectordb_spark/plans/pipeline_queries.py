@@ -153,6 +153,55 @@ def cached_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_urls_cached(urls.select("url"), cache, _deterministic_fetch)
 
 
+def _chain_fetch(url: str) -> tuple[int, str, str | None]:
+    """Injected paginated transport: page://N yields a deterministic
+    body and links to page://N+1 until the 16-page archive boundary."""
+    import hashlib
+
+    n = int(url.rsplit("//", 1)[1])
+    body = "page|" + hashlib.md5(url.encode("utf-8")).hexdigest()
+    nxt = f"page://{n + 1}" if (n + 1) % 16 != 0 else None
+    return 200, body, nxt
+
+
+@query(
+    "paginated_fetch",
+    oracle="""
+WITH RECURSIVE walk AS (
+  SELECT doc_id AS page, 0 AS depth
+  FROM documents WHERE doc_id % 16 = 0 AND doc_id < 256
+  UNION ALL
+  SELECT page + 1, depth + 1 FROM walk WHERE (page + 1) % 16 <> 0
+)
+SELECT 'page://' || page::VARCHAR AS url,
+       depth,
+       200 AS status,
+       'page|' || md5('page://' || page::VARCHAR) AS content
+FROM walk
+""",
+)
+def paginated_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 recursive pagination (reference reader.py:586-670) as a
+    catalog query: seed pages from the documents table (every 16th
+    doc_id), walk the injected link graph — page://N links to
+    page://N+1 inside its 16-page archive — with the bounded
+    breadth-first driver loop in sources/fanout.py fetch_paginated.
+
+    The link graph is deterministic, so the WHOLE walk — seeds, link
+    following, per-page bodies, depths — is replayed by a recursive CTE
+    and hash-checked cross-engine; the operator's cycle-guard and
+    frontier mechanics are separately pytest-driven on cyclic and
+    converging graphs (tests/test_paginated_fetch.py)."""
+    from ..sources.fanout import fetch_paginated
+
+    seeds = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 16 == 0) & (F.col("doc_id") < 256))
+        .select(F.concat(F.lit("page://"), F.col("doc_id").cast("string")).alias("url"))
+    )
+    return fetch_paginated(seeds, _chain_fetch, max_pages=20)
+
+
 _SINK_SEQ = itertools.count()
 
 

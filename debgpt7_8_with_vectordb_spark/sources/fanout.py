@@ -130,6 +130,66 @@ def fetch_urls_cached(
     return hits.union(fetched.withColumn("served_from", F.lit("fetch")))
 
 
+PAGED_SCHEMA = "url string, status int, content string, next_url string"
+
+
+def fetch_paginated(
+    seeds: DataFrame,
+    fetcher: Callable[[str], tuple[int, str, str | None]],
+    max_pages: int = 32,
+) -> DataFrame:
+    """S15 RECURSIVE pagination (reference reader.py:586-670: the
+    mailing-list reader follows each page's 'next page' link until the
+    archive runs out): a bounded driver-loop page-walk.
+
+    ``fetcher(url) -> (status, content, next_url|None)``. Per round the
+    whole frontier fetches in parallel (Arrow-batched ``mapInPandas`` —
+    the cluster replaces the reference's sequential while-loop), the
+    newly discovered links are LEFT-ANTI-joined against the visited set
+    (cycle safety — the reference can loop forever on a cyclic archive),
+    and ``localCheckpoint`` truncates the per-round lineage exactly like
+    the mapreduce/components loops. Rounds = max chain depth, NOT total
+    page count — 10⁶ archives × depth 16 is 16 rounds, each a full-
+    parallel fetch of ~10⁶ pages. Only the loop-control count reaches
+    the driver. Returns (url, depth, status, content).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url in pdf["url"]:
+                try:
+                    status, body, nxt = fetcher(url)
+                except Exception:
+                    status, body, nxt = 598, "", None
+                rows.append((url, status, body, nxt))
+            yield pd.DataFrame(
+                rows, columns=["url", "status", "content", "next_url"]
+            )
+
+    frontier = seeds.select("url").distinct().localCheckpoint(eager=True)
+    visited = frontier
+    acc: DataFrame | None = None
+    for depth in range(max_pages):
+        if frontier.count() == 0:
+            break
+        fetched = (
+            frontier.mapInPandas(run, schema=PAGED_SCHEMA)
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        acc = fetched if acc is None else acc.union(fetched)
+        nxt = (
+            fetched.filter(F.col("next_url").isNotNull())
+            .select(F.col("next_url").alias("url"))
+            .distinct()
+        )
+        frontier = nxt.join(visited, "url", "left_anti").localCheckpoint(eager=True)
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+    assert acc is not None, "empty seed set"
+    return acc.select("url", "depth", "status", "content")
+
+
 def clean_fetched(fetched: DataFrame) -> DataFrame:
     """P9 + F8/F9 (reference reader.py:451-465): drop non-200s, collapse
     blank runs, rstrip lines — documents(path, content) out."""
