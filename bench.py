@@ -63,6 +63,7 @@ HEADLINE = [
     "pii_redact",
     "repetition_stats",
     "topk_ngrams",
+    "ngram_lm_score",
     "contamination_check",
     "hash_embedding",
     "provider_embedding",

@@ -609,6 +609,76 @@ def topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_lm_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       FROM t WHERE len(toks) >= 2),
+cbg AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+cw1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c FROM bg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         round(ln(cbg.c::DOUBLE / cw1.c::DOUBLE), 6)::DECIMAL(24, 6) AS lp
+  FROM bg b
+  JOIN cbg ON b.bg = cbg.bg
+  JOIN cw1 ON string_split(b.bg, ' ')[1] = cw1.w1
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(sum(lp)::DOUBLE / count(*), 6) AS avg_logp
+FROM scored GROUP BY doc_id
+""",
+)
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal WITHOUT a model: per-doc average
+    bigram conditional log-likelihood ln c(w1,w2)/c(w1,·) under the
+    corpus's OWN bigram statistics (the classic cheap LM-quality proxy
+    — boilerplate and fluent text score high, shredded/duplicated-token
+    junk scores low; CCNet-style pipelines use exactly this shape to
+    rank documents before an expensive model pass).
+
+    Scale shape: bigrams are per-row array math; the LM "training" is
+    two map-side-combined groupBys (bigram counts, prefix counts); the
+    scoring pass is two equi-joins on those keys + one per-doc agg. At
+    100 TB the LM table is truncated to top-K bigrams with a floor
+    probability and BROADCAST — the joins disappear; here both joins
+    shuffle on the count keys, which is the same plan family as
+    dedup_exact.
+
+    IEEE discipline: the per-bigram log is rounded to 6 dp then summed
+    as DECIMAL(24,6) — exact integer arithmetic, so the cross-engine
+    hash never depends on float summation order (only on libm ln
+    agreeing to 6 dp on identical doubles, the same bet every rounded
+    query makes on identical scalars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bg = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg")
+    )
+    cbg = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    cw1 = (
+        bg.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cw"))
+    )
+    scored = (
+        bg.join(cbg, "bg")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(cw1, "w1")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cb").cast("double") / F.col("cw").cast("double")), 6)
+            .cast("decimal(24,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logp"),
+    )
+
+
 # PII patterns — deliberately restricted to constructs Java regex and
 # RE2 (DuckDB) interpret identically: literal classes, bounded repeats,
 # \b word boundaries; no backreferences or lookarounds. Redaction order

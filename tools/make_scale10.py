@@ -1,0 +1,52 @@
+"""Build the 10x-tiled dup-saturated corpus at /tmp/scale10.
+
+Every sf0.1 document becomes a 10-member duplicate class: 5 exact
+copies + 5 near-dup perturbations (one extra distinct token each), the
+deliberately adversarial corpus SCALING.md's dedup rows are measured
+on. doc_id = orig * 10 + copy keeps ids disjoint and deterministic.
+
+Usage: python tools/make_scale10.py [src_sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from debgpt7_8_with_vectordb_spark.session import get_spark  # noqa: E402
+
+
+def build(spark, src: str, out: str) -> None:
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    copies = docs.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("copy")
+    )
+    tiled = copies.select(
+        (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"),
+        F.when(F.col("copy") < 5, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" pert"), F.col("copy")))
+        .alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text").cast("int"))
+    os.makedirs(out, exist_ok=True)
+    tiled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10"
+    spark = get_spark(app_name="make_scale10")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, src, out)
+    n = spark.read.parquet(f"{out}/documents.parquet").count()
+    print(f"{out}: {n} docs", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
