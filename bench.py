@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_recall",
     "dedup_recall_sampled",
     "embedding_neardup",
+    "dedup_embedding_clusters",
     "sample_stratified",
     "sample_upweight",
     "embedding_quantize",
@@ -75,6 +76,7 @@ HEADLINE = [
     # dataflow / pipeline
     "chunk_documents",
     "binpack_chunks",
+    "pack_sequences",
     "multimodal_metadata",
     "frame_sample",
     "source_router",

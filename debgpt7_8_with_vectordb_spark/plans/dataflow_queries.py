@@ -271,6 +271,88 @@ def mapreduce_echo_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mr_compact(chunks, MAX_GROUP_BYTES)
 
 
+_SEQ_TOKENS = 512  # training-sequence token budget
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, lang, n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS idx
+  FROM d
+),
+walk AS (
+  SELECT lang, idx, doc_id, n_tok, 0 AS gid, n_tok AS acc
+  FROM ordered WHERE idx = 1
+  UNION ALL
+  SELECT o.lang, o.idx, o.doc_id, o.n_tok,
+         CASE WHEN w.acc + o.n_tok > {_SEQ_TOKENS} THEN w.gid + 1 ELSE w.gid END,
+         CASE WHEN w.acc + o.n_tok > {_SEQ_TOKENS} THEN o.n_tok ELSE w.acc + o.n_tok END
+  FROM walk w JOIN ordered o ON o.lang = w.lang AND o.idx = w.idx + 1
+)
+SELECT lang, gid::INT AS seq_id, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS seq_tokens,
+       min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+FROM walk GROUP BY lang, gid
+""",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SEQUENCE packing — the cross-document counterpart of the
+    per-document C3 bin packer: pretraining rows are fixed token budgets
+    filled with MULTIPLE short documents (plus separators), so the
+    pipeline needs a greedy first-fit scan ACROSS docs. Packing is per
+    LANGUAGE stream (monolingual training shards — the real-world
+    constraint that also gives the operator its parallelism): each lang
+    group packs independently in one ``applyInPandas`` task, docs in
+    doc_id order, overflow starts the next sequence.
+
+    Scale shape: one shuffle on lang; a 100 TB corpus has bounded lang
+    cardinality but unbounded docs-per-lang, so at scale the stream is
+    further blocked into contiguous doc_id ranges exactly like
+    compact_reduce's rn//4096 executor-side blocks (same pack_sizes
+    loop, same order-preserving-slices argument; operators/mapreduce.py
+    _PACK_BLOCK_ROWS). The oracle replays the exact per-lang greedy
+    walk with a recursive CTE over doc-index recursion — the composed
+    chunk+pack CTE pattern from ``binpack_chunks``."""
+    import pandas as pd
+
+    from ..operators.binpack import pack_sizes
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+
+    def pack_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        gids = pack_sizes(list(pdf["n_tok"]), _SEQ_TOKENS)
+        pdf = pdf.assign(seq_id=gids)
+        agg = (
+            pdf.groupby("seq_id")
+            .agg(
+                lang=("lang", "first"),
+                n_docs=("doc_id", "size"),
+                seq_tokens=("n_tok", "sum"),
+                first_doc=("doc_id", "min"),
+                last_doc=("doc_id", "max"),
+            )
+            .reset_index()
+        )
+        return agg[["lang", "seq_id", "n_docs", "seq_tokens", "first_doc", "last_doc"]]
+
+    return docs.groupBy("lang").applyInPandas(
+        pack_lang,
+        schema="lang string, seq_id int, n_docs long, seq_tokens long, "
+        "first_doc long, last_doc long",
+    )
+
+
 @query(
     "multimodal_metadata",
     oracle="""

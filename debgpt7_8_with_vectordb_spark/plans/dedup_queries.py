@@ -827,6 +827,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_clusters",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+vpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM vpairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM vpairs
+),
+reach AS (
+  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+  UNION
+  SELECT e2.a AS node, r.lab FROM edges e2 JOIN reach r ON r.node = e2.b
+),
+labs AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS n FROM labs GROUP BY cluster_id)
+SELECT l.node::BIGINT AS vec_id, l.cluster_id::BIGINT AS cluster_id,
+       s.n::BIGINT AS cluster_size
+FROM labs l JOIN sizes s USING (cluster_id)
+""",
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate clusters — the embedding-space twin of
+    ``dedup_clusters``: cluster-blocked BLAS cosine pairs at ≥ 0.9
+    (embedding_neardup's candidate shape, tightened to the semantic-dup
+    threshold SemDeDup-style pipelines use) → pointer-doubling connected
+    components → every vector labeled with its component's min vec_id +
+    size. The keep-rule downstream is 'keep cluster_id == vec_id' — one
+    representative per semantic cluster.
+
+    Scale shape: candidates never leave their blocking key (IVF
+    cluster / label — a partition column at rest), the component loop is
+    O(log diameter) rounds of equi-joins (operators/graph.py), and the
+    oracle replays the closure with a recursive CTE."""
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup(spark, sf_dir).filter(F.col("score") >= 0.9)
+    sym = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).union(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    labels, _rounds = connected_components(
+        emb.select(F.col("vec_id").alias("doc_id")), sym, max_rounds=_CC_MAX_ROUNDS
+    )
+    sizes = labels.groupBy("lab").agg(F.count("*").cast("long").alias("cluster_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("lab").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 _UPW_RATES = {"en": 1.0, "zh": 2.5}  # epochs per stratum; rest 1.5
 
 
