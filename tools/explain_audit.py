@@ -83,11 +83,22 @@ FULL_SCAN_OK = {
     "sample_upweight",  # the md5 epoch ticket is per-row math, not a pushable predicate
     "dedup_clusters",  # label propagation reads the whole pair graph
     "dedup_recall",  # the recall gate replays both pair generators in full
+    "dedup_recall_sampled",  # doc_id % 4 is per-row math, not a pushable predicate
+    "dedup_embedding_clusters",  # components over the whole semantic pair graph
+    "ngram_lm_score",  # corpus-self LM: trains on and scores every doc
+    "pack_sequences",  # packs the whole corpus by definition
+    "cached_fetch",  # reads the whole seeded cache table + the miss fetch
 }
 
 # queries whose driver loops / streaming sinks make a single static plan
 # unavailable — audited by their operator plans elsewhere
-SKIP = {"mapreduce_echo", "mapreduce_echo_compact", "sessionize_stream", "ann_recall"}
+SKIP = {
+    "mapreduce_echo",
+    "mapreduce_echo_compact",
+    "sessionize_stream",
+    "ann_recall",
+    "paginated_fetch",  # breadth-first driver loop — per-round plans only
+}
 
 
 def audit_one(name: str, df) -> tuple[list[str], str]:
