@@ -126,11 +126,19 @@ def _ngram_jaccard_from(
         F.size(F.array_intersect("a.hs", "b.hs")).cast("double").alias("inter"),
         (na + nb).cast("double").alias("total"),
     )
-    jac = F.col("inter") / (F.col("total") - F.col("inter"))
-    # total > 0 guard FIRST: a both-token-less pair is 0/0 (ANSI raises)
+    # division made intrinsically safe: a both-token-less pair is 0/0,
+    # and a filter-order guard is NOT enough — Catalyst may evaluate the
+    # predicate inside a downstream join stage where the total>0 conjunct
+    # no longer short-circuits ahead of it (bit the sampled recall gate
+    # on the edge corpus). total > inter ⟺ union > 0, and the guard
+    # changes no surviving value: inter < total whenever either side has
+    # tokens.
+    jac = F.when(
+        F.col("total") > F.col("inter"),
+        F.col("inter") / (F.col("total") - F.col("inter")),
+    )
     return (
-        pairs.filter(F.col("total") > 0)
-        .filter(jac >= threshold)
+        pairs.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
