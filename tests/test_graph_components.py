@@ -53,6 +53,38 @@ def test_two_components_and_isolates(spark):
         assert got[iso] == iso
 
 
+def test_random_graphs_match_union_find(spark):
+    """Randomized cross-check vs a driver-side union-find (the textbook
+    sequential answer): same component-min labeling on every graph."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        m = rng.randint(0, 60)
+        pair_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pair_list = [(a, b) for a, b in pair_list if a != b] or [(0, min(1, n - 1))]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pair_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in range(n)}
+
+        got, _ = _run(spark, n, pair_list)
+        assert got == expected, f"trial {trial}: n={n} edges={pair_list}"
+
+
 def test_empty_edges_zero_work(spark):
     nodes = spark.range(5).select(F.col("id").alias("doc_id"))
     empty = spark.createDataFrame([], "src long, dst long")
