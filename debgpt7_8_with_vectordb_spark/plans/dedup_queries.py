@@ -337,7 +337,38 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
       so mismatched pairs skip the intersect entirely;
     - the per-doc hash-set table broadcasts (5k docs × ~60 longs ≪
       10 MB; at 100 TB it shuffle-joins on doc_id instead — both
-      sides already partition on it)."""
+      sides already partition on it);
+    - the RESULT is persisted (round 3): verification runs once per
+      corpus and the pair table is read by everything downstream
+      (clusters, recall gate, pipeline) — the signature-table
+      argument applied one stage later."""
+    return verified_pairs_table(spark, sf_dir)
+
+
+def verified_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED verified near-dup pair table — like
+    ``minhash_signature_table`` one stage downstream: candidates are
+    verified ONCE per corpus (at ingest in production) and the (doc_a,
+    doc_b, jaccard) table is read by ``dedup_minhash_verified``,
+    ``dedup_clusters``, ``dedup_pipeline``-style consumers. Keyed on the
+    documents file identity so edge corpora / regenerated testdata never
+    see a stale table; at scale it is bucketed by doc_a (the downstream
+    join key)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|vpairs1".encode()
+    ).hexdigest()[:16]
+    path = os.path.join("/tmp/spark_graft_verified_pairs", key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _verify_candidates(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cand = _minhash_candidates(spark, sf_dir)
     toksets = docs.select(
