@@ -66,6 +66,8 @@ HEADLINE = [
     "topk_ngrams",
     "ngram_lm_score",
     "contamination_check",
+    "contamination_filter",
+    "corpus_mixture",
     "hash_embedding",
     "provider_embedding",
     "html_strip",

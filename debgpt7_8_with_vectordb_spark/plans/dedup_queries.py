@@ -781,6 +781,105 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_MAX_SHARED = 5  # drop a train doc at >= this many shared shingles
+
+
+@query(
+    "contamination_filter",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SEQ.format(t='text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> {_MD5L.format(e="toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]")}))
+           AS hs
+  FROM t WHERE len(toks) >= 3
+),
+ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 97 <> 0),
+hits AS (SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (h) GROUP BY doc_id)
+SELECT d.doc_id, d.lang, coalesce(hits.n_shared, 0)::BIGINT AS n_shared
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % 97 <> 0 AND coalesce(hits.n_shared, 0) < {_CONTAM_MAX_SHARED}
+""",
+)
+def contamination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of decontamination (``contamination_check``
+    flags; this one ships the clean corpus): train documents that share
+    fewer than _CONTAM_MAX_SHARED 3-gram shingles with the eval split survive —
+    including shingle-less short docs, which cannot be contaminated and
+    must NOT be dropped by an inner-join accident (the left join +
+    coalesce(0) is the load-bearing part).
+
+    Scale shape: identical to the check — eval shingle hashes broadcast,
+    one map-side join + per-doc count, then a LEFT join of the (small)
+    contaminated-counts table back onto the train corpus; the corpus is
+    never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = contamination_check(spark, sf_dir).select("doc_id", "n_shared")
+    train = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "lang")
+    return (
+        train.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") < _CONTAM_MAX_SHARED)
+    )
+
+
+@query(
+    "corpus_mixture",
+    oracle=f"""
+WITH t AS (SELECT lang, source, len({_TOKS_SEQ.format(t='text')}) AS n_tok
+           FROM documents),
+g AS (
+  SELECT lang, source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  FROM t GROUP BY lang, source
+),
+tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM g)
+SELECT lang, source, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+       round(n_docs::DOUBLE / td, 6) AS frac_docs,
+       CASE WHEN tt > 0 THEN round(n_tokens::DOUBLE / tt, 6) ELSE 0.0 END
+         AS frac_tokens
+FROM g, tot
+""",
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-MIXTURE audit: per (lang, source) document and token counts
+    with corpus fractions — the table a training run's mixing weights
+    (``sample_stratified``/``sample_upweight`` factors) are set from
+    and verified against after sampling.
+
+    Scale shape: one map-side-combined groupBy on a tiny key space,
+    plus a 1-row totals crossJoin (broadcast). Fractions are exact-int
+    divisions rounded at the end — no float accumulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "lang", "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    ).groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / F.col("td"), 6).alias("frac_docs"),
+        F.when(
+            F.col("tt") > 0,
+            F.round(F.col("n_tokens").cast("double") / F.col("tt"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("frac_tokens"),
+    )
+
+
 #: Label-propagation round cap for dedup_clusters. Near-dup graphs are
 #: unions of near-cliques (a duplicate class pairs all-to-all), so the
 #: min label reaches every member in 1-2 hops; the cap only guards
