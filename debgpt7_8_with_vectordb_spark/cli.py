@@ -114,6 +114,11 @@ def cmd_dedup(args) -> int:
         "simhash": "dedup_simhash",
         "ngram": "dedup_ngram_jaccard",
         "embedding": "embedding_neardup",
+        "clusters": "dedup_clusters",
+        "semantic": "dedup_embedding_clusters",
+        "keep": "dedup_lsh_keep",
+        "decontaminate": "contamination_filter",
+        "mixture": "corpus_mixture",
     }[args.method]
     _emit(QUERIES[name](spark, args.sf_dir), args.limit, args.out)
     _maybe_stop(spark)
@@ -177,7 +182,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(dd)
     dd.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "ngram", "embedding"],
+        choices=[
+            "exact", "minhash", "simhash", "ngram", "embedding",
+            "clusters", "semantic", "keep", "decontaminate", "mixture",
+        ],
         default="exact",
     )
     dd.set_defaults(fn=cmd_dedup)

@@ -27,6 +27,21 @@ def test_cli_dump_writes_jsonl(spark, sf_dir, tmp_path, capsys):
     assert {"id", "source", "text"} <= set(dumped.columns)
 
 
+def test_cli_dedup_new_methods(spark, sf_dir, capsys):
+    import json as _json
+
+    rc = main(["dedup", "--sf-dir", sf_dir, "--method", "mixture", "--limit", "3"])
+    assert rc == 0
+    rows = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rows and {"lang", "source", "n_docs", "frac_tokens"} <= set(rows[0])
+    rc = main(
+        ["dedup", "--sf-dir", sf_dir, "--method", "decontaminate", "--limit", "3"]
+    )
+    assert rc == 0
+    rows = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["n_shared"] < 5 for r in rows)
+
+
 def test_cli_dedup_exact(spark, sf_dir, capsys):
     rc = main(["dedup", "--sf-dir", sf_dir, "--method", "exact", "--limit", "5"])
     assert rc == 0
