@@ -88,6 +88,8 @@ FULL_SCAN_OK = {
     "ngram_lm_score",  # corpus-self LM: trains on and scores every doc
     "pack_sequences",  # packs the whole corpus by definition
     "cached_fetch",  # reads the whole seeded cache table + the miss fetch
+    "contamination_filter",  # scans the whole train corpus by definition
+    "corpus_mixture",  # full-corpus census
 }
 
 # queries whose driver loops / streaming sinks make a single static plan
