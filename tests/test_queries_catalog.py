@@ -280,3 +280,19 @@ def test_dedup_recall_exact_tier_is_total(spark, sf_dir):
     assert recalls == sorted(recalls)  # higher similarity ⇒ higher recall
     for r in rows.values():
         assert 0 <= r["n_hit"] <= r["n_truth"]
+
+
+def test_dedup_recall_sampled_same_invariants(spark, sf_dir):
+    """The 1.0 hard invariant holds on ANY deterministic sample, and the
+    sampled truth must be a subset of the full gate's scale (fewer or
+    equal truth pairs per tier)."""
+    full = {r["tier"]: r for r in QUERIES["dedup_recall"](spark, sf_dir).collect()}
+    samp = {
+        r["tier"]: r for r in QUERIES["dedup_recall_sampled"](spark, sf_dir).collect()
+    }
+    if 1.0 in samp:
+        assert samp[1.0]["recall"] == 1.0
+    for t, r in samp.items():
+        assert 0 <= r["n_hit"] <= r["n_truth"]
+        if t in full:
+            assert r["n_truth"] <= full[t]["n_truth"]
