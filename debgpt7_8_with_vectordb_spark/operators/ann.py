@@ -66,6 +66,37 @@ def assign_clusters(
     )
 
 
+def assign_clusters_np(
+    df: DataFrame,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """BLAS twin of ``assign_clusters`` (the srp_signatures lesson:
+    higher-order Catalyst folds are interpreted — numpy per Arrow batch
+    is ~10× faster on wide vectors): squared euclidean distances rounded
+    to 6 decimals, argmin with ties to the smaller cluster_id — the
+    IDENTICAL formula the SQL oracle replays, so either implementation
+    satisfies the same cross-engine check. Input (id, nv); output
+    (id, nv, cluster_id)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.asarray(c, dtype=np.float64) for c in centroids]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cluster_id=pd.Series([], dtype="int64"))
+                continue
+            m = np.array(list(pdf["nv"]), dtype=np.float64)
+            d = np.stack([((m - c) ** 2).sum(axis=1) for c in cents], axis=1)
+            pdf = pdf.assign(cluster_id=np.argmin(np.round(d, 6), axis=1))
+            yield pdf
+
+    return df.mapInPandas(run, schema="id long, nv array<double>, cluster_id long")
+
+
 def build_ivf_index(
     emb: DataFrame,
     k: int,
@@ -103,11 +134,11 @@ def build_ivf_index(
             featuresCol="features",
         ).fit(feats)
         centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-        # assignment via the rounded-argmin EXPRESSION (not model.transform)
+        # assignment via the rounded-argmin formula (not model.transform)
         # so the stored index is exactly replayable by a SQL oracle from
-        # the persisted centroid table — see assign_clusters
+        # the persisted centroid table — see assign_clusters(_np)
         indexed = (
-            assign_clusters(feats.select("id", "nv"), centroids)
+            assign_clusters_np(feats.select("id", "nv"), centroids)
             .localCheckpoint(eager=True)  # freeze assignments, release the cache
         )
     finally:
