@@ -26,6 +26,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_srp_lsh",
+    "ann_pq",
     "ann_recall_sweep",
     "vector_normalize",
     # relational / analytics

@@ -293,3 +293,129 @@ def recall_at_k(
     }
     approx = {r["id"] for r in probe_ivf(indexed, centroids, query_vec, nprobe, k).collect()}
     return len(exact & approx) / float(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the memory-scale path BEYOND IVF: 64 float32 dims
+# → m one-byte codes; at 100 TB of vectors the codes table is ~16× smaller
+# than the float corpus and ADC scoring never touches the raw vectors)
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 4  # m: 64 dims → 4 × 16-dim subspaces
+PQ_KSUB = 16  # codebook entries per subspace (4-bit codes here)
+
+
+def build_pq_codebooks(
+    normed: DataFrame, m: int = PQ_SUBSPACES, ksub: int = PQ_KSUB, seed: int = 42
+) -> list[list[list[float]]]:
+    """Train one seeded KMeans per subspace on the sliced unit vectors.
+    Returns codebooks[m][ksub][dsub]. Same coarse-quantizer stance as
+    build_ivf_index: random init, capped iterations — code quality comes
+    from m×ksub resolution, not centroid convergence."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(normed.select("nv").head()[0])
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    sliced = normed.select(
+        "id",
+        *[
+            F.slice("nv", s * dsub + 1, dsub).alias(f"sub{s}")
+            for s in range(m)
+        ],
+    ).cache()
+    try:
+        for s in range(m):
+            feats = sliced.select(array_to_vector(f"sub{s}").alias("features"))
+            model = KMeans(
+                k=ksub,
+                seed=seed + s,
+                maxIter=8,
+                initMode="random",
+                featuresCol="features",
+            ).fit(feats)
+            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    finally:
+        sliced.unpersist()
+    return books
+
+
+def pq_encode_np(df: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Encode (id, nv) → (id, codes array<long>): per subspace, argmin of
+    6dp-rounded squared distance to the codebook entries, ties to the
+    smaller code — the assign_clusters_np formula per slice, replayable
+    in SQL from the persisted codebook table. One numpy pass per Arrow
+    batch; at rest the codes table is the index."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(cents)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "codes": []})
+                continue
+            M = np.array(list(pdf["nv"]), dtype=np.float64)
+            dsub = M.shape[1] // m
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                sub = M[:, s * dsub : (s + 1) * dsub]
+                d = np.stack(
+                    [((sub - c) ** 2).sum(axis=1) for c in cents[s]], axis=1
+                )
+                codes[:, s] = np.argmin(np.round(d, 6), axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    return df.mapInPandas(run, schema="id long, codes array<long>")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    topk: int = 5,
+) -> DataFrame:
+    """Asymmetric distance computation: precompute the m×ksub table of
+    6dp-rounded dots between the query's subvectors and every codeword
+    (driver-side — it is tiny), then every row's approximate cosine is m
+    table lookups summed, rounded to 6dp. No raw vectors touched: this
+    is the scan shape PQ exists for. Returns exact top-k over the
+    approximate scores (TakeOrdered — never a full sort)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    m = len(codebooks)
+    dsub = len(q) // m
+    lut = [
+        [
+            round(float(np.dot(q[s * dsub : (s + 1) * dsub], c)), 6)
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, s: F.element_at(
+                    F.element_at(F.col("_lut"), s + 1), c.cast("int") + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        codes.withColumn("_lut", lut_col)
+        .select("id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(topk)
+    )

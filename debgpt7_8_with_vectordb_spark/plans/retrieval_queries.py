@@ -592,6 +592,136 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
     return indexed, centroids
 
 
+_PQ_CODEBOOKS = "/tmp/spark_graft_artifacts/pq_codebooks.parquet"
+
+
+@query(
+    "ann_pq",
+    oracle=f"""
+WITH cb AS (SELECT subspace, cluster_id, centroid FROM '{_PQ_CODEBOOKS}'),
+raw AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+nv AS (
+  SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS nv
+  FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM raw)
+),
+sub AS (
+  SELECT vec_id, s.subspace, nv[s.subspace * 16 + 1 : s.subspace * 16 + 16] AS sv
+  FROM nv CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS subspace) s
+),
+dist AS (
+  SELECT vec_id, sub.subspace, cluster_id,
+         round(list_sum(list_transform(generate_series(1, 16),
+               i -> (sv[i] - centroid[i]) * (sv[i] - centroid[i]))), 6) AS d
+  FROM sub JOIN cb ON cb.subspace = sub.subspace
+),
+codes AS (
+  SELECT vec_id, subspace, cluster_id
+  FROM (SELECT vec_id, subspace, cluster_id,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d ASC, cluster_id ASC) AS rk
+        FROM dist)
+  WHERE rk = 1
+),
+q AS (SELECT subspace, sv AS qv FROM sub WHERE vec_id = 2),
+lut AS (
+  SELECT cb.subspace, cb.cluster_id,
+         round(list_sum(list_transform(generate_series(1, 16),
+               i -> qv[i] * centroid[i])), 6) AS dot
+  FROM cb JOIN q USING (subspace)
+),
+score AS (
+  SELECT c.vec_id, round(sum(dot), 6) AS score
+  FROM codes c JOIN lut USING (subspace, cluster_id) GROUP BY c.vec_id
+)
+SELECT vec_id AS id, score FROM score ORDER BY score DESC, id ASC LIMIT 5
+""",
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION — the memory-scale ANN path beyond IVF and
+    int8 (``embedding_quantize``): 64 unit-vector dims → 4 subspaces ×
+    16-entry codebooks (one seeded KMeans per subspace, cached per
+    corpus like the IVF centroids), every vector stored as 4 small
+    codes, and queries scored by ASYMMETRIC DISTANCE — an m×ksub lookup
+    table of query-to-codeword dots, so the scan never touches raw
+    vectors. At 100 TB the codes table is ~16× smaller than the float32
+    corpus and the scan is table lookups + TakeOrdered; encode is one
+    numpy pass per Arrow batch at ingest.
+
+    FULLY ORACLED like ann_ivf_kmeans: the persisted codebook parquet is
+    the shared artifact; DuckDB replays normalize → per-subspace
+    rounded-argmin encode → LUT build → ADC top-5 from it. KMeans
+    training only produces the codebooks the oracle consumes."""
+    from ..operators.ann import pq_adc_topk, pq_encode_np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        F.col("vec_id").alias("id"),
+        l2_normalize(F.col("embedding").cast("array<double>")).alias("nv"),
+    )
+    books = _pq_codebooks_cached(spark, sf_dir, normed)
+    _persist_pq_codebooks(books, _PQ_CODEBOOKS)
+    qv = [float(x) for x in normed.filter("id = 2").select("nv").head()[0]]
+    codes = pq_encode_np(normed, books)
+    return pq_adc_topk(codes, books, qv, topk=5)
+
+
+def _persist_pq_codebooks(books: list[list[list[float]]], path: str) -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows_s, rows_c, rows_v = [], [], []
+    for s, book in enumerate(books):
+        for c, cent in enumerate(book):
+            rows_s.append(s)
+            rows_c.append(c)
+            rows_v.append(cent)
+    tbl = pa.table(
+        {
+            "subspace": pa.array(rows_s, type=pa.int64()),
+            "cluster_id": pa.array(rows_c, type=pa.int64()),
+            "centroid": pa.array(rows_v, type=pa.list_(pa.float64())),
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def _pq_codebooks_cached(
+    spark: SparkSession, sf_dir: str, normed: DataFrame
+) -> list[list[list[float]]]:
+    """Per-corpus codebook cache — the _ivf_index_cached pattern."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..operators.ann import build_pq_codebooks
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|pq_m4_k16_v1".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(
+        "/tmp/spark_graft_artifacts/pq_codebook_cache", f"{key}.parquet"
+    )
+    if os.path.exists(path):
+        tbl = pq.read_table(path).to_pydict()
+        books: dict[int, dict[int, list[float]]] = {}
+        for s, c, v in zip(tbl["subspace"], tbl["cluster_id"], tbl["centroid"]):
+            books.setdefault(s, {})[c] = list(v)
+        return [
+            [books[s][c] for c in sorted(books[s])] for s in sorted(books)
+        ]
+    built = build_pq_codebooks(normed)
+    _persist_pq_codebooks(built, path)
+    return built
+
+
 N_PLANES = 12
 _PLANE = (
     "((('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 1000)"
