@@ -27,6 +27,7 @@ HEADLINE = [
     "ann_ivf_kmeans",
     "ann_srp_lsh",
     "ann_pq",
+    "ann_pq_recall",
     "ann_recall_sweep",
     "vector_normalize",
     # relational / analytics

@@ -722,6 +722,85 @@ def _pq_codebooks_cached(
     return built
 
 
+@query(
+    "ann_pq_recall",
+    oracle=f"""
+WITH cb AS (SELECT subspace, cluster_id, centroid FROM '{_PQ_CODEBOOKS}'),
+raw AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+nv AS (
+  SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS nv
+  FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM raw)
+),
+sub AS (
+  SELECT vec_id, s.subspace, nv[s.subspace * 16 + 1 : s.subspace * 16 + 16] AS sv
+  FROM nv CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS subspace) s
+),
+dist AS (
+  SELECT vec_id, sub.subspace, cluster_id,
+         round(list_sum(list_transform(generate_series(1, 16),
+               i -> (sv[i] - centroid[i]) * (sv[i] - centroid[i]))), 6) AS d
+  FROM sub JOIN cb ON cb.subspace = sub.subspace
+),
+codes AS (
+  SELECT vec_id, subspace, cluster_id
+  FROM (SELECT vec_id, subspace, cluster_id,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d ASC, cluster_id ASC) AS rk
+        FROM dist)
+  WHERE rk = 1
+),
+q AS (SELECT subspace, sv AS qv FROM sub WHERE vec_id = 2),
+lut AS (
+  SELECT cb.subspace, cb.cluster_id,
+         round(list_sum(list_transform(generate_series(1, 16),
+               i -> qv[i] * centroid[i])), 6) AS dot
+  FROM cb JOIN q USING (subspace)
+),
+approx AS (
+  SELECT c.vec_id FROM codes c JOIN lut USING (subspace, cluster_id)
+  GROUP BY c.vec_id
+  ORDER BY round(sum(dot), 6) DESC, c.vec_id ASC LIMIT 10
+),
+qfull AS (SELECT nv AS qv FROM nv WHERE vec_id = 2),
+exact AS (
+  SELECT vec_id FROM nv, qfull
+  ORDER BY round(list_cosine_similarity(nv, qv), 6) DESC, vec_id ASC LIMIT 10
+)
+SELECT (SELECT count(*) FROM exact JOIN approx USING (vec_id))::DOUBLE / 10
+         AS recall_at_10
+""",
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the PQ/ADC scan vs exact cosine — the quality gate
+    that closes the PQ loop (every ANN path here ships with its recall
+    monitor: ann_recall for IVF, recall tests for SRP, this for PQ).
+    Quantization error is the knob m×ksub trades against memory; the
+    gate is what you retune against when the corpus drifts."""
+    from ..operators.ann import pq_adc_topk, pq_encode_np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        F.col("vec_id").alias("id"),
+        l2_normalize(F.col("embedding").cast("array<double>")).alias("nv"),
+    )
+    books = _pq_codebooks_cached(spark, sf_dir, normed)
+    _persist_pq_codebooks(books, _PQ_CODEBOOKS)
+    qv = [float(x) for x in normed.filter("id = 2").select("nv").head()[0]]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = (
+        normed.select(
+            "id", F.round(cosine_similarity(F.col("nv"), qlit), 6).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("id"))
+        .limit(10)
+        .select("id")
+    )
+    approx = pq_adc_topk(pq_encode_np(normed, books), books, qv, topk=10).select("id")
+    return exact.join(approx, "id").agg(
+        (F.count("*").cast("double") / 10).alias("recall_at_10")
+    )
+
+
 N_PLANES = 12
 _PLANE = (
     "((('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 1000)"
