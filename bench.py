@@ -28,6 +28,7 @@ HEADLINE = [
     "ann_srp_lsh",
     "ann_pq",
     "ann_pq_recall",
+    "ann_ivfpq",
     "ann_recall_sweep",
     "vector_normalize",
     # relational / analytics

@@ -809,6 +809,110 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivfpq",
+    oracle=f"""
+WITH cent AS (SELECT cluster_id AS ivf_cid, centroid AS ivf_c FROM '{_IVF_CENTROIDS}'),
+cb AS (SELECT subspace, cluster_id, centroid FROM '{_PQ_CODEBOOKS}'),
+raw AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+nv AS (
+  SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS nv
+  FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM raw)
+),
+q AS (SELECT nv AS qv FROM nv WHERE vec_id = 2),
+ivf_dist AS (
+  SELECT n.vec_id, c.ivf_cid,
+         round(list_sum(list_transform(generate_series(1, len(n.nv)),
+               i -> (n.nv[i] - c.ivf_c[i]) * (n.nv[i] - c.ivf_c[i]))), 6) AS d
+  FROM nv n CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, ivf_cid
+  FROM (SELECT vec_id, ivf_cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, ivf_cid ASC) AS rk
+        FROM ivf_dist)
+  WHERE rk = 1
+),
+sel AS (
+  SELECT c.ivf_cid FROM cent c, q
+  ORDER BY round(list_cosine_similarity(c.ivf_c, q.qv), 6) DESC, c.ivf_cid ASC
+  LIMIT 2
+),
+cand AS (SELECT a.vec_id FROM asg a JOIN sel USING (ivf_cid)),
+sub AS (
+  SELECT n.vec_id, s.subspace, n.nv[s.subspace * 16 + 1 : s.subspace * 16 + 16] AS sv
+  FROM nv n JOIN cand USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS subspace) s
+),
+pq_dist AS (
+  SELECT vec_id, sub.subspace, cluster_id,
+         round(list_sum(list_transform(generate_series(1, 16),
+               i -> (sv[i] - centroid[i]) * (sv[i] - centroid[i]))), 6) AS d
+  FROM sub JOIN cb ON cb.subspace = sub.subspace
+),
+codes AS (
+  SELECT vec_id, subspace, cluster_id
+  FROM (SELECT vec_id, subspace, cluster_id,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d ASC, cluster_id ASC) AS rk
+        FROM pq_dist)
+  WHERE rk = 1
+),
+qsub AS (
+  SELECT s.subspace, q.qv[s.subspace * 16 + 1 : s.subspace * 16 + 16] AS qs
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS subspace) s
+),
+lut AS (
+  SELECT cb.subspace, cb.cluster_id,
+         round(list_sum(list_transform(generate_series(1, 16),
+               i -> qs[i] * centroid[i])), 6) AS dot
+  FROM cb JOIN qsub USING (subspace)
+),
+score AS (
+  SELECT c.vec_id, round(sum(dot), 6) AS score
+  FROM codes c JOIN lut USING (subspace, cluster_id) GROUP BY c.vec_id
+)
+SELECT vec_id AS id, score FROM score ORDER BY score DESC, id ASC LIMIT 5
+""",
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composition that IS the standard billion-vector
+    layout (FAISS's IVFx,PQy): the coarse seeded-KMeans quantizer picks
+    nprobe=2 clusters (partition pruning at rest), and INSIDE the probed
+    partitions the scan is PQ/ADC table lookups over the codes column —
+    coarse quantizer bounds the scan set, product quantizer bounds the
+    bytes per row. Both trained artifacts come from the per-corpus
+    caches the component queries persist (centroids + codebooks), so a
+    warm run trains nothing and touches raw vectors only for the query
+    vector itself.
+
+    FULLY ORACLED by composing the two component oracles: DuckDB
+    replays coarse assignment → probe selection → per-subspace encode →
+    LUT → ADC top-5 from the same two parquet artifacts."""
+    from ..operators.ann import persist_centroids, pq_adc_topk, pq_encode_np, probe_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        F.col("vec_id").alias("id"),
+        l2_normalize(F.col("embedding").cast("array<double>")).alias("nv"),
+    )
+    indexed, centroids = _ivf_index_cached(spark, sf_dir, emb)
+    books = _pq_codebooks_cached(spark, sf_dir, normed)
+    persist_centroids(centroids, _IVF_CENTROIDS)
+    _persist_pq_codebooks(books, _PQ_CODEBOOKS)
+    qv = [float(x) for x in normed.filter("id = 2").select("nv").head()[0]]
+
+    import math
+
+    def _cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return round(sum(a * b for a, b in zip(c, qv)) / cn, 6)
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-_cos(centroids[i]), i))[:2]
+    cand = indexed.filter(F.col("cluster_id").isin(probe)).select("id", "nv")
+    return pq_adc_topk(pq_encode_np(cand, books), books, qv, topk=5)
+
+
 N_PLANES = 12
 _PLANE = (
     "((('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 1000)"
