@@ -90,6 +90,9 @@ FULL_SCAN_OK = {
     "cached_fetch",  # reads the whole seeded cache table + the miss fetch
     "contamination_filter",  # scans the whole train corpus by definition
     "corpus_mixture",  # full-corpus census
+    "ann_pq",  # encode scans every vector by definition; codes are the index at rest
+    "ann_pq_recall",  # recall gate replays exact + ADC over every vector
+    "ann_ivfpq",  # cluster filter applies post-assignment, not a parquet predicate
 }
 
 # queries whose driver loops / streaming sinks make a single static plan
