@@ -101,7 +101,13 @@ def _ngram_jaccard_from(
 ) -> DataFrame:
     """Blocked exact-Jaccard pair scoring over an arbitrary documents
     DataFrame (shared by ``dedup_ngram_jaccard`` and the sampled recall
-    gate, which runs it on a deterministic doc_id-mod sample)."""
+    gate, which runs it on a deterministic doc_id-mod sample).
+
+    Measured and REJECTED (round 3): checkpointing the token-hash-set
+    table before the self-join — re-hashing per side is not the
+    bottleneck (banded join + intersect dominates; 1.8 s warm either
+    way at sf0.1), and materializing the whole corpus's token sets is
+    exactly what you don't want at 100 TB."""
     t = docs.select(
         "doc_id",
         "lang",
