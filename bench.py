@@ -88,6 +88,7 @@ HEADLINE = [
     "cached_fetch",
     "paginated_fetch",
     "sessionize_stream",
+    "stream_windowed_topk",
     "corpus_pipeline",
     # mapreduce reduce loops (round-2: measure the de-funneled rounds)
     "mapreduce_echo",

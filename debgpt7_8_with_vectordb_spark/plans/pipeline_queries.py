@@ -153,6 +153,68 @@ def cached_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_urls_cached(urls.select("url"), cache, _deterministic_fetch)
 
 
+@query(
+    "stream_windowed_topk",
+    oracle="""
+WITH c AS (
+  SELECT date_trunc('day', ts) AS window_start, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM c
+)
+SELECT window_start,
+       window_start + INTERVAL 1 DAY AS window_end,
+       event_type,
+       n_events::BIGINT AS n_events,
+       rk::INT AS rnk
+FROM r WHERE rk <= 3
+""",
+)
+def stream_windowed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13: tumbling-window TRENDING — per-day event-type counts
+    computed by the watermarked streaming windowed aggregation
+    (streaming/sessionize.py windowed_counts_stream; state = one count
+    row per open (window, type), finalized past the watermark), then
+    top-3 types per window ranked on the drained result. The rank runs
+    post-drain because per-window top-k needs the window CLOSED — at
+    scale the drain lands in a per-window partition and the rank is a
+    partition-local window function. Oracle = batch day-bucket SQL:
+    equality proves the watermark dropped nothing on this feed and the
+    streaming windows align with date_trunc (epoch-aligned UTC)."""
+    from pyspark.sql import Window as W
+
+    from ..streaming.sessionize import windowed_counts_stream
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", min(8, int(old_sp)))
+    try:
+        ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+        counts = windowed_counts_stream(ev, window="1 day", watermark="2 hours")
+        name = f"stream_windowed_topk_sink_{next(_SINK_SEQ)}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 def _chain_fetch(url: str) -> tuple[int, str, str | None]:
     """Injected paginated transport: page://N yields a deterministic
     body and links to page://N+1 until the 16-page archive boundary."""

@@ -88,6 +88,30 @@ def sessionize_stream(
     )
 
 
+def windowed_counts_stream(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """TUMBLING-window event-type counts with bounded state — the
+    watermarked windowed aggregation that completes the streaming
+    operator matrix (gap sessions, stream-stream join, stream dedup,
+    arbitrary state, and now fixed windows). A window finalizes once
+    event time passes end + watermark; per-key state is one count row
+    per (window, event_type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def run_to_memory_sink(
     sessions: DataFrame, query_name: str = "sessions", await_termination: bool = True
 ):
