@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_recall",
     "dedup_recall_sampled",
+    "minhash_fidelity",
     "embedding_neardup",
     "dedup_embedding_clusters",
     "sample_stratified",

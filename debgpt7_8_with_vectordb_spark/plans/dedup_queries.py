@@ -787,6 +787,109 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_fidelity",
+    oracle=f"""
+WITH {_BANDS_CTE_TMPL.format(src="documents")},
+mh AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {N_PERMS - 1}),
+           p -> list_min(list_transform(bases,
+                  x -> ((1 + 2 * p) * x + 7919 * p) % {_MH_P}))) AS mh
+  FROM tnz
+),
+toksets AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_TOKS.format(t='text')},
+                                      tk -> {_MD5L.format(e='tk')} % {_MH_P})) AS hs
+  FROM documents
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ta.hs, tb.hs))::DOUBLE AS inter,
+         (len(ta.hs) + len(tb.hs))::DOUBLE AS total
+  FROM cand c
+  JOIN toksets ta ON ta.doc_id = c.doc_a
+  JOIN toksets tb ON tb.doc_id = c.doc_b
+  WHERE least(len(ta.hs), len(tb.hs))::DOUBLE
+          >= 0.8 * greatest(len(ta.hs), len(tb.hs))
+),
+vp AS (
+  SELECT doc_a, doc_b, round(inter / (total - inter), 6) AS jaccard
+  FROM verified WHERE inter / (total - inter) >= 0.8
+),
+errs AS (
+  SELECT round(abs(
+           round(list_sum(list_transform(generate_series(1, {N_PERMS}),
+                 i -> CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END))::DOUBLE
+                 / {N_PERMS}, 6)
+           - vp.jaccard), 6)::DECIMAL(24, 6) AS err
+  FROM vp JOIN mh ma ON ma.doc_id = vp.doc_a
+          JOIN mh mb ON mb.doc_id = vp.doc_b
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(sum(err)::DOUBLE / count(*), 6) AS mae,
+       max(err)::DOUBLE AS max_err
+FROM errs
+""",
+)
+def minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNATURE-fidelity gate — the third approximation monitor
+    (ann_recall watches the probe, dedup_recall watches the bands, this
+    watches the SKETCH itself): over the verified near-dup pairs,
+    compare the classic MinHash estimate — matching permutations / 32 —
+    against exact Jaccard, reporting pair count, mean absolute error,
+    and worst error. MAE tracks 1/√k ≈ 0.18 theoretical for k=32 on a
+    J≈0.9 population (measured ~0.05 here because verified pairs sit
+    near 1.0 where the estimator's variance J(1-J)/k collapses); a
+    drifting MAE means the permutation family no longer fits the token
+    distribution — retune before trusting LSH candidate generation.
+
+    Scale shape: two broadcast-or-keyed joins of the (persisted) pair
+    table against per-doc 32-long signatures, per-pair array math, one
+    agg. The per-pair errors are rounded to 6 dp then DECIMAL-summed
+    (the ngram_lm_score discipline) so the cross-engine hash never
+    depends on float summation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = verified_pairs_table(spark, sf_dir)
+    based = docs.select(
+        "doc_id",
+        F.transform(
+            distinct_tokens(F.col("text")), lambda t: md5_long(t) % _MH_P
+        ).alias("bases"),
+    ).filter(F.size("bases") > 0)
+    mh = based.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_PERMS - 1)),
+            lambda p: F.array_min(
+                F.transform(
+                    F.col("bases"), lambda x: ((1 + 2 * p) * x + 7919 * p) % _MH_P
+                )
+            ),
+        ).alias("mh"),
+    )
+    joined = (
+        pairs.join(
+            mh.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a")),
+            "doc_a",
+        ).join(
+            mh.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b")),
+            "doc_b",
+        )
+    )
+    n_match = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    )
+    est = F.round(n_match.cast("double") / N_PERMS, 6)
+    err = F.round(F.abs(est - F.col("jaccard")), 6).cast("decimal(24,6)")
+    return joined.select(err.alias("err")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.sum("err").cast("double") / F.count("*"), 6).alias("mae"),
+        F.max("err").cast("double").alias("max_err"),
+    )
+
+
 _CONTAM_MAX_SHARED = 5  # drop a train doc at >= this many shared shingles
 
 

@@ -93,6 +93,7 @@ FULL_SCAN_OK = {
     "ann_pq",  # encode scans every vector by definition; codes are the index at rest
     "ann_pq_recall",  # recall gate replays exact + ADC over every vector
     "ann_ivfpq",  # cluster filter applies post-assignment, not a parquet predicate
+    "minhash_fidelity",  # reads every signature + the pair table by definition
 }
 
 # queries whose driver loops / streaming sinks make a single static plan
@@ -103,6 +104,7 @@ SKIP = {
     "sessionize_stream",
     "ann_recall",
     "paginated_fetch",  # breadth-first driver loop — per-round plans only
+    "stream_windowed_topk",  # streaming drain — audited via its batch twin
 }
 
 
