@@ -1,0 +1,66 @@
+"""Round-3 pipeline-operator invariants on sf0.001 (second corpus —
+the oracles pin exact values at sf0.01; these pin the CONTRACTS).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from debgpt7_8_with_vectordb_spark.plans import QUERIES
+from debgpt7_8_with_vectordb_spark.tables import load_table
+
+
+def test_corpus_mixture_fractions_sum_to_one(spark, sf_dir):
+    rows = QUERIES["corpus_mixture"](spark, sf_dir).collect()
+    assert sum(r["frac_docs"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+    assert sum(r["frac_tokens"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_contamination_filter_is_train_subset(spark, sf_dir):
+    kept = QUERIES["contamination_filter"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_train = docs.filter(F.col("doc_id") % 97 != 0).count()
+    rows = kept.collect()
+    assert 0 < len(rows) <= n_train
+    assert all(r["doc_id"] % 97 != 0 for r in rows)  # eval never ships
+    assert all(r["n_shared"] < 5 for r in rows)
+
+
+def test_minhash_fidelity_bounds(spark):
+    # run at sf0.01 where verified pairs exist (sf0.001 may have none)
+    row = QUERIES["minhash_fidelity"](spark, "/root/testdata/sf0.01").head()
+    assert row["n_pairs"] > 0
+    assert 0.0 <= row["mae"] <= row["max_err"] <= 1.0
+    # k=32 sketch on a J>=0.8 population: MAE must sit well under the
+    # uniform-J bound 1/sqrt(k) ~ 0.18
+    assert row["mae"] < 0.18
+
+
+def test_ann_pq_shape_and_determinism(spark, sf_dir):
+    a = QUERIES["ann_pq"](spark, sf_dir).collect()
+    b = QUERIES["ann_pq"](spark, sf_dir).collect()
+    assert len(a) == 5
+    assert [(r["id"], r["score"]) for r in a] == [(r["id"], r["score"]) for r in b]
+    scores = [r["score"] for r in a]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.001 <= s <= 1.001 for s in scores)
+
+
+def test_ivfpq_subset_of_probed_clusters(spark, sf_dir):
+    # every IVFADC hit must come from the 2 probed coarse clusters
+    from debgpt7_8_with_vectordb_spark.plans.retrieval_queries import (
+        _ivf_index_cached,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r["id"] for r in QUERIES["ann_ivfpq"](spark, sf_dir).collect()}
+    assert len(out) == 5
+    indexed, _ = _ivf_index_cached(spark, sf_dir, emb)
+    clusters = {
+        r["cluster_id"]
+        for r in indexed.filter(F.col("id").isin(list(out))).collect()
+    }
+    assert len(clusters) <= 2
