@@ -36,6 +36,27 @@ def build(spark, src: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     tiled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
+    # embeddings tiled the same way: exact copies (0-4) keep the vector,
+    # perturbed copies (5-9) nudge ONE deterministic dimension — a
+    # near-dup class in embedding space mirroring the text classes
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    ecopies = emb.select("*", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("copy"))
+    dim = F.size("embedding")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            (F.col("copy") >= 5) & (i == F.col("vec_id") % dim),
+            x + (F.col("copy") - 7) * F.lit(0.01),
+        ).otherwise(x),
+    )
+    etiled = ecopies.select(
+        (F.col("vec_id") * 10 + F.col("copy")).alias("vec_id"),
+        perturbed.alias("embedding"),
+        "label",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding", "label")],
+    )
+    etiled.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"

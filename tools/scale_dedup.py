@@ -58,6 +58,20 @@ def main() -> None:
         )
     timed("dedup_clusters 10x", lambda: noop(QUERIES["dedup_clusters"](spark, ten_x)))
 
+    # round-3 pipeline + embedding families (embeddings are tiled too)
+    for name in (
+        "pack_sequences",
+        "ngram_lm_score",
+        "corpus_mixture",
+        "contamination_filter",
+        "ann_pq",
+        "ann_ivfpq",
+        "embedding_neardup",
+        "dedup_embedding_clusters",
+    ):
+        for label, d in (("1x", one_x), ("10x", ten_x)):
+            timed(f"{name} {label}", lambda n=name, d=d: noop(QUERIES[n](spark, d)))
+
     # adversarial chain: verified 10x edges + a 4096-node chain over
     # fresh node ids; rounds must stay logarithmic
     from debgpt7_8_with_vectordb_spark.plans.dedup_queries import (
