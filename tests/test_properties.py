@@ -120,3 +120,40 @@ def test_chunker_golden_parity_with_reference_algorithm(text, max_bytes):
     ours = set(chunk_spans(lines, max_bytes))
     theirs = _reference_chunk_spans(lines, max_bytes, 0, len(lines))
     assert ours == theirs
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=500),
+)
+@settings(max_examples=60, deadline=None)
+def test_duckdb_pack_fold_matches_pack_sizes(sizes, budget):
+    """The mapreduce_echo_compact oracle replays the greedy min-2 packing
+    with a DuckDB list_reduce fold; this pins that fold's EXACT
+    equivalence to operators/binpack.pack_sizes on arbitrary inputs
+    (group sums after combine = member sum + count - 1 separators)."""
+    import duckdb
+
+    from debgpt7_8_with_vectordb_spark.operators.binpack import pack_sizes
+
+    gids = pack_sizes(sizes, budget, min_per_group=2)
+    expected = []
+    lo = 0
+    for hi in range(1, len(gids) + 1):
+        if hi == len(gids) or gids[hi] != gids[lo]:
+            expected.append(sum(sizes[lo:hi]) + (hi - lo) - 1)
+            lo = hi
+
+    lst = "[" + ",".join(f"{s}::BIGINT" for s in sizes) + "]"
+    q = f"""
+    SELECT st[1:len(st)-2] || [st[-2] + st[-1] - 1]
+    FROM (SELECT list_reduce(
+      list_prepend([0::BIGINT, 0::BIGINT], list_transform({lst}, s -> [s])),
+      (a, x) -> CASE
+        WHEN a[-1] > 0 AND a[-2] + x[1] > {budget} AND a[-1] >= 2
+        THEN a[1:len(a)-2] || [a[-2] + a[-1] - 1, x[1], 1::BIGINT]
+        ELSE a[1:len(a)-2] || [a[-2] + x[1], a[-1] + 1]
+      END) AS st) t
+    """
+    got = list(duckdb.sql(q).fetchone()[0])
+    assert got == expected, (sizes, budget)
