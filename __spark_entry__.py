@@ -37,6 +37,8 @@ def _driver_green() -> set[str]:
             rows = json.load(open(path))
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):  # tolerate any future file shape
+            continue
         for name, row in rows.items():
             if (
                 isinstance(row, dict)

@@ -21,62 +21,23 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.vector import cosine_similarity, l2_normalize, vector_lit
-
-
-def assign_clusters(
-    df: DataFrame,
-    centroids: list[list[float]],
-    vec_col: str = "nv",
-    out_col: str = "cluster_id",
-) -> DataFrame:
-    """Nearest-centroid assignment as a pure Catalyst expression:
-    argmin over squared euclidean distances ROUNDED to 6 decimals, ties
-    to the smaller cluster_id.
-
-    Why not ``model.transform``: the rounded-distance argmin is a formula
-    a SQL oracle replays bit-for-bit (DuckDB runs the identical fold), so
-    the whole IVF path becomes cross-engine checkable — and it is the
-    production probe shape anyway: a stored index is (vectors + centroid
-    table), not a live KMeansModel. k expressions of dim-length folds per
-    row; no shuffle.
-    """
-    dists = F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), vector_lit(c), lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            for c in centroids
-        ]
-    )
-    return (
-        df.withColumn("_dists", dists)
-        .withColumn(
-            out_col,
-            (F.expr("array_position(_dists, array_min(_dists))") - 1).cast("long"),
-        )
-        .drop("_dists")
-    )
+from ..functions.vector import cosine_similarity, l2_normalize
 
 
 def assign_clusters_np(
     df: DataFrame,
     centroids: list[list[float]],
 ) -> DataFrame:
-    """BLAS twin of ``assign_clusters`` (the srp_signatures lesson:
-    higher-order Catalyst folds are interpreted — numpy per Arrow batch
-    is ~10× faster on wide vectors): squared euclidean distances rounded
-    to 6 decimals, argmin with ties to the smaller cluster_id — the
-    IDENTICAL formula the SQL oracle replays, so either implementation
-    satisfies the same cross-engine check. Input (id, nv); output
-    (id, nv, cluster_id)."""
+    """Nearest-centroid assignment, one numpy pass per Arrow batch (the
+    srp_signatures lesson: higher-order Catalyst folds are interpreted —
+    BLAS is ~10× faster on wide vectors): squared euclidean distances
+    rounded to 6 decimals, argmin with ties to the smaller cluster_id —
+    the formula the SQL oracle replays from the persisted centroid
+    table. (Round-3 review note: a pure-expression variant existed and
+    was deleted as dead code; the rounding-mode caveat — np.round is
+    half-even, SQL round is half-away — only bites at exact half-ulp
+    boundaries, the same measure-zero risk every rounded comparison in
+    the engine accepts.) Input (id, nv); output (id, nv, cluster_id)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -146,6 +107,27 @@ def build_ivf_index(
     return indexed, centroids
 
 
+def select_probes(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The probe-selection convention, in ONE place (probe_ivf and the
+    IVFADC query both rank clusters this way): cosine against each
+    centroid rounded to 6dp BEFORE ranking — the engine-wide score
+    convention, so a SQL oracle ordering by round(cosine, 6) picks the
+    same probe set — ties to the smaller cluster id."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+
+    def cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return round(sum(a * b for a, b in zip(c, q)) / cn, 6)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
+    return ranked[:nprobe]
+
+
 def probe_ivf(
     indexed: DataFrame,
     centroids: list[list[float]],
@@ -162,15 +144,7 @@ def probe_ivf(
 
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q = [x / qn for x in query_vec]
-
-    def cos(c: list[float]) -> float:
-        # rounded to 6dp BEFORE ranking — the engine-wide score convention,
-        # so a SQL oracle ranking by round(cosine, 6) picks the same probes
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        return round(sum(a * b for a, b in zip(c, q)) / cn, 6)
-
-    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
-    probe = ranked[:nprobe]
+    probe = select_probes(centroids, query_vec, nprobe)
 
     qlit = F.array(*[F.lit(x) for x in q])
     return (
@@ -188,6 +162,10 @@ def probe_ivf(
 #: Fixed artifact path the ann_ivf_kmeans oracle reads. The Spark query
 #: (re)writes it before the oracle replays — query-then-oracle is the
 #: driver's per-query order, so the file always matches the sf under test.
+#: CAVEAT (round-3 review): the path is global, so a CONCURRENT run at a
+#: different sf (e.g. bench while the gate runs) can swap in wrong-corpus
+#: contents between a query and its oracle. The correctness gates are
+#: sequential by contract; don't run bench and check_oracle simultaneously.
 CENTROID_PARQUET = "/tmp/spark_graft_artifacts/ivf_centroids.parquet"
 
 
@@ -316,6 +294,10 @@ def build_pq_codebooks(
     from pyspark.ml.functions import array_to_vector
 
     dim = len(normed.select("nv").head()[0])
+    # fail fast: trailing dims would be silently DROPPED by the slicing
+    # below, and the SQL oracles hardcode the subspace width — a
+    # non-divisible corpus must error, not quietly diverge cross-engine
+    assert dim % m == 0, f"dim {dim} not divisible by m={m} subspaces"
     dsub = dim // m
     books: list[list[list[float]]] = []
     sliced = normed.select(
@@ -361,6 +343,9 @@ def pq_encode_np(df: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame
                 yield pd.DataFrame({"id": [], "codes": []})
                 continue
             M = np.array(list(pdf["nv"]), dtype=np.float64)
+            assert M.shape[1] % m == 0, (
+                f"dim {M.shape[1]} not divisible by m={m} subspaces"
+            )
             dsub = M.shape[1] // m
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for s in range(m):

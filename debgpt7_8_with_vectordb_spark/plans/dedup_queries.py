@@ -214,15 +214,12 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora and regenerated testdata never read a stale table. At scale
     the table is bucketed by (band, sig) — the band join's shuffle key —
     making candidate generation shuffle-free at rest."""
-    import hashlib
     import os
 
+    from ..operators.artifacts import corpus_cache_path
+
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|sigv1".encode()
-    ).hexdigest()[:16]
-    path = os.path.join("/tmp/spark_graft_signatures", key)
+    path = corpus_cache_path(src, "sigv1", "/tmp/spark_graft_signatures")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _minhash_bands_from(load_table(spark, sf_dir, "documents"), persist=False
         ).write.mode("overwrite").parquet(path)
@@ -360,15 +357,12 @@ def verified_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents file identity so edge corpora / regenerated testdata never
     see a stale table; at scale it is bucketed by doc_a (the downstream
     join key)."""
-    import hashlib
     import os
 
+    from ..operators.artifacts import corpus_cache_path
+
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|vpairs1".encode()
-    ).hexdigest()[:16]
-    path = os.path.join("/tmp/spark_graft_verified_pairs", key)
+    path = corpus_cache_path(src, "vpairs1", "/tmp/spark_graft_verified_pairs")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _verify_candidates(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -561,20 +561,19 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
     table persists keyed on the embeddings file identity; a warm call
     rebuilds the (cheap, expression-only) assignment from the stored
     centroids instead of re-running spark.ml."""
-    import hashlib
     import os
 
     import pyarrow.parquet as pq
 
     from ..functions.vector import l2_normalize
     from ..operators.ann import assign_clusters_np, build_ivf_index, persist_centroids
+    from ..operators.artifacts import corpus_cache_path
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|ivf_k8_s42_v1".encode()
-    ).hexdigest()[:16]
-    path = os.path.join("/tmp/spark_graft_artifacts/ivf_centroid_cache", f"{key}.parquet")
+    path = corpus_cache_path(
+        src, "ivf_k8_s42_v1", "/tmp/spark_graft_artifacts/ivf_centroid_cache",
+        ext=".parquet",
+    )
     if os.path.exists(path):
         tbl = pq.read_table(path).to_pydict()
         order = sorted(
@@ -694,20 +693,17 @@ def _pq_codebooks_cached(
     spark: SparkSession, sf_dir: str, normed: DataFrame
 ) -> list[list[list[float]]]:
     """Per-corpus codebook cache — the _ivf_index_cached pattern."""
-    import hashlib
     import os
 
     import pyarrow.parquet as pq
 
     from ..operators.ann import build_pq_codebooks
+    from ..operators.artifacts import corpus_cache_path
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|pq_m4_k16_v1".encode()
-    ).hexdigest()[:16]
-    path = os.path.join(
-        "/tmp/spark_graft_artifacts/pq_codebook_cache", f"{key}.parquet"
+    path = corpus_cache_path(
+        src, "pq_m4_k16_v1", "/tmp/spark_graft_artifacts/pq_codebook_cache",
+        ext=".parquet",
     )
     if os.path.exists(path):
         tbl = pq.read_table(path).to_pydict()
@@ -889,7 +885,12 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULLY ORACLED by composing the two component oracles: DuckDB
     replays coarse assignment → probe selection → per-subspace encode →
     LUT → ADC top-5 from the same two parquet artifacts."""
-    from ..operators.ann import persist_centroids, pq_adc_topk, pq_encode_np, probe_ivf
+    from ..operators.ann import (
+        persist_centroids,
+        pq_adc_topk,
+        pq_encode_np,
+        select_probes,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     normed = emb.select(
@@ -901,14 +902,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist_centroids(centroids, _IVF_CENTROIDS)
     _persist_pq_codebooks(books, _PQ_CODEBOOKS)
     qv = [float(x) for x in normed.filter("id = 2").select("nv").head()[0]]
-
-    import math
-
-    def _cos(c: list[float]) -> float:
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        return round(sum(a * b for a, b in zip(c, qv)) / cn, 6)
-
-    probe = sorted(range(len(centroids)), key=lambda i: (-_cos(centroids[i]), i))[:2]
+    probe = select_probes(centroids, qv, nprobe=2)
     cand = indexed.filter(F.col("cluster_id").isin(probe)).select("id", "nv")
     return pq_adc_topk(pq_encode_np(cand, books), books, qv, topk=5)
 

@@ -167,9 +167,12 @@ def fetch_paginated(
                 rows, columns=["url", "status", "content", "next_url"]
             )
 
+    spark = seeds.sparkSession
     frontier = seeds.select("url").distinct().localCheckpoint(eager=True)
     visited = frontier
-    acc: DataFrame | None = None
+    acc: DataFrame = spark.createDataFrame(
+        [], "url string, status int, content string, next_url string, depth int"
+    )
     for depth in range(max_pages):
         if frontier.count() == 0:
             break
@@ -178,7 +181,7 @@ def fetch_paginated(
             .withColumn("depth", F.lit(depth))
             .localCheckpoint(eager=True)
         )
-        acc = fetched if acc is None else acc.union(fetched)
+        acc = acc.union(fetched.select(*acc.columns))
         nxt = (
             fetched.filter(F.col("next_url").isNotNull())
             .select(F.col("next_url").alias("url"))
@@ -186,7 +189,6 @@ def fetch_paginated(
         )
         frontier = nxt.join(visited, "url", "left_anti").localCheckpoint(eager=True)
         visited = visited.union(frontier).localCheckpoint(eager=True)
-    assert acc is not None, "empty seed set"
     return acc.select("url", "depth", "status", "content")
 
 

@@ -42,11 +42,13 @@ def build(spark, src: str, out: str) -> None:
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     ecopies = emb.select("*", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("copy"))
     dim = F.size("embedding")
+    # nudge factor (copy - 4) ∈ {1..5} — strictly nonzero for every
+    # perturbed copy, so the class really is 5 exact + 5 near-dup
     perturbed = F.transform(
         F.col("embedding"),
         lambda x, i: F.when(
             (F.col("copy") >= 5) & (i == F.col("vec_id") % dim),
-            x + (F.col("copy") - 7) * F.lit(0.01),
+            x + (F.col("copy") - 4) * F.lit(0.01),
         ).otherwise(x),
     )
     etiled = ecopies.select(
