@@ -64,3 +64,36 @@ def test_ivfpq_subset_of_probed_clusters(spark, sf_dir):
         for r in indexed.filter(F.col("id").isin(list(out))).collect()
     }
     assert len(clusters) <= 2
+
+
+def test_stream_windowed_topk_rank_contract(spark, sf_dir):
+    rows = QUERIES["stream_windowed_topk"](spark, sf_dir).collect()
+    assert rows
+    by_win: dict = {}
+    for r in rows:
+        by_win.setdefault(r["window_start"], []).append(r)
+    for win, group in by_win.items():
+        ranks = sorted(r["rnk"] for r in group)
+        assert ranks == list(range(1, len(group) + 1)) and len(group) <= 3
+        # ranks ordered by count desc, type asc
+        ordered = sorted(group, key=lambda r: (-r["n_events"], r["event_type"]))
+        assert [r["rnk"] for r in ordered] == ranks
+        for r in group:
+            assert (r["window_end"] - r["window_start"]).total_seconds() == 86400
+
+
+def test_components_tolerate_self_loops_and_duplicates(spark):
+    import pyspark.sql.functions as F
+
+    from debgpt7_8_with_vectordb_spark.operators.graph import connected_components
+
+    nodes = spark.range(6).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 0), (1, 2), (1, 2), (2, 1), (3, 3)], "src long, dst long"
+    )
+    sym = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels, _ = connected_components(nodes, sym)
+    got = {r["doc_id"]: r["lab"] for r in labels.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
