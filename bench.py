@@ -26,6 +26,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_srp_lsh",
+    "ann_srp_recall",
     "ann_pq",
     "ann_pq_recall",
     "ann_ivfpq",

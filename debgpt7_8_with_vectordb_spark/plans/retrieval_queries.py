@@ -923,6 +923,81 @@ def _srp_planes(dim: int) -> list[list[float]]:
 
 
 @query(
+    "ann_srp_recall",
+    oracle=f"""
+WITH planes AS (
+  SELECT j, list_transform(generate_series(0, 63), i -> {_PLANE}) AS plane
+  FROM generate_series(0, {N_PLANES - 1}) AS g(j)
+),
+sigs AS (
+  SELECT e.vec_id, {_D.format(v='e.embedding')} AS v,
+         string_agg(CASE WHEN round(list_dot_product({_D.format(v='e.embedding')}, p.plane), 6) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, {_D.format(v='e.embedding')}
+),
+q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 2),
+approx AS (
+  SELECT s.vec_id FROM sigs s, q WHERE s.sig = q.qsig
+  ORDER BY round(list_cosine_similarity(s.v, q.qv), 6) DESC, s.vec_id ASC LIMIT 10
+),
+exact AS (
+  SELECT s.vec_id FROM sigs s, q
+  ORDER BY round(list_cosine_similarity(s.v, q.qv), 6) DESC, s.vec_id ASC LIMIT 10
+)
+SELECT (SELECT count(*) FROM exact JOIN approx USING (vec_id))::DOUBLE / 10
+         AS recall_at_10
+""",
+)
+def ann_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the SRP-LSH bucket scan vs exact cosine — closes the
+    last gap in 'every ANN strategy ships an ORACLED recall gate' (IVF:
+    ann_recall/_sweep; PQ: ann_pq_recall; SRP's recall was previously
+    pytest-only). Single-bucket probe recall is the HONEST number the
+    12-plane bucketing earns without multiprobe; flipping signature bits
+    (Hamming-1 probing, operators/ann.probe_bulk_index) is the knob that
+    trades reads for recall when this gate drops."""
+    from ..operators.ann import srp_signatures
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    planes = _srp_planes(dim)
+    sigs = srp_signatures(emb.select("vec_id", "embedding"), planes)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 2).select("embedding").head()[0]
+    ]
+    qbits = (
+        np.round(
+            np.asarray(qv, dtype=np.float64) @ np.asarray(planes, dtype=np.float64).T,
+            6,
+        )
+        >= 0
+    )
+    qsig = "".join("1" if b else "0" for b in qbits)
+    qlit = F.array(*[F.lit(x) for x in qv])
+    score = F.round(cosine_similarity(F.col("embedding"), qlit), 6)
+    approx = (
+        sigs.filter(F.col("sig") == qsig)
+        .select("vec_id", score.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = (
+        emb.select("vec_id", score.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(approx, "vec_id").agg(
+        (F.count("*").cast("double") / 10).alias("recall_at_10")
+    )
+
+
+@query(
     "ann_srp_lsh",
     oracle=f"""
 WITH planes AS (

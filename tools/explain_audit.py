@@ -94,6 +94,7 @@ FULL_SCAN_OK = {
     "ann_pq_recall",  # recall gate replays exact + ADC over every vector
     "ann_ivfpq",  # cluster filter applies post-assignment, not a parquet predicate
     "minhash_fidelity",  # reads every signature + the pair table by definition
+    "ann_srp_recall",  # recall gate replays exact + bucket scan over every vector
 }
 
 # queries whose driver loops / streaming sinks make a single static plan
