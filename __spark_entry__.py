@@ -24,15 +24,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["topk_retrieval"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_green() -> set[str]:
-    """Names with a full-green row in any driver CORRECTNESS_r*.json."""
+def _green_rounds() -> dict[str, int]:
+    """Map each query name to the LATEST round with a full-green driver row.
+
+    Reads every CORRECTNESS_r*.json the driver has written; a name absent
+    from the map has never been driver-green.
+    """
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
@@ -46,27 +53,37 @@ def _driver_green() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
-    return green
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_green() -> set[str]:
+    """Names with a full-green row in any driver CORRECTNESS_r*.json."""
+    return set(_green_rounds())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Catalog, PRIORITY-ORDERED for the driver's bounded sweep.
+    """Catalog, LEAST-RECENTLY-GREEN-ORDERED for the driver's bounded sweep.
 
     The driver's correctness sweep covers the first ~50 entries of this
-    dict (measured: CORRECTNESS_r01/r02 are each exactly the catalog's
-    first 50). With an 80+-query catalog, a fixed order starves the tail
-    forever — so queries that have never earned a driver-green row sort
-    FIRST, and already-green ones rotate to the back. Across rounds the
-    union of driver files then converges to the whole catalog, and any
-    newly added query is automatically in the next sweep's window.
-    tests/test_correctness_catalog_gate.py asserts the window invariant.
+    dict (measured: CORRECTNESS_r01..r03 are each exactly the catalog's
+    first 50 at their round's ordering). With a 97+-query catalog, a
+    fixed order starves the tail forever — so ordering is by staleness:
+    never-driver-green names sort FIRST (new queries land in the next
+    sweep automatically), then names by the OLDEST round in which they
+    were last green. The 50-query window thus rotates through the whole
+    catalog every ~2 rounds, and a silent regression in any query is
+    driver-detected within 2 rounds rather than never (VERDICT r3
+    "What's wrong" #3). tests/test_correctness_catalog_gate.py pins the
+    rotation invariant.
     """
     from debgpt7_8_with_vectordb_spark.plans import QUERIES
 
-    green = _driver_green()
-    ordered = [n for n in QUERIES if n not in green]
-    ordered += [n for n in QUERIES if n in green]
+    last_green = _green_rounds()
+    catalog_pos = {n: i for i, n in enumerate(QUERIES)}
+    ordered = sorted(
+        QUERIES, key=lambda n: (last_green.get(n, -1), catalog_pos[n])
+    )
     return {n: QUERIES[n] for n in ordered}
 
 
