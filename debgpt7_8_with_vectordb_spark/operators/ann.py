@@ -159,19 +159,7 @@ def probe_ivf(
     )
 
 
-#: Fixed artifact path the ann_ivf_kmeans oracle reads. The Spark query
-#: (re)writes it before the oracle replays — query-then-oracle is the
-#: driver's per-query order, so the file always matches the sf under test.
-#: CAVEAT (round-3 review): the path is global, so a CONCURRENT run at a
-#: different sf (e.g. bench while the gate runs) can swap in wrong-corpus
-#: contents between a query and its oracle. The correctness gates are
-#: sequential by contract; don't run bench and check_oracle simultaneously.
-CENTROID_PARQUET = "/tmp/spark_graft_artifacts/ivf_centroids.parquet"
-
-
-def persist_centroids(
-    centroids: list[list[float]], path: str = CENTROID_PARQUET
-) -> str:
+def persist_centroids(centroids: list[list[float]], path: str) -> str:
     """Write the (tiny, k × dim) centroid table to ONE parquet file —
     the stored half of the IVF index. Production writes it next to the
     partitioned vector table; an external engine (here: the DuckDB

@@ -47,3 +47,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+# Oracle-handoff artifacts: tiny trained tables (IVF centroids, PQ
+# codebooks) the Spark query persists and the DuckDB oracle replays
+# from. The path is CORPUS-KEYED (file-identity hash of the table the
+# artifact was trained on), not a fixed global — a concurrent run at a
+# different sf (bench at sf0.1 alongside the gate at sf0.01) writes a
+# DIFFERENT file and can never swap wrong-corpus contents between a
+# query and its oracle replay (round-3 review caveat, now structural).
+# Oracle SQL embeds a __TOKEN__; both the query (write side) and
+# resolve_oracles (read side) derive the same literal path from sf_dir.
+ORACLE_ARTIFACTS: dict[str, tuple[str, str]] = {
+    "__IVF_CENTROIDS__": ("embeddings.parquet", "ivf_handoff_v1"),
+    "__PQ_CODEBOOKS__": ("embeddings.parquet", "pq_handoff_v1"),
+}
+
+_HANDOFF_ROOT = "/tmp/spark_graft_artifacts/oracle_handoff"
+
+
+def oracle_artifact_path(token: str, sf_dir: str) -> str:
+    """The corpus-keyed path for one handoff artifact at one sf_dir."""
+    import os
+
+    from ..operators.artifacts import corpus_cache_path
+
+    src_name, tag = ORACLE_ARTIFACTS[token]
+    return corpus_cache_path(
+        os.path.join(sf_dir, src_name), tag, _HANDOFF_ROOT, ext=".parquet"
+    )
+
+
+def resolve_oracles(sf_dir: str) -> dict[str, str]:
+    """ORACLE with every __TOKEN__ replaced by its corpus-keyed literal
+    path for ``sf_dir`` — what the driver/check tools should execute."""
+    resolved: dict[str, str] = {}
+    for name, sql in ORACLE.items():
+        for token in ORACLE_ARTIFACTS:
+            if token in sql:
+                sql = sql.replace(token, oracle_artifact_path(token, sf_dir))
+        resolved[name] = sql
+    return resolved

@@ -18,7 +18,7 @@ from ..operators.retrieval import (
     topk,
 )
 from ..tables import load_table
-from .catalog import query
+from .catalog import oracle_artifact_path, query
 
 # DuckDB fragment: a FLOAT[] column as DOUBLE[] (scores computed in double
 # precision on both engines — SURVEY.md §7.7 risk 5)
@@ -486,7 +486,10 @@ def context_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CENTROIDS = "/tmp/spark_graft_artifacts/ivf_centroids.parquet"
+# Oracle-handoff tokens: resolve_oracles() substitutes the corpus-keyed
+# literal path per sf_dir; the query writes the same path via
+# oracle_artifact_path — no global shared file (round-3 caveat retired).
+_IVF_CENTROIDS = "__IVF_CENTROIDS__"
 
 @query(
     "ann_ivf_kmeans",
@@ -551,7 +554,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     indexed, centroids = _ivf_index_cached(spark, sf_dir, emb)
-    persist_centroids(centroids, _IVF_CENTROIDS)
+    persist_centroids(centroids, oracle_artifact_path(_IVF_CENTROIDS, sf_dir))
     qv = [float(x) for x in indexed.filter("id = 2").select("nv").head()[0]]
     return probe_ivf(indexed, centroids, qv, nprobe=2, topk=5)
 
@@ -591,7 +594,7 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
     return indexed, centroids
 
 
-_PQ_CODEBOOKS = "/tmp/spark_graft_artifacts/pq_codebooks.parquet"
+_PQ_CODEBOOKS = "__PQ_CODEBOOKS__"
 
 
 @query(
@@ -658,7 +661,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_normalize(F.col("embedding").cast("array<double>")).alias("nv"),
     )
     books = _pq_codebooks_cached(spark, sf_dir, normed)
-    _persist_pq_codebooks(books, _PQ_CODEBOOKS)
+    _persist_pq_codebooks(books, oracle_artifact_path(_PQ_CODEBOOKS, sf_dir))
     qv = [float(x) for x in normed.filter("id = 2").select("nv").head()[0]]
     codes = pq_encode_np(normed, books)
     return pq_adc_topk(codes, books, qv, topk=5)
@@ -788,7 +791,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_normalize(F.col("embedding").cast("array<double>")).alias("nv"),
     )
     books = _pq_codebooks_cached(spark, sf_dir, normed)
-    _persist_pq_codebooks(books, _PQ_CODEBOOKS)
+    _persist_pq_codebooks(books, oracle_artifact_path(_PQ_CODEBOOKS, sf_dir))
     qv = [float(x) for x in normed.filter("id = 2").select("nv").head()[0]]
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     exact = (
@@ -899,8 +902,8 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     indexed, centroids = _ivf_index_cached(spark, sf_dir, emb)
     books = _pq_codebooks_cached(spark, sf_dir, normed)
-    persist_centroids(centroids, _IVF_CENTROIDS)
-    _persist_pq_codebooks(books, _PQ_CODEBOOKS)
+    persist_centroids(centroids, oracle_artifact_path(_IVF_CENTROIDS, sf_dir))
+    _persist_pq_codebooks(books, oracle_artifact_path(_PQ_CODEBOOKS, sf_dir))
     qv = [float(x) for x in normed.filter("id = 2").select("nv").head()[0]]
     probe = select_probes(centroids, qv, nprobe=2)
     cand = indexed.filter(F.col("cluster_id").isin(probe)).select("id", "nv")

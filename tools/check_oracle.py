@@ -80,7 +80,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from debgpt7_8_with_vectordb_spark.plans import ORACLE, QUERIES
+    from debgpt7_8_with_vectordb_spark.plans import QUERIES
+    from debgpt7_8_with_vectordb_spark.plans.catalog import resolve_oracles
+
+    # Handoff-artifact tokens resolve to corpus-keyed paths for THIS
+    # sf_dir, so a concurrent run at another sf can't cross corpora.
+    ORACLE = resolve_oracles(sf_dir)
 
     spark = get_spark(shuffle_partitions=8)
     con = duck_connection(sf_dir)
