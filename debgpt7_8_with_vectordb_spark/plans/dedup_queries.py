@@ -70,7 +70,7 @@ pairs AS (
    WHERE least(len(a.hs), len(b.hs))::DOUBLE >= 0.5 * greatest(len(a.hs), len(b.hs))
 )
 SELECT doc_a, doc_b, round(inter / (total - inter), 6) AS jaccard
-FROM pairs WHERE total > 0 AND inter / (total - inter) >= 0.5
+FROM pairs WHERE total > 0 AND round(inter / (total - inter), 6) >= 0.5
 """.replace("{MD5L}", _MD5L.format(e="tk") + " % 2147483647"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,8 +143,12 @@ def _ngram_jaccard_from(
         F.col("total") > F.col("inter"),
         F.col("inter") / (F.col("total") - F.col("inter")),
     )
+    # Threshold on the 6dp-ROUNDED value — the same convention the
+    # DuckDB oracles and the full recall gate use — so a true jaccard in
+    # [threshold - 5e-7, threshold) can't diverge between the engine
+    # truth and the oracle truth at a tier boundary (round-3 advice).
     return (
-        pairs.filter(jac >= threshold)
+        pairs.filter(F.round(jac, 6) >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -341,7 +345,7 @@ verified AS (
           >= 0.8 * greatest(len(ta.hs), len(tb.hs))
 )
 SELECT doc_a, doc_b, round(inter / (total - inter), 6) AS jaccard
-FROM verified WHERE inter / (total - inter) >= 0.8
+FROM verified WHERE round(inter / (total - inter), 6) >= 0.8
 """,
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,7 +387,7 @@ def verified_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.artifacts import corpus_cache_path
 
     src = os.path.join(sf_dir, "documents.parquet")
-    path = corpus_cache_path(src, "vpairs1", "/tmp/spark_graft_verified_pairs")
+    path = corpus_cache_path(src, "vpairs2", "/tmp/spark_graft_verified_pairs")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _verify_candidates(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -415,7 +419,7 @@ def _verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter / (total - inter)
     return (
         pairs.filter(prefilter)
-        .filter(jac >= 0.8)
+        .filter(F.round(jac, 6) >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -550,7 +554,7 @@ SELECT v.doc_a, v.doc_b, round(v.inter / (v.total - v.inter), 6) AS jaccard,
 FROM verified v
 JOIN reps ra ON ra.doc_id = v.doc_a
 JOIN reps rb ON rb.doc_id = v.doc_b
-WHERE v.inter / (v.total - v.inter) >= 0.8
+WHERE round(v.inter / (v.total - v.inter), 6) >= 0.8
 """,
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,7 +601,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter / (total - inter)
     verified = (
         pairs.filter(prefilter)
-        .filter(jac >= 0.8)
+        .filter(F.round(jac, 6) >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
     return (
@@ -831,7 +835,7 @@ verified AS (
 ),
 vp AS (
   SELECT doc_a, doc_b, round(inter / (total - inter), 6) AS jaccard
-  FROM verified WHERE inter / (total - inter) >= 0.8
+  FROM verified WHERE round(inter / (total - inter), 6) >= 0.8
 ),
 errs AS (
   SELECT round(abs(
@@ -1019,8 +1023,8 @@ vpairs AS (
   JOIN toksets tb ON tb.doc_id = c.doc_b
   WHERE least(len(ta.hs), len(tb.hs))::DOUBLE
           >= 0.8 * greatest(len(ta.hs), len(tb.hs))
-    AND len(list_intersect(ta.hs, tb.hs))::DOUBLE
-          / ((len(ta.hs) + len(tb.hs)) - len(list_intersect(ta.hs, tb.hs)))::DOUBLE
+    AND round(len(list_intersect(ta.hs, tb.hs))::DOUBLE
+          / ((len(ta.hs) + len(tb.hs)) - len(list_intersect(ta.hs, tb.hs)))::DOUBLE, 6)
           >= 0.8
 ),
 edges AS (

@@ -118,7 +118,12 @@ def fetch_urls_cached(
         F.lit(200).alias("status"),
         "content",
         F.lit("cache").alias("served_from"),
-    )
+        # eager checkpoint: the hits plan is bound to the PRE-upsert
+        # snapshot directory, which KVCache._commit prunes once it falls
+        # keep_snapshots commits behind — a lazily consumed result would
+        # read a deleted directory (round-3 advice). Pinning both sides
+        # makes the returned frame valid however late it is consumed.
+    ).localCheckpoint(eager=True)
     fetched = fetch_urls(
         urls.join(cached, "url", "left_anti"), fetcher, max_attempts
     ).localCheckpoint(eager=True)  # fetch once: upsert + result share it

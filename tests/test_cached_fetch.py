@@ -98,3 +98,33 @@ def test_failed_fetch_not_cached(spark, tmp_path):
     # the failure must NOT be memoized — a later run retries it
     assert cache.get("u://3") is None
     assert len(cache) == 3
+
+
+def test_result_survives_snapshot_pruning(spark, tmp_path):
+    """The returned frame must stay consumable after keep_snapshots
+    further commits prune the snapshot it was planned against (round-3
+    advice: the hits side used to hold a lazy scan of the pre-upsert
+    snapshot directory and fail once _commit deleted it)."""
+    cache = KVCache(spark, str(tmp_path / "kv"), keep_snapshots=2)
+    urls = spark.range(6).select(
+        F.concat(F.lit("u://"), F.col("id").cast("string")).alias("url")
+    )
+
+    def fetcher(url):
+        import hashlib
+
+        return 200, "body|" + hashlib.md5(url.encode()).hexdigest()
+
+    fetch_urls_cached(urls, cache, fetcher)  # seed the cache
+    late = fetch_urls_cached(urls, cache, fetcher)  # all-hits result
+    # churn the cache far past keep_snapshots before consuming `late`
+    for i in range(4):
+        cache.put_many(
+            spark.range(1).select(
+                F.lit(f"churn://{i}").alias("key"), F.lit("x").alias("value")
+            )
+        )
+    rows = late.collect()
+    assert len(rows) == 6
+    assert all(r["served_from"] == "cache" for r in rows)
+    assert {r["content"] for r in rows} == {_body(f"u://{i}") for i in range(6)}
