@@ -151,7 +151,9 @@ def probe_ivf(
         indexed.filter(F.col("cluster_id").isin(probe))
         .select(
             "id",
-            "cluster_id",
+            # cast AFTER the pruning filter: a parquet-partitioned index
+            # infers cluster_id as int; the catalog schema is long
+            F.col("cluster_id").cast("long").alias("cluster_id"),
             F.round(cosine_similarity(F.col("nv"), qlit), 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("id"))

@@ -560,38 +560,45 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
-    """Seeded KMeans is deterministic per corpus, so the trained centroid
-    table persists keyed on the embeddings file identity; a warm call
-    rebuilds the (cheap, expression-only) assignment from the stored
-    centroids instead of re-running spark.ml."""
+    """The stored IVF index, BOTH halves persisted per corpus (keyed on
+    the embeddings file identity): the trained centroid table (tiny
+    parquet) and the indexed vector table written
+    ``partitionBy('cluster_id')`` — one directory per cluster, exactly
+    the billion-vector layout. Probing reads back from the partitioned
+    parquet, so the ``cluster_id isin(probes)`` filter is ON-DISK
+    partition pruning (PartitionFilters in the scan, PLANS.md), not an
+    in-memory filter over a recomputed assignment: warm calls skip
+    spark.ml AND the assignment pass entirely."""
     import os
 
     import pyarrow.parquet as pq
 
-    from ..functions.vector import l2_normalize
-    from ..operators.ann import assign_clusters_np, build_ivf_index, persist_centroids
+    from ..operators.ann import build_ivf_index, persist_centroids
     from ..operators.artifacts import corpus_cache_path
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    path = corpus_cache_path(
+    cent_path = corpus_cache_path(
         src, "ivf_k8_s42_v1", "/tmp/spark_graft_artifacts/ivf_centroid_cache",
         ext=".parquet",
     )
-    if os.path.exists(path):
-        tbl = pq.read_table(path).to_pydict()
-        order = sorted(
-            range(len(tbl["cluster_id"])), key=lambda i: tbl["cluster_id"][i]
-        )
-        centroids = [list(tbl["centroid"][i]) for i in order]
-        normed = emb.select(
-            F.col("vec_id").alias("id"),
-            l2_normalize(F.col("embedding").cast("array<double>")).alias("nv"),
-        )
-        indexed = assign_clusters_np(normed, centroids).localCheckpoint(eager=True)
-        return indexed, centroids
-    indexed, centroids = build_ivf_index(emb, k=8, seed=42)
-    persist_centroids(centroids, path)
-    return indexed, centroids
+    idx_path = corpus_cache_path(
+        src, "ivf_idx_k8_s42_v1", "/tmp/spark_graft_artifacts/ivf_index"
+    )
+    if not (
+        os.path.exists(cent_path)
+        and os.path.exists(os.path.join(idx_path, "_SUCCESS"))
+    ):
+        indexed, centroids = build_ivf_index(emb, k=8, seed=42)
+        # one file per cluster directory — the cluster-local file layout
+        # a real index build ships to object storage
+        indexed.repartition("cluster_id").write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(idx_path)
+        persist_centroids(centroids, cent_path)
+    tbl = pq.read_table(cent_path).to_pydict()
+    order = sorted(range(len(tbl["cluster_id"])), key=lambda i: tbl["cluster_id"][i])
+    centroids = [list(tbl["centroid"][i]) for i in order]
+    return spark.read.parquet(idx_path), centroids
 
 
 _PQ_CODEBOOKS = "__PQ_CODEBOOKS__"

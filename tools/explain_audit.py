@@ -66,7 +66,6 @@ FULL_SCAN_OK = {
     "topk_retrieval",
     "context_injection",
     "ann_ivf",
-    "ann_ivf_kmeans",  # cluster filter applies post-KMeans, not a parquet predicate
     "corpus_pipeline",  # curation DAG reads the whole corpus by definition
     "asof_join",  # window over all purchases/clicks
     "range_join",  # bucketed join reads all events by definition
@@ -92,7 +91,6 @@ FULL_SCAN_OK = {
     "corpus_mixture",  # full-corpus census
     "ann_pq",  # encode scans every vector by definition; codes are the index at rest
     "ann_pq_recall",  # recall gate replays exact + ADC over every vector
-    "ann_ivfpq",  # cluster filter applies post-assignment, not a parquet predicate
     "minhash_fidelity",  # reads every signature + the pair table by definition
     "ann_srp_recall",  # recall gate replays exact + bucket scan over every vector
 }
@@ -132,9 +130,16 @@ def audit_one(name: str, df) -> tuple[list[str], str]:
     if scans and not re.search(r"\*\(\d+\)", plan):
         problems.append("no WholeStageCodegen span")
     # every filter the query declares should reach a scan unless the
-    # query is a declared full-scan
+    # query is a declared full-scan; a partition-pruning filter (e.g.
+    # the IVF probe on a cluster_id-partitioned index) counts — it is
+    # the strongest pushdown there is (whole directories never open)
     if name not in FULL_SCAN_OK and scans:
-        if not any("PushedFilters: [" in s and "PushedFilters: []" not in s for s in scans):
+        pushed = any(
+            ("PushedFilters: [" in s and "PushedFilters: []" not in s)
+            or ("PartitionFilters: [" in s and "PartitionFilters: []" not in s)
+            for s in scans
+        )
+        if not pushed:
             problems.append("no pushed filters on any parquet scan")
     return problems, formatted
 
@@ -169,7 +174,8 @@ def main() -> int:
             for ln in formatted.splitlines()
             if re.search(
                 r"Scan parquet|Join|Exchange|TakeOrderedAndProject|"
-                r"ArrowEval|MapInPandas|FlatMapGroupsInPandas|HashAggregate",
+                r"ArrowEval|MapInPandas|FlatMapGroupsInPandas|HashAggregate|"
+                r"PartitionFilters: \[[^]]|PushedFilters: \[[^]]",
                 ln,
             )
         ][:24]
