@@ -83,6 +83,7 @@ HEADLINE = [
     # dataflow / pipeline
     "chunk_documents",
     "binpack_chunks",
+    "binpack_crossdoc",
     "pack_sequences",
     "multimodal_metadata",
     "frame_sample",

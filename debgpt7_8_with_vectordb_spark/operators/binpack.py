@@ -96,6 +96,76 @@ def chunk_and_pack(
     return cols.mapInPandas(run, schema=PACKED_SCHEMA)
 
 
+CROSSDOC_SCHEMA = (
+    "range_id long, group_id int, n_docs long, n_items long, "
+    "group_bytes long, first_doc long, last_doc long"
+)
+
+
+def pack_chunks_crossdoc(
+    chunks: DataFrame,
+    max_group_bytes: int,
+    range_width: int,
+    min_per_group: int = 1,
+) -> DataFrame:
+    """CROSS-document packing (SURVEY §4.3.1's second clause): the same
+    greedy reset-accumulator scan, but the stream crosses document
+    boundaries — small documents pack together instead of each paying a
+    group.
+
+    Scale shape — the two-pass recipe: pass 1 assigns each chunk a
+    FIXED-WIDTH doc-id range (``range_id = doc_id div range_width``) and
+    shuffles on it (contiguous ranges, exactly what
+    ``repartitionByRange`` produces, but with DETERMINISTIC boundaries —
+    sampled range boundaries would make group membership vary run to
+    run, unverifiable cross-engine); pass 2 runs the sequential
+    first-fit scan per range in (doc_id, start) order via
+    ``applyInPandas``. The ordering contract is per-range: packing
+    resets at range boundaries, so the result differs from a global
+    single-threaded scan by at most one boundary group per range —
+    tests/test_binpack_crossdoc.py pins that bound against a global
+    greedy replay. ``range_width`` bounds per-task memory: a range is
+    ~range_width documents of chunks, whatever the corpus size."""
+
+    def pack_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "start"]).reset_index(drop=True)
+        gids = pack_sizes(list(pdf["n_bytes"]), max_group_bytes, min_per_group)
+        pdf = pdf.assign(group_id=gids)
+        agg = (
+            pdf.groupby("group_id")
+            .agg(
+                range_id=("range_id", "first"),
+                n_docs=("doc_id", "nunique"),
+                n_items=("n_bytes", "size"),
+                group_bytes=("n_bytes", "sum"),
+                first_doc=("doc_id", "min"),
+                last_doc=("doc_id", "max"),
+            )
+            .reset_index()
+        )
+        return agg[
+            [
+                "range_id",
+                "group_id",
+                "n_docs",
+                "n_items",
+                "group_bytes",
+                "first_doc",
+                "last_doc",
+            ]
+        ]
+
+    ranged = chunks.select(
+        "doc_id",
+        "start",
+        "n_bytes",
+        F.expr(f"doc_id div {int(range_width)}").alias("range_id"),
+    )
+    return ranged.groupBy("range_id").applyInPandas(
+        pack_range, schema=CROSSDOC_SCHEMA
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     max_group_bytes: int,

@@ -134,6 +134,82 @@ def binpack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_and_pack(docs, MAX_CHUNK_BYTES, MAX_GROUP_BYTES)
 
 
+CROSSDOC_RANGE_WIDTH = 32  # docs per packing range (bounds per-task memory)
+
+
+@query(
+    "binpack_crossdoc",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 0 AS s, len(lines) AS e FROM base
+  UNION ALL
+  SELECT sp.doc_id,
+         CASE WHEN h.half = 0 THEN sp.s ELSE sp.s + ((sp.e - sp.s) // 2) END,
+         CASE WHEN h.half = 0 THEN sp.s + ((sp.e - sp.s) // 2) ELSE sp.e END
+  FROM spans sp
+  JOIN base b USING (doc_id)
+  CROSS JOIN (SELECT unnest([0, 1]) AS half) h
+  WHERE sp.e - sp.s > 1
+    AND strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) > {MAX_CHUNK_BYTES}
+),
+chunkrows AS (
+  SELECT sp.doc_id, sp.s AS cstart,
+         strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) AS n_bytes
+  FROM spans sp JOIN base b USING (doc_id)
+  WHERE sp.e - sp.s <= 1
+     OR strlen(array_to_string(b.lines[sp.s + 1 : sp.e], chr(10))) <= {MAX_CHUNK_BYTES}
+),
+ordered AS (
+  SELECT doc_id // {CROSSDOC_RANGE_WIDTH} AS range_id, doc_id, cstart, n_bytes,
+         row_number() OVER (PARTITION BY doc_id // {CROSSDOC_RANGE_WIDTH}
+                            ORDER BY doc_id, cstart) AS idx
+  FROM chunkrows
+),
+walk AS (
+  -- greedy reset-accumulator scan per RANGE — the stream crosses
+  -- document boundaries inside the range
+  SELECT range_id, doc_id, idx, n_bytes, 0 AS gid, n_bytes AS acc
+  FROM ordered WHERE idx = 1
+  UNION ALL
+  SELECT o.range_id, o.doc_id, o.idx, o.n_bytes,
+         CASE WHEN w.acc + o.n_bytes > {MAX_GROUP_BYTES} THEN w.gid + 1 ELSE w.gid END,
+         CASE WHEN w.acc + o.n_bytes > {MAX_GROUP_BYTES} THEN o.n_bytes ELSE w.acc + o.n_bytes END
+  FROM walk w JOIN ordered o ON o.range_id = w.range_id AND o.idx = w.idx + 1
+)
+SELECT range_id, gid::INT AS group_id, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_items, sum(n_bytes)::BIGINT AS group_bytes,
+       min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+FROM walk GROUP BY range_id, gid
+""",
+)
+def binpack_crossdoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document C3 packing (SURVEY §4.3.1 second clause; VERDICT
+    r3 next #6): small documents pack together instead of each paying a
+    group. Two-pass shape — fixed-width doc-id ranges (deterministic
+    stand-in for repartitionByRange boundaries) shuffle once, then a
+    per-range sequential first-fit scan in (doc_id, start) order
+    (operators/binpack.pack_chunks_crossdoc). The oracle replays range
+    assignment + the cross-document greedy walk with a per-range
+    recursive CTE on top of the bisection-chunker CTE.
+
+    tests/test_binpack_crossdoc.py additionally property-tests the
+    distributed result against a GLOBAL single-threaded greedy scan:
+    per-range packing differs only by boundary groups (≤ 1 per range)."""
+    from ..operators.binpack import pack_chunks_crossdoc
+
+    docs = _docs_as_lines(spark, sf_dir)
+    chunks = chunk_documents(docs, MAX_CHUNK_BYTES, include_content=False)
+    return pack_chunks_crossdoc(
+        chunks.select("doc_id", "start", "n_bytes"),
+        MAX_GROUP_BYTES,
+        CROSSDOC_RANGE_WIDTH,
+    )
+
+
 @query(
     "mapreduce_echo",
     oracle=f"""

@@ -48,6 +48,7 @@ FULL_SCAN_OK = {
     "embedding_neardup",
     "chunk_documents",
     "binpack_chunks",
+    "binpack_crossdoc",  # packs the whole corpus by definition; range shuffle is the op
     "html_strip",
     "section_split",
     "source_router",
