@@ -336,6 +336,63 @@ def vdb_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vdb_dump_vectors",
+    oracle="""
+WITH dumped AS (
+  SELECT d.doc_id AS id, d.source,
+         strlen(d.text)::BIGINT AS n_bytes,
+         len(e.embedding)::BIGINT AS dim,
+         array_to_string(list_transform(e.embedding,
+           x -> round(x::DOUBLE * 1000000)::BIGINT::VARCHAR), ',') AS vec_txt
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id < 200
+)
+SELECT id, source, n_bytes, dim, vec_txt,
+       list_sum(list_transform(string_split(vec_txt, ','),
+                               s -> s::BIGINT))::BIGINT AS vec_sum
+FROM dumped
+""",
+)
+def vdb_dump_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 `vdb dump --include-vector` (reference vectordb.py:258-279:
+    include_vector=True serializes the embedding into each exported
+    row) — the half the round-3 catalog left rows-only. The vector
+    payload serializes as exact 1e-6-scaled integers (cross-engine
+    stable where raw float repr is not), and the query PARSES ITS OWN
+    SERIALIZATION back (vec_sum over the split string) so the oracle
+    hash certifies the full dump → parse round trip, not just the
+    projection. Same scan-pruning id predicate as `vdb_dump`."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_txt = F.array_join(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long").cast("string"),
+        ),
+        ",",
+    )
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("id"),
+            "source",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.size("embedding").cast("long").alias("dim"),
+            vec_txt.alias("vec_txt"),
+        )
+        .withColumn(
+            "vec_sum",
+            F.aggregate(
+                F.split(F.col("vec_txt"), ","),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s.cast("long"),
+            ),
+        )
+    )
+
+
+@query(
     "template_lookup",
     oracle="""
 WITH templates(lang, template) AS (
