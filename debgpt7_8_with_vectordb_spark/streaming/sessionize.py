@@ -36,7 +36,10 @@ EVENTS_SCHEMA_TS = (
 
 
 def stream_events_from_dir(
-    spark: SparkSession, path: str, glob: str | None = None
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream of the events feed (new files = new batches).
     ``glob`` narrows a directory to matching files (the testdata keeps
@@ -59,6 +62,10 @@ def stream_events_from_dir(
     )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        # one file per micro-batch (mtime order) — the lateness tests
+        # need watermark advancement BETWEEN files, not one big batch
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
     if ts_type == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
