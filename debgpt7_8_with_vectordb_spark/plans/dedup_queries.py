@@ -280,42 +280,50 @@ def _minhash_bands_from(docs: DataFrame, persist: bool = True) -> DataFrame:
         ).alias("bases"),
     ).filter(F.size("bases") > 0)  # token-less docs have no signature
 
-    withmh = based.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(N_PERMS - 1)),
-            lambda p: F.array_min(
-                F.transform(
-                    F.col("bases"), lambda x: ((1 + 2 * p) * x + 7919 * p) % _MH_P
-                )
-            ),
-        ).alias("mh"),
-    )
-
-    def band_sig(band: int):
-        return F.array_join(
+    # The mh array is BOUND as a lambda variable (single-element-array
+    # transform, the word_shingles trick) before the band sigs slice it:
+    # projecting mh through a plain select and slicing F.col("mh") lets
+    # CollapseProject inline the 32-permutation transform into every
+    # consumer (2 sigs + the mh column = 3 evaluations — measured 6.2 s
+    # vs 2.9 s for this checkpoint at sf0.1, the round-4 corpus_pipeline
+    # regression). The explode is a Generate barrier, so downstream
+    # projections can never pull the expensive subtree past it.
+    mh_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PERMS - 1)),
+        lambda p: F.array_min(
             F.transform(
-                F.slice(F.col("mh"), band * BAND_SIZE + 1, BAND_SIZE),
-                lambda v: v.cast("string"),
-            ),
-            ",",
-        )
-
+                F.col("bases"), lambda x: ((1 + 2 * p) * x + 7919 * p) % _MH_P
+            )
+        ),
+    )
     n_bands = N_PERMS // BAND_SIZE
-    bands = withmh.select(
+    packed = based.select(
         "doc_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
-                    for b in range(n_bands)
-                ]
+            F.transform(
+                F.array(mh_expr),
+                lambda mh: F.struct(
+                    mh.alias("mh"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                        lambda b: F.struct(
+                            b.cast("int").alias("band"),
+                            F.array_join(
+                                F.transform(
+                                    F.slice(mh, b * BAND_SIZE + 1, F.lit(BAND_SIZE)),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            ).alias("sig"),
+                        ),
+                    ).alias("bands"),
+                ),
             )
-        ).alias("bs"),
-        "mh",
-    ).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"), "mh"
+        ).alias("x"),
     )
+    bands = packed.select(
+        "doc_id", F.col("x.mh").alias("mh"), F.explode("x.bands").alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"), "mh")
     # materialize signatures ONCE for in-memory (DataFrame-input)
     # callers: the self-join broadcasts one side, so without this the
     # md5+32-permutation subtree executes twice. The sf_dir-backed
