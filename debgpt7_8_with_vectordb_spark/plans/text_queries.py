@@ -770,3 +770,123 @@ def corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, p in pcts.items()
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text retrieval
+# ---------------------------------------------------------------------------
+
+#: fixed literal search query (engine capability demo — at serving time the
+#: terms are parameters; the plan shape is identical for any short query).
+_BM25_TERMS = ("vector", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return f"len(list_filter(toks, x -> x = '{term}'))::DOUBLE"
+
+
+def _bm25_w_sql(i: int) -> str:
+    """Per-term BM25 weight (Lucene idf variant — always positive)."""
+    return (
+        f"ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) * "
+        f"(b.tf{i} * ({_BM25_K1} + 1.0)) / "
+        f"(b.tf{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * "
+        f"(CASE WHEN s.avgdl > 0 THEN b.dl / s.avgdl ELSE 0.0 END)))"
+    )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(t='lower(text)')} AS toks FROM documents),
+b AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
+             {', '.join(f'{_bm25_tf_sql(t)} AS tf{i}' for i, t in enumerate(_BM25_TERMS))}
+      FROM t),
+s AS (SELECT count(*)::DOUBLE AS n, coalesce(avg(dl), 0.0) AS avgdl,
+             {', '.join(f'sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}' for i in range(len(_BM25_TERMS)))}
+      FROM b)
+SELECT b.doc_id,
+       round({' + '.join(_bm25_w_sql(i) for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+FROM b CROSS JOIN s
+ORDER BY bm25 DESC, b.doc_id LIMIT 10
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked full-text retrieval: top-10 documents for a fixed
+    multi-term query (k1=1.2, b=0.75, Lucene's always-positive idf
+    ``ln(1 + (N-df+0.5)/(df+0.5))``). The text twin of
+    ``topk_retrieval`` — the reference serves vector search (app.py
+    /context); a drop-in engine needs the lexical side of hybrid
+    retrieval too.
+
+    Scale shape: the query is a SHORT literal term list, so per-doc
+    term frequencies are per-row array expressions (one tokenize, one
+    ``filter``-count per term — no explode, no join, no shuffle over
+    data rows). Corpus statistics (N, avgdl, per-term df) reduce to ONE
+    row via map-side partial aggregation, then broadcast back with a
+    1-row cross join (same pattern as corpus_mixture's totals). Scoring
+    is a pure map pass; the top-10 plans TakeOrderedAndProject — never
+    a global sort. At 100 TB this is one scan + one scalar agg; for
+    arbitrary ad-hoc queries the same tf/df machinery persists as a
+    (term → posting list) table bucketed by term, exactly like the
+    minhash signature table — scoring then joins the tiny query-term
+    slice of the index instead of rescanning text.
+
+    IEEE discipline: dl and tf are integer-valued doubles, so N/avgdl/
+    df aggregate EXACTLY in any summation order; idf and the per-term
+    weights are computed from those exact scalars by an identical
+    formula on both engines, summed in fixed term order, rounded to
+    6 dp, and the sort key is the ROUNDED score (tie-break doc_id) so
+    the top-10 set and order are deterministic cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def tf(term: str) -> F.Column:
+        # NB: single-parameter lambda — a second parameter (even with a
+        # default) makes PySpark pass the ELEMENT INDEX as that arg.
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[tf(t).cast("double").alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.coalesce(F.avg("dl"), F.lit(0.0)).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def weight(i: int) -> F.Column:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        norm_dl = F.when(
+            F.col("avgdl") > 0, F.col("dl") / F.col("avgdl")
+        ).otherwise(F.lit(0.0))
+        return idf * (
+            (F.col(f"tf{i}") * (_BM25_K1 + 1.0))
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * norm_dl)
+            )
+        )
+
+    total = weight(0)
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + weight(i)
+    return (
+        scored.select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
