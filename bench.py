@@ -70,6 +70,7 @@ HEADLINE = [
     "repetition_stats",
     "topk_ngrams",
     "ngram_lm_score",
+    "bm25_search",
     "contamination_check",
     "contamination_filter",
     "corpus_mixture",

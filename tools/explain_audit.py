@@ -37,6 +37,7 @@ FULL_SCAN_OK = {
     "lang_id",
     "repetition_stats",  # per-doc stats over the whole corpus
     "topk_ngrams",  # global census over the whole corpus
+    "bm25_search",  # scores every doc (corpus stats + map-pass scoring)
     "contamination_check",  # every train doc is checked by design
     "doc_fingerprint",
     "token_count_bpe",
