@@ -828,7 +828,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     row via map-side partial aggregation, then broadcast back with a
     1-row cross join (same pattern as corpus_mixture's totals). Scoring
     is a pure map pass; the top-10 plans TakeOrderedAndProject — never
-    a global sort. At 100 TB this is one scan + one scalar agg; for
+    a global sort. At 100 TB this is two scans (a stats pass feeding a
+    scalar agg, then the scoring pass — the shape of any
+    global-normalization op); for
     arbitrary ad-hoc queries the same tf/df machinery persists as a
     (term → posting list) table bucketed by term, exactly like the
     minhash signature table — scoring then joins the tiny query-term
