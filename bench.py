@@ -29,6 +29,7 @@ HEADLINE = [
     "ann_srp_recall",
     "ann_pq",
     "ann_pq_recall",
+    "ann_pq_rerank",
     "ann_ivfpq",
     "ann_recall_sweep",
     "vector_normalize",

@@ -109,3 +109,57 @@ def test_ivfpq_recall_at_10_clustered_ge_08(spark, clustered_dir):
         f"IVFADC recall@10 vs exact = {recall} on the clustered corpus "
         f"(approx={approx}, exact={exact})"
     )
+
+
+def test_pq_rerank_exact_top5_clustered(spark, clustered_dir):
+    """The two-stage recipe as a catalog query: on the clustered corpus
+    the 50-wide ADC shortlist always covers the query's 10-member
+    cluster, so exact rerank must return EXACTLY the exact-cosine top-5
+    (ids and 6dp scores) — the within-cluster-order failure mode of the
+    direct ADC top-k (the test above) is fully repaired by stage 2."""
+    from debgpt7_8_with_vectordb_spark.plans import QUERIES
+
+    got = [
+        (r["id"], r["score"])
+        for r in QUERIES["ann_pq_rerank"](spark, clustered_dir).collect()
+    ]
+    exact = _exact_topk(spark, clustered_dir, qid=2, k=5)
+    assert [g[0] for g in got] == exact, (
+        f"rerank ids {got} != exact top-5 {exact}"
+    )
+    assert all(s is not None for _, s in got)
+
+
+def test_pq_rerank_subset_of_shortlist(spark):
+    """Driver corpus (worst case): rerank output ⊆ the ADC shortlist,
+    k rows, sorted by exact rounded score desc then id."""
+    import pyspark.sql.functions as F
+
+    from debgpt7_8_with_vectordb_spark.functions.vector import l2_normalize
+    from debgpt7_8_with_vectordb_spark.operators.ann import (
+        pq_adc_topk,
+        pq_encode_np,
+    )
+    from debgpt7_8_with_vectordb_spark.plans import QUERIES
+    from debgpt7_8_with_vectordb_spark.plans.retrieval_queries import (
+        _pq_codebooks_cached,
+    )
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        F.col("vec_id").alias("id"),
+        l2_normalize(F.col("embedding").cast("array<double>")).alias("nv"),
+    )
+    books = _pq_codebooks_cached(spark, sf_dir, normed)
+    qv = [float(x) for x in normed.filter("id = 2").select("nv").head()[0]]
+    short = {
+        r["id"]
+        for r in pq_adc_topk(pq_encode_np(normed, books), books, qv, topk=50).collect()
+    }
+    rows = QUERIES["ann_pq_rerank"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert {r["id"] for r in rows} <= short
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
