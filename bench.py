@@ -47,6 +47,7 @@ HEADLINE = [
     "dual_store_join",
     # dedup suite
     "dedup_exact",
+    "dedup_substring",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_lsh_keep",

@@ -1355,3 +1355,104 @@ def dedup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     return _recall_tiers(spark, truth, cand)
+
+
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): the doc-level families above keep
+# or drop whole documents; this one finds the duplicated SPANS — every
+# K-token window whose exact token sequence recurs in >= 2 distinct
+# documents — and reports, per affected doc, how much of it is
+# boilerplate. K=5 on the short synthetic docs stands in for the paper's
+# 50-token windows.
+SUBSTR_WIN = 5
+_SUBSTR_WIN_SQL = " || ' ' || ".join(
+    f"toks[i + {j}]" for j in range(SUBSTR_WIN)
+)
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SEQ.format(t='text')} AS toks FROM documents),
+w AS (
+  SELECT doc_id, n_tokens, i AS start, {_MD5L.format(e=_SUBSTR_WIN_SQL)} AS h
+  FROM (SELECT doc_id, len(toks) AS n_tokens, toks,
+               unnest(range(1, len(toks) - {SUBSTR_WIN - 2})) AS i
+        FROM t WHERE len(toks) >= {SUBSTR_WIN})
+),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dw AS (SELECT w.* FROM w JOIN dup USING (h)),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS covered
+  FROM (SELECT doc_id, unnest(range(start, start + {SUBSTR_WIN})) AS p FROM dw)
+  GROUP BY doc_id
+),
+nd AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens, count(*) AS n_dup_windows
+  FROM dw GROUP BY doc_id
+)
+SELECT nd.doc_id, nd.n_tokens::BIGINT AS n_tokens,
+       n_dup_windows::BIGINT AS n_dup_windows,
+       covered::BIGINT AS covered_tokens,
+       round(covered::DOUBLE / nd.n_tokens, 6) AS dup_frac
+FROM nd JOIN cov USING (doc_id)
+""",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level exact-substring dedup: per document, the windows of
+    SUBSTR_WIN consecutive tokens whose exact sequence also occurs in
+    another document, the count of distinct token positions those
+    windows cover, and the covered fraction — the "remove duplicated
+    substrings" signal, where doc-level dedup would keep both hosts of
+    a shared boilerplate span.
+
+    Scale shape (the suffix-array step of the paper re-expressed as
+    joins): windows are per-row array math (no shuffle); duplicate
+    detection is ONE groupBy on the 8-byte window hash with map-side
+    partial aggregation (never the window string — md5_long keeps the
+    shuffle narrow and is replayable in DuckDB); marked windows come
+    back via an equi-join on the same hash (AQE reuses the shuffle
+    partitioning), and span coverage is a per-doc distinct-position
+    count — shuffles on window-hash then doc_id only, pair space never
+    materialized. At 100 TB the dup-window set is the heavy-hitter tail
+    of the hash groupBy; everything else is linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.filter(F.size(toks) >= SUBSTR_WIN).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.transform(word_shingles(F.col("text"), SUBSTR_WIN), md5_long).alias("hs"),
+    )
+    w = base.select(
+        "doc_id", "n_tokens", F.posexplode("hs").alias("pos0", "h")
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("start"), "h")
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dw = w.join(dup, "h")
+    cov = (
+        dw.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + SUBSTR_WIN - 1)
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("covered"))
+    )
+    nd = dw.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_dup_windows"),
+    )
+    return nd.join(cov, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_dup_windows",
+        F.col("covered").cast("long").alias("covered_tokens"),
+        F.round(F.col("covered").cast("double") / F.col("n_tokens"), 6).alias(
+            "dup_frac"
+        ),
+    )
