@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_embedding_clusters",
     "sample_stratified",
     "sample_upweight",
+    "domain_quota",
     "embedding_quantize",
     # text analytics / embedding
     "text_stats",
@@ -71,6 +72,8 @@ HEADLINE = [
     "pii_redact",
     "repetition_stats",
     "topk_ngrams",
+    "tfidf_topterms",
+    "quality_classifier",
     "ngram_lm_score",
     "bm25_search",
     "contamination_check",

@@ -1456,3 +1456,58 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+_QUOTA_PER_SOURCE = 15
+_QUOTA_SALTS = 16
+
+
+@query(
+    "domain_quota",
+    oracle=f"""
+SELECT doc_id, lang, source, quota_rank FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_MD5L.format(e="'quota|' || doc_id::VARCHAR")} ASC,
+                    doc_id ASC
+         ) AS quota_rank
+  FROM documents
+) WHERE quota_rank <= {_QUOTA_PER_SOURCE}
+""",
+)
+def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUOTA capping — the curation rule that stops one
+    domain from dominating the mixture (C4/RefinedWeb-style "at most Q
+    pages per host"): keep the Q docs with the smallest deterministic
+    hash ticket per source, a uniform-random-but-reproducible draw
+    (same salt discipline as sample_stratified — reruns and corpus
+    extensions keep identical survivors).
+
+    Skew-safe at 100 TB: a hot domain would make the naive
+    per-source window ONE giant sort partition, so selection runs
+    two-stage — stage 1 ranks within (source, ticket % {_QUOTA_SALTS})
+    salted sub-partitions and keeps Q per salt (bounds any partition to
+    ~|source| / {_QUOTA_SALTS}), stage 2 ranks the <= {_QUOTA_SALTS}·Q
+    survivors per source (bounded rows, whatever the corpus size).
+    Identical to the single-stage rank — each salt's top-Q is a
+    superset of its contribution to the global top-Q — which is exactly
+    what the single-window oracle replays."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    q = _QUOTA_PER_SOURCE
+    ticket = md5_long(F.concat(F.lit("quota|"), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", "lang", "source", ticket.alias("ticket"))
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.col("ticket"), F.lit(_QUOTA_SALTS))
+    ).orderBy(F.asc("ticket"), F.asc("doc_id"))
+    stage1 = base.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= q
+    )
+    w2 = Window.partitionBy("source").orderBy(F.asc("ticket"), F.asc("doc_id"))
+    return (
+        stage1.withColumn("quota_rank", F.row_number().over(w2))
+        .filter(F.col("quota_rank") <= q)
+        .select("doc_id", "lang", "source", "quota_rank")
+    )

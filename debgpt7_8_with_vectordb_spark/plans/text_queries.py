@@ -892,3 +892,136 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "tfidf_topterms",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+total AS (SELECT count(*) AS n_docs FROM documents),
+e AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS term FROM t),
+tf AS (
+  SELECT doc_id, term, count(*) AS cnt, any_value(n_toks) AS n_toks
+  FROM e GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term,
+         round((cnt::DOUBLE / n_toks) * ln(n_docs::DOUBLE / df), 6) AS score
+  FROM tf JOIN dfreq USING (term), total
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-3 terms per doc by
+    (tf / doc_len) * ln(N / df) — the classic salience score a corpus
+    profiler runs alongside topk_ngrams (global census) to get
+    per-document descriptors.
+
+    Scale shape: term frequencies are ONE (doc_id, term) groupBy with
+    map-side combine; document frequency reuses that result with a
+    second, vocabulary-sized groupBy (no re-scan of the corpus); the
+    vocab-sized df table broadcasts back (shuffle join on term if a
+    web-scale vocab outgrows the broadcast threshold — the plan is the
+    same either way, AQE picks); top-3 is a row_number window
+    partitioned BY DOC — thousands of parallel partitions, never a
+    single-partition sort. Scores are 6dp-rounded before ranking, ties
+    to the lexicographically smaller term (cross-engine contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = tokens(F.col("text"))
+    exploded = docs.select(
+        "doc_id", F.size(toks).alias("n_toks"), F.explode(toks).alias("term")
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.count("*").alias("cnt"), F.first("n_toks").alias("n_toks")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_toks"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+@query(
+    "quality_classifier",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n,
+         list_sum(list_transform(toks,
+           x -> (({_MD5L.format(e="'w|' || x")} % 2001) - 1000)::DOUBLE / 1000.0))
+           AS ws
+  FROM t
+)
+SELECT doc_id, n::BIGINT AS n_tokens,
+       CASE WHEN n = 0 THEN NULL ELSE round(ws / n, 6) END AS logit,
+       CASE WHEN n = 0 THEN NULL
+            ELSE round(1.0 / (1.0 + exp(-4.0 * (ws / n))), 6) END AS prob,
+       CASE WHEN n = 0 THEN false
+            ELSE round(1.0 / (1.0 + exp(-4.0 * (ws / n))), 6) >= 0.5 END AS keep
+FROM s
+""",
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering in the fasttext SHAPE (the
+    CCNet/LLaMA-recipe "quality classifier" stage): a linear model over
+    hashed bag-of-words features — per token, weight = hashed-bucket
+    lookup; per doc, logit = mean token weight, prob = sigmoid(4·logit),
+    keep = prob >= 0.5. The weights here are the deterministic
+    md5-derived stand-in (same seam discipline as hash_embedding vs
+    provider_embedding): a TRAINED model drops in by replacing the
+    weight expression with a broadcast weight-table join on the token
+    hash — the plan shape (per-row fold, zero shuffle) is identical,
+    and that is what this query pins.
+
+    Scale shape: pure per-row Catalyst expressions — the token fold
+    runs inside the row, no explode, no shuffle, scan-parallel at any
+    corpus size. Both engines fold the token array LEFT-TO-RIGHT in
+    document order, so the float sum is bit-identical cross-engine;
+    logit/prob are 6dp-rounded and the keep decision reads the ROUNDED
+    prob (ties-at-boundary convention, ADVICE r3 #1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    w = lambda t: (
+        (md5_long(F.concat(F.lit("w|"), t)) % 2001) - 1000
+    ).cast("double") / 1000.0
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.aggregate(toks, F.lit(0.0), lambda a, t: a + w(t)).alias("ws"),
+    )
+    logit = F.col("ws") / F.col("n")
+    prob = F.round(1.0 / (1.0 + F.exp(-4.0 * logit)), 6)
+    nonempty = F.col("n") > 0
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.when(nonempty, F.round(logit, 6)).alias("logit"),
+        F.when(nonempty, prob).alias("prob"),
+        # token-less docs fail the filter OUTRIGHT (false, not NULL) —
+        # a tri-state keep column helps nobody downstream
+        F.when(nonempty, prob >= 0.5).otherwise(F.lit(False)).alias("keep"),
+    )

@@ -1,0 +1,67 @@
+"""Invariants for the round-4 curation queries: domain_quota,
+tfidf_topterms, quality_classifier."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from debgpt7_8_with_vectordb_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_domain_quota_caps_and_matches_single_stage(spark):
+    from debgpt7_8_with_vectordb_spark.functions.hashing import md5_long
+    from debgpt7_8_with_vectordb_spark.plans.dedup_queries import (
+        _QUOTA_PER_SOURCE,
+    )
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+    from pyspark.sql import Window
+
+    out = QUERIES["domain_quota"](spark, SF)
+    per_src = out.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= _QUOTA_PER_SOURCE for r in per_src)
+
+    # the salted two-stage must equal the naive single-stage rank
+    docs = load_table(spark, SF, "documents")
+    ticket = md5_long(F.concat(F.lit("quota|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(ticket.asc(), F.col("doc_id").asc())
+    naive = (
+        docs.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= _QUOTA_PER_SOURCE)
+        .select("doc_id", "quota_rank")
+    )
+    got = {(r["doc_id"], r["quota_rank"]) for r in out.collect()}
+    want = {(r["doc_id"], r["quota_rank"]) for r in naive.collect()}
+    assert got == want
+
+
+def test_domain_quota_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["domain_quota"](spark, SF).collect()))
+    b = sorted(map(tuple, QUERIES["domain_quota"](spark, SF).collect()))
+    assert a == b
+
+
+def test_tfidf_top3_sorted_per_doc(spark):
+    rows = QUERIES["tfidf_topterms"](spark, SF).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_quality_classifier_keep_consistent(spark):
+    rows = QUERIES["quality_classifier"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["n_tokens"] == 0:
+            assert r["prob"] is None and r["keep"] is False
+        else:
+            assert r["keep"] == (r["prob"] >= 0.5)
+            assert 0.0 <= r["prob"] <= 1.0
