@@ -93,6 +93,11 @@ FULL_SCAN_OK = {
     "corpus_mixture",  # full-corpus census
     "ann_pq",  # encode scans every vector by definition; codes are the index at rest
     "ann_pq_recall",  # recall gate replays exact + ADC over every vector
+    "ann_pq_rerank",  # ADC shortlist scans the codes table by definition; rerank reads 50 rows
+    "dedup_substring",  # window census over the whole corpus by definition
+    "tfidf_topterms",  # tf/df census over the whole corpus by definition
+    "quality_classifier",  # per-row scoring over the whole corpus by definition
+    "domain_quota",  # per-source quota ranks the whole corpus by definition
     "minhash_fidelity",  # reads every signature + the pair table by definition
     "ann_srp_recall",  # recall gate replays exact + bucket scan over every vector
 }
