@@ -74,6 +74,7 @@ HEADLINE = [
     "topk_ngrams",
     "tfidf_topterms",
     "quality_classifier",
+    "bpe_train_merges",
     "ngram_lm_score",
     "bm25_search",
     "contamination_check",

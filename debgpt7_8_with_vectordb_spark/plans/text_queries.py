@@ -1025,3 +1025,133 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a tri-state keep column helps nobody downstream
         F.when(nonempty, prob >= 0.5).otherwise(F.lit(False)).alias("keep"),
     )
+
+
+# BPE merge training (tokenizer-training stage). The oracle unrolls
+# N_MERGES rounds as a generated WITH chain: per round, weighted
+# adjacent-pair census over the vocab's symbol lists -> argmax pair
+# (ties lexicographic) -> left-to-right non-overlapping fold-merge.
+N_MERGES = 4
+
+
+def _bpe_oracle() -> str:
+    toks = _TOKS.format(t="text")
+    ctes = [
+        f"""v AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest({toks}) AS word FROM documents) GROUP BY word
+),
+w0 AS (SELECT word, cnt, string_split(word, '') AS syms FROM v)"""
+    ]
+    for r in range(1, N_MERGES + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS total
+  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM w{p})
+  GROUP BY lhs, rhs
+),
+b{r} AS (SELECT lhs, rhs, total FROM p{r}
+         ORDER BY total DESC, lhs ASC, rhs ASC LIMIT 1),
+w{r} AS (
+  SELECT word, cnt,
+         list_reduce(
+           list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
+           (a, x) -> CASE WHEN len(a) > 0 AND a[-1] = b{r}.lhs AND x[1] = b{r}.rhs
+                          THEN a[1:len(a)-1] || [b{r}.lhs || b{r}.rhs]
+                          ELSE a || x END) AS syms
+  FROM w{p}, b{r}
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" total::BIGINT AS pair_count FROM b{r}"
+        for r in range(1, N_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING — the first N_MERGES merge rules learned
+    from the corpus (Sennrich et al. 2016, the algorithm behind every
+    GPT/Llama tokenizer): start from character symbols, repeatedly take
+    the adjacent symbol pair with the highest corpus-weighted count
+    (ties to the lexicographically smaller pair) and fuse its
+    left-to-right non-overlapping occurrences.
+
+    Scale shape — the reason BPE training is feasible at 100 TB: the
+    CORPUS is touched exactly once, by the word-frequency census (one
+    groupBy with map-side combine); every merge round after that runs
+    on the weighted VOCABULARY (millions of rows however big the
+    corpus), so the iteration cost is corpus-size-independent. Per
+    round: one vocab-sized pair groupBy + a 1-row argmax collect (loop
+    control reads only the winner — the repo's driver-loop rule), then
+    the fold-merge is a per-row expression. Both engines fold symbols
+    left-to-right, so merge application is bit-identical; the oracle
+    replays all rounds as an unrolled CTE chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    syms = vocab.select(
+        "word",
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint()  # vocab-sized; truncates the per-round lineage
+
+    rows = []
+    for r in range(1, N_MERGES + 1):
+        pairs = (
+            syms.select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("lhs"),
+                                F.element_at("syms", i + 1).alias("rhs"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast(
+                        "array<struct<lhs:string,rhs:string>>"
+                    ))
+                ).alias("pr"),
+            )
+            .groupBy("pr.lhs", "pr.rhs")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+        )
+        best = pairs.head()
+        if best is None:
+            break
+        lhs, rhs, total = best["lhs"], best["rhs"], int(best["total"])
+        rows.append((r, lhs, rhs, lhs + rhs, total))
+        merged_sym = F.lit(lhs + rhs)
+        syms = syms.withColumn(
+            "syms",
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs))
+                    & (x == F.lit(rhs)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(merged_sym),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        rows,
+        "merge_rank long, lhs string, rhs string, merged string, pair_count long",
+    )

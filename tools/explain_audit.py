@@ -110,6 +110,7 @@ SKIP = {
     "sessionize_stream",
     "ann_recall",
     "paginated_fetch",  # breadth-first driver loop — per-round plans only
+    "bpe_train_merges",  # per-merge driver loop over the vocab — per-round plans only
     "stream_windowed_topk",  # streaming drain — audited via its batch twin
 }
 
