@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_incremental",
+    "dedup_incremental_neardup",
     "dedup_clusters",
     "dedup_recall",
     "dedup_recall_sampled",

@@ -1511,3 +1511,51 @@ def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quota_rank") <= q)
         .select("doc_id", "lang", "source", "quota_rank")
     )
+
+
+@query(
+    "dedup_incremental_neardup",
+    oracle=f"""
+WITH {_BANDS_CTE_TMPL.format(src="documents")},
+split AS (SELECT max(doc_id) // 2 AS s FROM documents),
+prior AS (
+  SELECT DISTINCT band, sig FROM bands, split WHERE doc_id < split.s
+),
+batch AS (SELECT doc_id, band, sig FROM bands, split WHERE doc_id >= split.s),
+matched AS (SELECT DISTINCT doc_id FROM batch JOIN prior USING (band, sig))
+SELECT b.doc_id, (m.doc_id IS NOT NULL) AS near_dup
+FROM (SELECT DISTINCT doc_id FROM batch) b
+LEFT JOIN matched m USING (doc_id)
+""",
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup half of incremental dedup (dedup_incremental handles
+    byte-exact): a new batch is screened against the prior corpus by
+    joining its minhash band signatures against the PERSISTED signature
+    table — a batch doc sharing any (band, sig) with the prior corpus
+    is flagged near_dup, the rest are genuinely new. Token-less docs
+    have no signature rows (the signature table drops them) and are
+    absent from this screen by construction — the byte-exact
+    dedup_incremental screen is the one that catches them.
+
+    Scale shape: this is THE steady-state dedup query of a growing
+    100 TB corpus — the prior side is the signature table read from
+    parquet (computed once at ingest, bucketed by (band, sig) at rest),
+    the batch side is one day's delta; the screen is a band equi-join +
+    left-anti/semi split, never touching prior TEXT at all. Same split
+    convention as dedup_incremental (max(doc_id)//2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg((F.max("doc_id") / 2).cast("long")).head()[0]
+    bands = minhash_signature_table(spark, sf_dir).select("doc_id", "band", "sig")
+    prior = (
+        bands.filter(F.col("doc_id") < split).select("band", "sig").distinct()
+    )
+    batch = bands.filter(F.col("doc_id") >= split)
+    matched = (
+        batch.join(prior, ["band", "sig"]).select("doc_id").distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    batch_docs = batch.select("doc_id").distinct()
+    return batch_docs.join(matched, "doc_id", "left").select(
+        "doc_id", F.coalesce("near_dup", F.lit(False)).alias("near_dup")
+    )
