@@ -43,6 +43,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "hypertable_rollup",
+    "rolling_user_stats",
     "orders_rollup",
     "dual_store_join",
     # dedup suite

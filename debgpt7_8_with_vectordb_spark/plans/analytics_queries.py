@@ -526,3 +526,58 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
         F.round(F.round(F.sum("value"), 4) / F.count("*"), 6).alias("avg_value"),
     )
+
+
+@query(
+    "rolling_user_stats",
+    oracle="""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(v) OVER w AS DOUBLE) AS sum_1h
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE ts IS NOT NULL)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window feature engineering — per event, the user's
+    activity count and value sum over the PRECEDING HOUR (range frame,
+    not row frame: the window is defined by time distance, and
+    same-timestamp peers are all in-frame on both engines). This is the
+    rolling-feature shape behind fraud/abuse/engagement features in a
+    training pipeline, and the one window type the catalog lacked
+    (hypertable_rollup = tumbling, asof_join = point-in-time).
+
+    Cross-engine contract: the frame orders on exact MICROSECOND longs
+    (unix_micros / epoch_us — integer on both engines; unix_SECONDS
+    would truncate in Spark but round in a DuckDB cast), and the value
+    sum runs in DECIMAL(18,2) so no float summation-order drift.
+
+    Scale shape: one shuffle on user_id; within a user the range frame
+    is a sliding two-pointer pass over the time-sorted events — O(n)
+    per user, no self-join. A whale user is bounded by per-user event
+    counts, not corpus size; beyond that the rows-preceding bound is
+    the salting story (same two-stage shape as domain_quota)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = ev.select(
+        "event_id",
+        "user_id",
+        # ts may surface as TIMESTAMP_NTZ depending on the writer; the
+        # session is pinned UTC (session.py) so the LTZ cast is identity
+        # and unix_micros matches DuckDB's epoch_us on the naive value
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum("v").over(w).cast("double").alias("sum_1h"),
+    )

@@ -57,6 +57,7 @@ FULL_SCAN_OK = {
     "string_shorten",
     "group_counts",
     "last_n_window",  # window over ALL users; rank filter = WindowGroupLimit, not a scan filter
+    "rolling_user_stats",  # trailing range frame over ALL events by definition
     "sessionize_events",
     "skew_salted_agg",
     "union_sources",
