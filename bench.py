@@ -71,6 +71,7 @@ HEADLINE = [
     "quality_score",
     "corpus_quantiles",
     "doc_fingerprint",
+    "winnow_fingerprints",
     "pii_redact",
     "repetition_stats",
     "topk_ngrams",

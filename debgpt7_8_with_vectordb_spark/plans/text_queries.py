@@ -1155,3 +1155,74 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "merge_rank long, lhs string, rhs string, merged string, pair_count long",
     )
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS fingerprinter):
+# guarantee-threshold local fingerprints — any shared substring of
+# length >= WINNOW_W + WINNOW_K - 1 chars is caught by at least one
+# shared fingerprint, while storing only ~2/(w+1) of the k-gram hashes.
+WINNOW_K = 5  # char k-gram width (same as doc_fingerprint's shingles)
+WINNOW_W = 4  # hashes per winnowing window
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1)),
+                          i -> substr(text, i, {WINNOW_K})),
+           g -> {_MD5L.format(e='g')}) AS hs
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) < {WINNOW_W} THEN [list_min(hs)]
+              ELSE list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+                                  i -> list_min(hs[i : i + {WINNOW_W - 1}]))
+         END AS mins
+  FROM s
+)
+SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w
+""",
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (the MOSS algorithm): hash every
+    char {WINNOW_K}-gram, slide a window of {WINNOW_W} consecutive
+    hashes, keep each window's MINIMUM, emit the distinct minima per
+    doc. Unlike doc_fingerprint (one global minimum = whole-doc
+    near-identity), winnowed fingerprints are LOCAL: two docs sharing
+    any run of >= w+k-1 chars share at least one fingerprint — the
+    guarantee threshold — so a fingerprint equi-join finds partial
+    overlaps (plagiarized paragraphs, quoted boilerplate) that
+    whole-doc MinHash dilutes away. Density is ~2/(w+1) of the k-gram
+    count, the storage bound the paper proves optimal.
+
+    Scale shape: entirely per-row array math (shingle → hash → sliding
+    min → distinct) — zero shuffle, scan-parallel; the output
+    fingerprint table is the thing you bucket/join downstream, and at
+    rest it is written bucketed by fp exactly like the minhash
+    signature table."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.transform(char_shingles(F.col("text"), WINNOW_K), md5_long)
+
+    def mins_of(arr):
+        return F.when(
+            F.size(arr) < WINNOW_W, F.array(F.array_min(arr))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (WINNOW_W - 1)),
+                lambda i: F.array_min(F.slice(arr, i, WINNOW_W)),
+            )
+        )
+
+    # bind the hash array ONCE per row (the word_shingles trick) —
+    # referencing `hs` inside the window lambda would recompute the
+    # whole shingle+md5 subtree per window
+    mins = F.element_at(
+        F.transform(F.array(hs), lambda arr: mins_of(arr)), 1
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )

@@ -40,6 +40,7 @@ FULL_SCAN_OK = {
     "bm25_search",  # scores every doc (corpus stats + map-pass scoring)
     "contamination_check",  # every train doc is checked by design
     "doc_fingerprint",
+    "winnow_fingerprints",  # per-row fingerprinting over the whole corpus by definition
     "token_count_bpe",
     "dedup_exact",
     "dedup_simhash",
