@@ -72,6 +72,7 @@ HEADLINE = [
     "corpus_quantiles",
     "doc_fingerprint",
     "winnow_fingerprints",
+    "fingerprint_overlap",
     "pii_redact",
     "repetition_stats",
     "topk_ngrams",

