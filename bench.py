@@ -49,6 +49,7 @@ HEADLINE = [
     # dedup suite
     "dedup_exact",
     "dedup_substring",
+    "dedup_substring_clean",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_lsh_keep",

@@ -1586,3 +1586,90 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_docs.join(matched, "doc_id", "left").select(
         "doc_id", F.coalesce("near_dup", F.lit(False)).alias("near_dup")
     )
+
+
+@query(
+    "dedup_substring_clean",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SEQ.format(t='text')} AS toks FROM documents),
+w AS (
+  SELECT doc_id, i AS start, {_MD5L.format(e=_SUBSTR_WIN_SQL)} AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {SUBSTR_WIN - 2})) AS i
+        FROM t WHERE len(toks) >= {SUBSTR_WIN})
+),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dw AS (SELECT w.* FROM w JOIN dup USING (h)),
+cov AS (
+  SELECT doc_id, list(DISTINCT p) AS cov
+  FROM (SELECT doc_id, unnest(range(start, start + {SUBSTR_WIN})) AS p FROM dw)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       coalesce(len(cov), 0)::BIGINT AS n_removed,
+       -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+       -- concat_ws over an empty array is '' (fully-excised docs)
+       coalesce(array_to_string(
+         CASE WHEN cov IS NULL THEN toks
+              ELSE list_filter(toks, (x, i) -> NOT list_contains(cov, i)) END,
+         ' '), '') AS clean_text
+FROM t LEFT JOIN cov USING (doc_id)
+""",
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of span-level dedup (what Lee et al. actually
+    ship): excise every token position covered by a cross-document
+    duplicated {SUBSTR_WIN}-token window and emit the cleaned,
+    token-rejoined text — dedup_substring is the report, this is the
+    transform. Unaffected documents pass through with n_removed = 0
+    (token-rejoined, i.e. whitespace-normalized — the contract is over
+    tokens, not raw bytes).
+
+    Scale shape: identical to dedup_substring through the window-hash
+    groupBy + hash join; the excision itself is a per-row indexed
+    filter over the token array (the covered-position set rides in as
+    one array column per affected doc — bounded by doc length). Output
+    is corpus-sized: this runs as a full rewrite pass, which is the
+    honest cost of substring removal at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"))
+    w = docs.filter(F.size(toks) >= SUBSTR_WIN).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(word_shingles(F.col("text"), SUBSTR_WIN), md5_long)
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "h")
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        w.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + SUBSTR_WIN - 1)
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+    covc = F.col("cov")
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.size(covc), F.lit(0)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.when(covc.isNull(), F.col("toks")).otherwise(
+                # Spark filter-lambda index is 0-based; positions 1-based
+                F.filter(
+                    F.col("toks"),
+                    lambda x, i: ~F.array_contains(covc, i + 1),
+                )
+            ),
+        ).alias("clean_text"),
+    )

@@ -78,3 +78,36 @@ def test_overlapping_windows_coverage(spark, tmp_path):
     for d in (0, 1):
         assert rows[d]["n_dup_windows"] == 2
         assert rows[d]["covered_tokens"] == 6
+
+
+def test_clean_excises_planted_span(spark, planted_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_clean"](spark, planted_dir).collect()
+    }
+    # all docs pass through (the transform is a full rewrite)
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0]["clean_text"] == "one two three four five"
+    assert rows[0]["n_removed"] == 5
+    assert rows[1]["clean_text"] == "six seven eight nine ten"
+    # untouched docs: token-rejoined original, zero removed
+    assert rows[2]["n_removed"] == 0
+    assert rows[2]["clean_text"] == "p q r s t p q r s t"
+    assert rows[3]["clean_text"] == "tiny doc"
+
+
+def test_clean_consistent_with_report(spark):
+    """n_removed in the transform == covered_tokens in the report for
+    every affected doc on real testdata."""
+    sf = "/root/testdata/sf0.001"
+    rep = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in QUERIES["dedup_substring"](spark, sf).collect()
+    }
+    cln = {
+        r["doc_id"]: r["n_removed"]
+        for r in QUERIES["dedup_substring_clean"](spark, sf).collect()
+    }
+    for d, cov in rep.items():
+        assert cln[d] == cov
+    assert all(v == 0 for d, v in cln.items() if d not in rep)

@@ -98,6 +98,7 @@ FULL_SCAN_OK = {
     "ann_pq_recall",  # recall gate replays exact + ADC over every vector
     "ann_pq_rerank",  # ADC shortlist scans the codes table by definition; rerank reads 50 rows
     "dedup_substring",  # window census over the whole corpus by definition
+    "dedup_substring_clean",  # full rewrite pass over the whole corpus by definition
     "tfidf_topterms",  # tf/df census over the whole corpus by definition
     "quality_classifier",  # per-row scoring over the whole corpus by definition
     "domain_quota",  # per-source quota ranks the whole corpus by definition
