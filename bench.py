@@ -104,6 +104,7 @@ HEADLINE = [
     "paginated_fetch",
     "sessionize_stream",
     "stream_windowed_topk",
+    "stream_neardup_screen",
     "corpus_pipeline",
     # mapreduce reduce loops (round-2: measure the de-funneled rounds)
     "mapreduce_echo",

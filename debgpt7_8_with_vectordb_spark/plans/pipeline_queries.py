@@ -410,3 +410,98 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.countDistinct("event_id").cast("long").alias("n_ids"),
     )
+
+
+@query(
+    "stream_neardup_screen",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                     x -> x <> '')),
+           tk -> (('0x' || substr(md5(tk), 1, 15))::BIGINT) % 2147483647) AS bases
+  FROM documents
+),
+tnz AS (SELECT * FROM t WHERE len(bases) > 0),
+bands AS (
+  SELECT doc_id, b.band,
+         array_to_string(
+           list_transform(generate_series(b.band * 16, b.band * 16 + 15),
+             p -> list_min(list_transform(bases,
+                    x -> ((1 + 2 * p) * x + 7919 * p) % 2147483647))::VARCHAR),
+           ',') AS sig
+  FROM tnz CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) b
+),
+split AS (SELECT max(doc_id) // 2 AS s FROM documents),
+prior AS (
+  SELECT DISTINCT band, sig FROM bands, split WHERE doc_id < split.s
+),
+batch AS (SELECT doc_id, band, sig FROM bands, split WHERE doc_id >= split.s),
+matched AS (SELECT DISTINCT doc_id FROM batch JOIN prior USING (band, sig))
+SELECT b.doc_id, (m.doc_id IS NOT NULL) AS near_dup
+FROM (SELECT DISTINCT doc_id FROM batch) b
+LEFT JOIN matched m USING (doc_id)
+""",
+)
+def stream_neardup_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN — the streaming twin of
+    dedup_incremental_neardup, and the join mode the streaming matrix
+    lacked (sessionize = stateful agg, attribution = stream-stream,
+    dedup = stateful dropDuplicates): the documents DELTA arrives as a
+    file-source stream, its minhash band signatures are computed
+    per-row INSIDE the stream (the signature builder is pure Catalyst
+    expressions, so it lifts to streaming unchanged), and each
+    micro-batch left-joins the PERSISTED prior signature table — the
+    production shape where yesterday's corpus is parquet at rest and
+    today's crawl streams in. Matched docs flag near_dup; the per-doc
+    any-band-matched reduction runs post-drain (append sink carries
+    per-band rows).
+
+    Drained result ≡ the batch oracle — the equality that proves the
+    streaming screen computes exactly the relational semantics."""
+    from ..plans.dedup_queries import _minhash_bands_from, minhash_signature_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg((F.max("doc_id") / 2).cast("long")).head()[0]
+    prior = (
+        minhash_signature_table(spark, sf_dir)
+        .filter(F.col("doc_id") < split)
+        .select("band", "sig")
+        .distinct()
+        .withColumn("matched", F.lit(True))
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .filter(F.col("doc_id") >= split)
+    )
+    bands = _minhash_bands_from(stream, persist=False).select(
+        "doc_id", "band", "sig"
+    )
+    joined = bands.join(prior, ["band", "sig"], "left")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", min(8, int(old_sp)))
+    try:
+        name = f"stream_neardup_sink_{next(_SINK_SEQ)}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.coalesce("matched", F.lit(False))).alias("near_dup")
+        )
+    )

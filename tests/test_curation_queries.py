@@ -65,3 +65,16 @@ def test_quality_classifier_keep_consistent(spark):
         else:
             assert r["keep"] == (r["prob"] >= 0.5)
             assert 0.0 <= r["prob"] <= 1.0
+
+
+def test_stream_neardup_equals_batch(spark):
+    """Drained stream-static screen == the batch incremental screen."""
+    a = {
+        (r["doc_id"], r["near_dup"])
+        for r in QUERIES["stream_neardup_screen"](spark, SF).collect()
+    }
+    b = {
+        (r["doc_id"], r["near_dup"])
+        for r in QUERIES["dedup_incremental_neardup"](spark, SF).collect()
+    }
+    assert a == b and a

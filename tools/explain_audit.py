@@ -116,6 +116,7 @@ SKIP = {
     "paginated_fetch",  # breadth-first driver loop — per-round plans only
     "bpe_train_merges",  # per-merge driver loop over the vocab — per-round plans only
     "stream_windowed_topk",  # streaming drain — audited via its batch twin
+    "stream_neardup_screen",  # streaming drain — audited via its batch twin (dedup_incremental_neardup)
 }
 
 
