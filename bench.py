@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_lsh_keep",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_incremental",
     "dedup_incremental_neardup",
     "dedup_clusters",

@@ -78,3 +78,55 @@ def test_stream_neardup_equals_batch(spark):
         for r in QUERIES["dedup_incremental_neardup"](spark, SF).collect()
     }
     assert a == b and a
+
+
+def test_simhash_pairs_exact_recall_vs_bruteforce(spark):
+    """Manku banding is EXACT for hamming <= 3 (pigeonhole over 4 bands
+    of 15 bits): the banded join must find precisely the brute-force
+    all-pairs set — recall 1.0 AND precision 1.0 at the radius. The
+    60-bit fingerprint is recomputed independently in pure Python from
+    the raw parquet (md5 formula), so this also cross-checks the
+    engine's fingerprint math."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from debgpt7_8_with_vectordb_spark.plans.dedup_queries import (
+        SIMHASH_HAMMING_MAX,
+        _SIMHASH_BITS,
+    )
+
+    def md5l(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, coalesce(text,'') FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    sh = {}
+    for doc_id, text in rows:
+        toks = []
+        seen = set()
+        for t in re.split(r"\s+", text):
+            if t and t not in seen:
+                seen.add(t)
+                toks.append(t)
+        hs = [md5l(t) for t in toks]
+        v = 0
+        for b in range(_SIMHASH_BITS):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                v |= 1 << b
+        sh[doc_id] = v
+    ids = sorted(sh)
+    brute = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= SIMHASH_HAMMING_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in QUERIES["dedup_simhash_pairs"](spark, SF).collect()
+    }
+    assert got == brute and brute

@@ -45,6 +45,7 @@ FULL_SCAN_OK = {
     "token_count_bpe",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_simhash_pairs",  # banded fingerprint join over the whole corpus by definition
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_ngram_jaccard",
