@@ -68,6 +68,7 @@ HEADLINE = [
     "sample_upweight",
     "domain_quota",
     "embedding_quantize",
+    "embedding_gram",
     # text analytics / embedding
     "text_stats",
     "quality_score",
@@ -75,6 +76,7 @@ HEADLINE = [
     "doc_fingerprint",
     "winnow_fingerprints",
     "fingerprint_overlap",
+    "fingerprint_containment",
     "pii_redact",
     "repetition_stats",
     "topk_ngrams",

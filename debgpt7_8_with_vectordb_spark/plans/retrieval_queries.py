@@ -1222,3 +1222,75 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform(F.col("err"), lambda e: F.abs(e))), 6
         ).alias("max_err"),
     )
+
+
+# Gram-matrix quantization step: floor(x * 1000) — floor-based (not
+# round-based) so numpy, Spark, and DuckDB agree bit-for-bit (round
+# splits half-even vs half-away across engines); 1e-3 resolution on
+# unit-scale embedding values keeps the spectrum usable for PCA while
+# making the reduction INTEGER, i.e. associative — partial sums are
+# exact under any partitioning, so the cross-engine hash can't drift
+_GRAM_Q = 1000
+_GRAM_DIM = 64  # embeddings table dim (TESTDATA.md); UDF fail-fasts on drift
+
+
+@query(
+    "embedding_gram",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> floor(x::DOUBLE * {_GRAM_Q})::BIGINT) AS qv
+  FROM embeddings
+),
+idx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS i),
+pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i)
+SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
+       sum(qv[p.i] * qv[p.j])::BIGINT AS gram
+FROM q CROSS JOIN pairs p
+GROUP BY p.i, p.j
+""",
+)
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X'X over the embedding corpus — the PCA /
+    covariance substrate (subtract the mean outer product and
+    eigendecompose the d x d result on the driver; d is tiny, N is not).
+    This is the canonical shape for PCA at 100 TB: ONE pass over the
+    corpus, a BLAS rank-k update per Arrow batch (X_b' @ X_b — O(n d^2)
+    FLOPs in C, no Python per row), and a shuffle of d(d+1)/2 partial
+    rows PER PARTITION ({_GRAM_DIM * (_GRAM_DIM + 1) // 2} x 24 bytes =
+    ~50 KB regardless of corpus size), then a tiny final agg. Nothing
+    corpus-sized ever moves.
+
+    Entries are integer-quantized (floor(x * {_GRAM_Q})) before the
+    product so the reduction is exact integer math — associative, hence
+    independent of partitioning and task order, hence oracle-hashable;
+    float accumulation order would drift between engines. At this
+    quantization |q| <= ~{_GRAM_Q * 10} and int64 partials hold to
+    ~1e12 rows per partition; past that, cast the final agg to
+    decimal(38,0) (the partial rows stay int64 either way)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_batches(batches):
+        iu = np.triu_indices(_GRAM_DIM)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            if X.shape[1] != _GRAM_DIM:
+                raise ValueError(
+                    f"embedding dim {X.shape[1]} != expected {_GRAM_DIM}"
+                )
+            Q = np.floor(X * _GRAM_Q).astype(np.int64)
+            G = Q.T @ Q
+            yield pd.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "gram": G[iu]}
+            )
+
+    partials = emb.mapInPandas(gram_batches, "i long, j long, gram long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("gram").cast("long").alias("gram")
+    )

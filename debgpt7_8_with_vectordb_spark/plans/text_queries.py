@@ -1320,3 +1320,107 @@ def fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= OVERLAP_MIN_SHARED)
     )
+
+
+CONTAIN_MIN = 0.5  # report pairs where either side is >= half-contained
+
+
+@query(
+    "fingerprint_containment",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1)),
+                          i -> substr(text, i, {WINNOW_K})),
+           g -> {_MD5L.format(e='g')}) AS hs
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) < {WINNOW_W} THEN [list_min(hs)]
+              ELSE list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+                                  i -> list_min(hs[i : i + {WINNOW_W - 1}]))
+         END AS mins
+  FROM s
+),
+fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w),
+keep AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {OVERLAP_MAX_DF}
+),
+fpk AS (SELECT fp.* FROM fp JOIN keep USING (fp)),
+cnt AS (SELECT doc_id, count(*) AS n FROM fpk GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+  HAVING count(*) >= {OVERLAP_MIN_SHARED}
+)
+SELECT doc_a, doc_b, n_shared::BIGINT AS n_shared,
+       round(n_shared / ca.n, 6) AS cont_a,
+       round(n_shared / cb.n, 6) AS cont_b
+FROM shared
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE greatest(round(n_shared / ca.n, 6), round(n_shared / cb.n, 6))
+      >= {CONTAIN_MIN}
+""",
+)
+def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment over winnowed fingerprints — the
+    doc-in-doc detector: cont_a = |FP(A) ∩ FP(B)| / |FP(A)| is high
+    when A's content sits inside B even if B is far larger, exactly
+    the pair Jaccard-style symmetric measures dilute to noise (a
+    quoted article inside a digest page has Jaccard ~0.1 but
+    containment ~1.0). This is MOSS's actual report ("% of A's
+    fingerprints matched") and Broder's containment coefficient.
+
+    Scale shape: everything downstream of the PERSISTED winnow table
+    (winnow_fp_table — computed once per corpus at ingest): the pair
+    join is the same df-capped fingerprint equi-join as
+    fingerprint_overlap (bucket fan-out bounded at
+    {OVERLAP_MAX_DF}^2/2), the per-doc denominators are one keyed
+    count each, and the two denominator joins key on doc_id against
+    pair rows — no corpus-sized broadcast, no cross join. The
+    >= {OVERLAP_MIN_SHARED}-shared floor drops single-fingerprint
+    coincidences before the ratio is taken; thresholds compare the
+    6dp-ROUNDED ratios (both engines, the dedup_recall convention) so
+    a boundary pair can't hash-flake."""
+    fp = winnow_fp_table(spark, sf_dir)
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= OVERLAP_MAX_DF)
+        .select("fp")
+    )
+    fpk = fp.join(keep, "fp")
+    cnt = fpk.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = fpk.alias("a"), fpk.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= OVERLAP_MIN_SHARED)
+    )
+    ca = cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")
+    cb = cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")
+    cont_a = F.round(F.col("n_shared") / F.col("n_a"), 6)
+    cont_b = F.round(F.col("n_shared") / F.col("n_b"), 6)
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= CONTAIN_MIN)
+    )

@@ -1,0 +1,72 @@
+"""embedding_gram exactness + fingerprint_containment doc-in-doc."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from debgpt7_8_with_vectordb_spark.plans import QUERIES
+from debgpt7_8_with_vectordb_spark.plans.retrieval_queries import (
+    _GRAM_DIM,
+    _GRAM_Q,
+)
+
+
+def test_gram_matches_numpy_exactly(spark, sf_dir):
+    """The distributed integer Gram equals the single-machine numpy one
+    bit-for-bit — the associativity claim the quantization buys."""
+    rows = QUERIES["embedding_gram"](spark, sf_dir).collect()
+    got = {(r["i"], r["j"]): r["gram"] for r in rows}
+    assert len(got) == _GRAM_DIM * (_GRAM_DIM + 1) // 2
+
+    emb = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    X = np.array([e[0] for e in emb], dtype=np.float64)
+    Q = np.floor(X * _GRAM_Q).astype(np.int64)
+    G = Q.T @ Q
+    for (i, j), v in got.items():
+        assert v == G[i - 1, j - 1], (i, j)
+
+
+def test_gram_diagonal_nonnegative(spark, sf_dir):
+    rows = QUERIES["embedding_gram"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["i"] <= r["j"]
+        if r["i"] == r["j"]:
+            assert r["gram"] >= 0
+
+
+def _write_docs(path, texts):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(path / "documents.parquet"))
+    return str(path)
+
+
+def test_containment_detects_doc_in_doc(spark, tmp_path):
+    """A doc wholly quoted inside a much larger doc has high
+    containment (A-side) even though the pair's Jaccard is low — the
+    case symmetric dedup measures miss."""
+    inner = "zebra quartz jovial wombat kayak plinth gizmo vortex " * 6
+    filler = " ".join(f"fill{i}word{i * 7 % 13}" for i in range(400))
+    docs = [inner, filler[: len(filler) // 2] + " " + inner + " " + filler,
+            "completely unrelated tiny text about nothing at all"]
+    d = _write_docs(tmp_path, docs)
+    rows = QUERIES["fingerprint_containment"](spark, d).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (0, 1) in pairs, f"doc-in-doc pair missed: {pairs.keys()}"
+    r = pairs[(0, 1)]
+    assert r["cont_a"] >= 0.5, r
+    # the big doc is NOT contained in the small one
+    assert r["cont_b"] < r["cont_a"]
+    assert not any(2 in p for p in pairs), pairs.keys()

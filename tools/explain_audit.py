@@ -42,6 +42,7 @@ FULL_SCAN_OK = {
     "doc_fingerprint",
     "winnow_fingerprints",  # per-row fingerprinting over the whole corpus by definition
     "fingerprint_overlap",  # fingerprint census + capped equi-join over the whole corpus
+    "fingerprint_containment",  # same capped join + per-doc denominators over the whole corpus
     "token_count_bpe",
     "dedup_exact",
     "dedup_simhash",
@@ -81,6 +82,7 @@ FULL_SCAN_OK = {
     "ann_recall_sweep",  # centroid build + exact oracle read every vector by definition
     "sample_stratified",  # the md5 sampling ticket is per-row math, not a pushable predicate
     "embedding_quantize",  # per-row transform over every vector by definition
+    "embedding_gram",  # one full corpus pass is the definition (X-transpose-X)
     "ann_srp_lsh",  # signature scan reads all vectors; bucket filter is the partition key at rest
     "section_lookup",  # sectioning pass reads every doc; the dotted key prunes at rest
     "pii_redact",  # per-row redaction over the whole corpus by definition
