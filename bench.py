@@ -69,6 +69,7 @@ HEADLINE = [
     "domain_quota",
     "embedding_quantize",
     "embedding_gram",
+    "embedding_pca_project",
     # text analytics / embedding
     "text_stats",
     "quality_score",

@@ -61,6 +61,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 ORACLE_ARTIFACTS: dict[str, tuple[str, str]] = {
     "__IVF_CENTROIDS__": ("embeddings.parquet", "ivf_handoff_v1"),
     "__PQ_CODEBOOKS__": ("embeddings.parquet", "pq_handoff_v1"),
+    "__PCA_COMPONENTS__": ("embeddings.parquet", "pca_handoff_v1"),
 }
 
 _HANDOFF_ROOT = "/tmp/spark_graft_artifacts/oracle_handoff"

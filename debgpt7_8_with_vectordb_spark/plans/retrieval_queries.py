@@ -1267,10 +1267,18 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization |q| <= ~{_GRAM_Q * 10} and int64 partials hold to
     ~1e12 rows per partition; past that, cast the final agg to
     decimal(38,0) (the partial rows stay int64 either way)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return _gram_table(emb)
+
+
+def _gram_table(emb: DataFrame, include_sums: bool = False) -> DataFrame:
+    """Quantized-integer Gram partials + final agg over an `embedding`
+    column. With ``include_sums`` the same single pass also emits the
+    per-dimension column sums as (i, j=0) rows — disjoint from the
+    i <= j gram rows — so a covariance consumer gets mean AND Gram
+    without a second corpus scan."""
     import numpy as np
     import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
 
     def gram_batches(batches):
         iu = np.triu_indices(_GRAM_DIM)
@@ -1286,11 +1294,151 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             Q = np.floor(X * _GRAM_Q).astype(np.int64)
             G = Q.T @ Q
-            yield pd.DataFrame(
-                {"i": iu[0] + 1, "j": iu[1] + 1, "gram": G[iu]}
-            )
+            out = {"i": iu[0] + 1, "j": iu[1] + 1, "gram": G[iu]}
+            if include_sums:
+                d = np.arange(1, _GRAM_DIM + 1)
+                out = {
+                    "i": np.concatenate([out["i"], d]),
+                    "j": np.concatenate([out["j"], np.zeros(_GRAM_DIM, dtype=np.int64)]),
+                    "gram": np.concatenate([out["gram"], Q.sum(axis=0)]),
+                }
+            yield pd.DataFrame(out)
 
-    partials = emb.mapInPandas(gram_batches, "i long, j long, gram long")
+    partials = emb.select("embedding").mapInPandas(
+        gram_batches, "i long, j long, gram long"
+    )
     return partials.groupBy("i", "j").agg(
         F.sum("gram").cast("long").alias("gram")
     )
+
+
+_PCA_COMPONENTS = "__PCA_COMPONENTS__"
+_PCA_K = 4
+
+
+def _pca_components_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], list[list[float]]]:
+    """Mean + top-{k} principal components of the L2-NORMALIZED
+    embedding corpus, trained from ONE distributed pass (the
+    sums+Gram mapInPandas of _gram_table) and a d x d driver-side
+    eigendecomposition. Persisted to the corpus-keyed oracle-handoff
+    parquet (row pc_id=0 is the mean, 1..k the components) — the file
+    IS the cache: the integer-exact Gram makes retraining bit-stable,
+    so cold and warm runs produce the identical artifact."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    path = oracle_artifact_path(_PCA_COMPONENTS, sf_dir)
+    if os.path.exists(path):
+        tbl = pq_.read_table(path).to_pydict()
+        by_id = dict(zip(tbl["pc_id"], tbl["vec"]))
+        return list(by_id[0]), [list(by_id[k]) for k in range(1, _PCA_K + 1)]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(l2_normalize(F.col("embedding").cast("array<double>")).alias("embedding"))
+    rows = _gram_table(normed, include_sums=True).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    G = np.zeros((_GRAM_DIM, _GRAM_DIM), dtype=np.float64)
+    s = np.zeros(_GRAM_DIM, dtype=np.float64)
+    for r in rows:
+        if r["j"] == 0:
+            s[r["i"] - 1] = r["gram"]
+        else:
+            G[r["i"] - 1, r["j"] - 1] = r["gram"]
+            G[r["j"] - 1, r["i"] - 1] = r["gram"]
+    # de-quantize: C = E[xx'] - mm' over the normalized corpus
+    m = s / (_GRAM_Q * n)
+    C = G / (_GRAM_Q * _GRAM_Q * n) - np.outer(m, m)
+    vals, vecs = np.linalg.eigh(C)
+    comps = []
+    for k in range(1, _PCA_K + 1):
+        v = vecs[:, -k]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # canonical sign
+            v = -v
+        comps.append([float(x) for x in v])
+
+    rows_id = list(range(_PCA_K + 1))
+    rows_vec = [[float(x) for x in m]] + comps
+    tbl = pa.table(
+        {
+            "pc_id": pa.array(rows_id, type=pa.int64()),
+            "vec": pa.array(rows_vec, type=pa.list_(pa.float64())),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq_.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return [float(x) for x in m], comps
+
+
+@query(
+    "embedding_pca_project",
+    oracle=f"""
+WITH pc AS (SELECT pc_id, vec FROM '{_PCA_COMPONENTS}'),
+raw AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+nv AS (
+  SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS nv
+  FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM raw)
+),
+ctr AS (
+  SELECT vec_id, list_transform(generate_series(1, {_GRAM_DIM}),
+                                i -> nv[i] - m.vec[i]) AS cv
+  FROM nv, (SELECT vec FROM pc WHERE pc_id = 0) m
+),
+proj AS (
+  SELECT vec_id, pc_id,
+         round(list_sum(list_transform(generate_series(1, {_GRAM_DIM}),
+                                       i -> cv[i] * pc.vec[i])), 6) AS p
+  FROM ctr CROSS JOIN pc
+  WHERE pc_id > 0
+)
+SELECT vec_id,
+       max(CASE WHEN pc_id = 1 THEN p END) AS p1,
+       max(CASE WHEN pc_id = 2 THEN p END) AS p2,
+       max(CASE WHEN pc_id = 3 THEN p END) AS p3,
+       max(CASE WHEN pc_id = 4 THEN p END) AS p4
+FROM proj GROUP BY vec_id
+""",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the corpus's top
+    {_PCA_K} principal directions — the standard dimensionality step
+    before visualization, whitening, or cheap prefiltering, and the
+    consumer of embedding_gram's one-pass substrate.
+
+    The split of labor is the 100 TB shape: TRAINING is one
+    distributed pass (sums + Gram from the same mapInPandas — see
+    _gram_table(include_sums=True)) plus an eigendecomposition of a
+    {_GRAM_DIM}x{_GRAM_DIM} matrix on the driver (microseconds; the
+    collect is 2,080 rows — reduction output, not data). PROJECTION is
+    a zero-shuffle scan: the k+1 trained vectors come back as array
+    LITERALS inside whole-stage-codegen expressions (center with
+    zip_with, dot with a fixed-order fold) — no join, no Python in the
+    per-row path. FULLY ORACLED via the persisted component parquet
+    (the ann_ivf_kmeans handoff pattern): DuckDB replays normalize →
+    center → project from the same artifact; both engines fold the
+    {_GRAM_DIM} products in array order in double, then round to 6dp.
+    Eigenvector signs are canonicalized (largest-|coord| positive), and
+    the integer-exact Gram makes the trained artifact bit-stable across
+    reruns and partitionings."""
+    mean, comps = _pca_components_cached(spark, sf_dir)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = l2_normalize(F.col("embedding").cast("array<double>"))
+    m_lit = F.array(*[F.lit(x) for x in mean])
+    centered = F.zip_with(nv, m_lit, lambda a, b: a - b)
+    cols = []
+    for k, comp in enumerate(comps, start=1):
+        c_lit = F.array(*[F.lit(x) for x in comp])
+        dot_ = F.aggregate(
+            F.zip_with(centered, c_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(dot_, 6).alias(f"p{k}"))
+    return emb.select("vec_id", *cols)

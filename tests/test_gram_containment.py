@@ -70,3 +70,24 @@ def test_containment_detects_doc_in_doc(spark, tmp_path):
     # the big doc is NOT contained in the small one
     assert r["cont_b"] < r["cont_a"]
     assert not any(2 in p for p in pairs), pairs.keys()
+
+
+def test_pca_project_variance_order_and_orthonormal(spark, sf_dir):
+    """Trained components are orthonormal; projected variance is
+    non-increasing across p1..p4 (the eigenvalue ordering)."""
+    from debgpt7_8_with_vectordb_spark.plans.retrieval_queries import (
+        _pca_components_cached,
+    )
+
+    mean, comps = _pca_components_cached(spark, sf_dir)
+    C = np.array(comps)
+    assert C.shape == (4, _GRAM_DIM)
+    eye = C @ C.T
+    assert np.allclose(eye, np.eye(4), atol=1e-9)
+
+    rows = QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+    P = np.array([[r["p1"], r["p2"], r["p3"], r["p4"]] for r in rows])
+    var = P.var(axis=0)
+    assert all(var[k] >= var[k + 1] - 1e-9 for k in range(3)), var
+    # projections of centered data have ~zero mean
+    assert np.abs(P.mean(axis=0)).max() < 1e-2

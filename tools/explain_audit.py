@@ -83,6 +83,7 @@ FULL_SCAN_OK = {
     "sample_stratified",  # the md5 sampling ticket is per-row math, not a pushable predicate
     "embedding_quantize",  # per-row transform over every vector by definition
     "embedding_gram",  # one full corpus pass is the definition (X-transpose-X)
+    "embedding_pca_project",  # projects every vector by definition (train pass is cached)
     "ann_srp_lsh",  # signature scan reads all vectors; bucket filter is the partition key at rest
     "section_lookup",  # sectioning pass reads every doc; the dotted key prunes at rest
     "pii_redact",  # per-row redaction over the whole corpus by definition
