@@ -44,6 +44,8 @@ HEADLINE = [
     "range_join",
     "hypertable_rollup",
     "rolling_user_stats",
+    "event_funnel",
+    "retention_cohorts",
     "orders_rollup",
     "dual_store_join",
     # dedup suite

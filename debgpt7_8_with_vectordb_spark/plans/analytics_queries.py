@@ -581,3 +581,144 @@ def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.sum("v").over(w).cast("double").alias("sum_1h"),
     )
+
+
+_FUNNEL = ("signup", "click", "purchase")
+
+
+@query(
+    "event_funnel",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS stage, '{_FUNNEL[0]}' AS event_type,
+       (SELECT count(*) FROM s)::BIGINT AS users
+UNION ALL
+SELECT 2::BIGINT, '{_FUNNEL[1]}', (SELECT count(*) FROM c)::BIGINT
+UNION ALL
+SELECT 3::BIGINT, '{_FUNNEL[2]}', (SELECT count(*) FROM p)::BIGINT
+""",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (signup -> click -> purchase): a user
+    reaches stage k+1 at the first stage-(k+1) event STRICTLY AFTER
+    their stage-k time. The naive plan is one self-join per stage
+    (k passes over events); this runs ONE shuffle total: filter to the
+    funnel types, sort each user's events once
+    (sort_array(collect_list)), and replay the funnel as a left fold
+    over the sorted array — first-signup, then first-later-click, then
+    first-later-purchase — which is exactly the min-chain the oracle's
+    3-CTE formulation computes. Per-user state is 3 timestamps; the
+    fold is codegen array math, no Python, no window function, and the
+    per-user event list is session-scale (the same boundedness
+    argument as sessionize/pack_sequences)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_FUNNEL)
+    )
+    sorted_ev = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def step(acc, e):
+        t1 = F.when(
+            acc["t1"].isNull() & (e["event_type"] == _FUNNEL[0]), e["ts"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t2"].isNull()
+            & (e["event_type"] == _FUNNEL[1])
+            & acc["t1"].isNotNull()
+            & (e["ts"] > acc["t1"]),
+            e["ts"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull()
+            & (e["event_type"] == _FUNNEL[2])
+            & acc["t2"].isNotNull()
+            & (e["ts"] > acc["t2"]),
+            e["ts"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(sorted_ev.alias("evs"))
+        .select(F.aggregate(F.col("evs"), acc0, step).alias("f"))
+    )
+    counts = per_user.agg(
+        F.count("f.t1").alias("n1"),
+        F.count("f.t2").alias("n2"),
+        F.count("f.t3").alias("n3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(name).alias("event_type"),
+                F.col(f"n{i + 1}").cast("long").alias("users"),
+            )
+            for i, name in enumerate(_FUNNEL)
+        ]
+    )
+    return counts.select(F.explode(stages).alias("s")).select("s.*")
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', min(ts))::DATE AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS active_day
+  FROM events
+)
+SELECT f.cohort_day AS cohort_day,
+       date_diff('day', f.cohort_day, a.active_day)::BIGINT AS day_offset,
+       count(DISTINCT a.user_id)::BIGINT AS users
+FROM active a JOIN first_seen f USING (user_id)
+GROUP BY cohort_day, day_offset
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day,
+    counted on every later day they were active (day_offset 0 = the
+    cohort day itself). The product-analytics staple next to
+    sessionize/funnel.
+
+    Scale shape: two aggregations over events (per-user min, distinct
+    user-day — both with map-side partial agg) joined on user_id (a
+    keyed join of user-sized tables, not event-sized), then a final
+    group on (cohort_day, day_offset) whose cardinality is days² —
+    tiny. Nothing wider than the user dimension ever shuffles twice,
+    and no window function is needed anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("users"))
+    )

@@ -91,3 +91,65 @@ def test_pca_project_variance_order_and_orthonormal(spark, sf_dir):
     assert all(var[k] >= var[k + 1] - 1e-9 for k in range(3)), var
     # projections of centered data have ~zero mean
     assert np.abs(P.mean(axis=0)).max() < 1e-2
+
+
+def _write_events(path, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(hours=r[2]) for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(path / "events.parquet"))
+    return str(path)
+
+
+def test_event_funnel_strict_order(spark, tmp_path):
+    """Stage k+1 only counts events strictly after stage k: a click
+    before (or simultaneous with) the signup never converts."""
+    d = _write_events(
+        tmp_path,
+        [
+            (1, "signup", 1), (1, "click", 2), (1, "purchase", 3),
+            # click pre-signup + click AT the signup instant: stage 1 only
+            (2, "click", 0), (2, "signup", 2), (2, "click", 2),
+            (2, "purchase", 5),
+            (3, "purchase", 1),  # never signed up
+        ],
+    )
+    rows = {r["stage"]: r for r in QUERIES["event_funnel"](spark, d).collect()}
+    assert rows[1]["users"] == 2
+    assert rows[2]["users"] == 1
+    assert rows[3]["users"] == 1
+    assert [rows[k]["event_type"] for k in (1, 2, 3)] == [
+        "signup", "click", "purchase",
+    ]
+
+
+def test_retention_cohorts_offsets(spark, tmp_path):
+    d = _write_events(
+        tmp_path,
+        [
+            (1, "view", 0), (1, "view", 25), (1, "view", 26),  # D0, D1 twice
+            (1, "view", 24 * 3),  # D3
+            (2, "view", 30),  # first seen D1
+        ],
+    )
+    rows = QUERIES["retention_cohorts"](spark, d).collect()
+    got = {(str(r["cohort_day"]), r["day_offset"]): r["users"] for r in rows}
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+    }, got
