@@ -86,6 +86,7 @@ HEADLINE = [
     "tfidf_topterms",
     "quality_classifier",
     "bpe_train_merges",
+    "bpe_apply",
     "ngram_lm_score",
     "bm25_search",
     "contamination_check",

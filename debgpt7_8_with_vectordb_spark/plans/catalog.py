@@ -62,6 +62,7 @@ ORACLE_ARTIFACTS: dict[str, tuple[str, str]] = {
     "__IVF_CENTROIDS__": ("embeddings.parquet", "ivf_handoff_v1"),
     "__PQ_CODEBOOKS__": ("embeddings.parquet", "pq_handoff_v1"),
     "__PCA_COMPONENTS__": ("embeddings.parquet", "pca_handoff_v1"),
+    "__BPE_MERGES__": ("documents.parquet", "bpe_handoff_v1"),
 }
 
 _HANDOFF_ROOT = "/tmp/spark_graft_artifacts/oracle_handoff"

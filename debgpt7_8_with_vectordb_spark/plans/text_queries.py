@@ -15,7 +15,7 @@ from ..functions.hashing import md5_long
 from ..functions.text import char_shingles, tokens, word_shingles
 from ..operators.textprofile import repetition_counts
 from ..tables import load_table
-from .catalog import query
+from .catalog import oracle_artifact_path, query
 
 # DuckDB: whitespace tokens with empties dropped (matches functions.text.tokens)
 _TOKS = r"list_filter(string_split_regex({t}, '\s+'), x -> x <> '')"
@@ -1423,4 +1423,145 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             cont_b.alias("cont_b"),
         )
         .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= CONTAIN_MIN)
+    )
+
+
+_BPE_MERGES = "__BPE_MERGES__"
+
+
+def _bpe_merges_cached(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str]]:
+    """The learned merge table, persisted once per corpus to the
+    corpus-keyed oracle-handoff parquet (the PCA/IVF pattern). Cold
+    path runs bpe_train_merges (corpus census once, vocab-sized
+    rounds); warm consumers — bpe_apply and its oracle — read the
+    artifact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    path = oracle_artifact_path(_BPE_MERGES, sf_dir)
+    if not os.path.exists(path):
+        rows = bpe_train_merges(spark, sf_dir).collect()
+        tbl = pa.table(
+            {
+                "merge_rank": pa.array([r["merge_rank"] for r in rows], type=pa.int64()),
+                "lhs": pa.array([r["lhs"] for r in rows]),
+                "rhs": pa.array([r["rhs"] for r in rows]),
+            }
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq_.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    t = pq_.read_table(path).to_pydict()
+    out = sorted(zip(t["merge_rank"], t["lhs"], t["rhs"]))
+    return [(int(r), l, rh) for r, l, rh in out]
+
+
+def _bpe_apply_oracle() -> str:
+    toks = _TOKS.format(t="text")
+    mp_cols = ", ".join(
+        f"max(CASE WHEN merge_rank = {r} THEN lhs END) AS a{r}, "
+        f"max(CASE WHEN merge_rank = {r} THEN rhs END) AS b{r}"
+        for r in range(1, N_MERGES + 1)
+    )
+    ctes = [
+        f"m AS (SELECT {mp_cols} FROM '{_BPE_MERGES}')",
+        f"words AS (SELECT doc_id, unnest({toks}) AS word FROM documents)",
+        "vocab AS (SELECT DISTINCT word FROM words)",
+        "v0 AS (SELECT word, string_split(word, '') AS syms FROM vocab)",
+    ]
+    for r in range(1, N_MERGES + 1):
+        ctes.append(f"""v{r} AS (
+  SELECT word,
+         list_reduce(
+           list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
+           (a, x) -> CASE WHEN len(a) > 0 AND a[-1] = m.a{r} AND x[1] = m.b{r}
+                          THEN a[1:len(a)-1] || [m.a{r} || m.b{r}]
+                          ELSE a || x END) AS syms
+  FROM v{r - 1}, m
+)""")
+    ctes.append(
+        f"vc AS (SELECT word, len(syms) AS n_syms FROM v{N_MERGES})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT w.doc_id AS doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(length(w.word))::BIGINT AS n_chars,
+       sum(vc.n_syms)::BIGINT AS n_tokens,
+       round(sum(length(w.word)) / sum(vc.n_syms), 6) AS chars_per_token
+FROM words w JOIN vc USING (word)
+GROUP BY w.doc_id
+"""
+    )
+
+
+@query("bpe_apply", oracle=_bpe_apply_oracle())
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZE the corpus with the learned BPE merges — the apply half
+    of bpe_train_merges, i.e. what a training pipeline actually runs
+    over 100 TB once the tokenizer is trained. Merge application is the
+    trainer's exact convention (rank order; per rule, one left-to-right
+    non-overlapping fold pass), replayed from the PERSISTED merge
+    artifact so trainer, applier, and oracle all consume one table.
+
+    Scale shape — the reason this is NOT a per-character pass over the
+    corpus: merges apply to the distinct-word VOCABULARY (vocab-sized
+    fold work, corpus-size-independent, same argument as training),
+    and the corpus itself is touched by exactly two cheap passes — the
+    word explode and a keyed join word -> post-merge token count
+    (vocab broadcasts at test scale; AQE keeps it a shuffle join when
+    a web-scale vocab outgrows the threshold), then one per-doc agg.
+    Output is the per-doc token accounting (n_words / n_chars /
+    n_tokens / chars_per_token) every budget-planning stage needs;
+    token-less docs are absent by contract on both engines (inner
+    word join). Empty-word edge impossible (tokens() drops '')."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges_cached(spark, sf_dir)
+
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    vocab = words.select("word").distinct()
+    syms = vocab.select(
+        "word",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, F.lit(1)),
+        ).alias("syms"),
+    )
+    for _, lhs, rhs in merges:
+        merged_sym = F.lit(lhs + rhs)
+        syms = syms.withColumn(
+            "syms",
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs))
+                    & (x == F.lit(rhs)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(merged_sym),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        )
+    vc = syms.select("word", F.size("syms").alias("n_syms"))
+    return (
+        words.join(vc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("n_syms"), 6
+            ).alias("chars_per_token"),
+        )
     )

@@ -64,3 +64,44 @@ def test_overlap_counts_vs_nonoverlap_merge(spark, tmp_path):
     )
     got = [(r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
     assert got == [("a", "a", 3), ("aa", "aa", 1)]
+
+
+def test_bpe_apply_matches_python_replay(spark, sf_dir):
+    """bpe_apply's per-doc token counts equal an independent pure-Python
+    replay of the persisted merges (rank order, one left-to-right
+    non-overlapping fold pass per rule)."""
+    import re
+
+    import duckdb
+
+    from debgpt7_8_with_vectordb_spark.plans import QUERIES
+    from debgpt7_8_with_vectordb_spark.plans.text_queries import (
+        _bpe_merges_cached,
+    )
+
+    merges = _bpe_merges_cached(spark, sf_dir)
+
+    def apply_word(word):
+        syms = list(word)
+        for _, lhs, rhs in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, coalesce(text,'') AS text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    expect = {}
+    for doc_id, text in docs:
+        ws = [w for w in re.split(r"\s+", text) if w]
+        if ws:
+            expect[doc_id] = sum(apply_word(w) for w in ws)
+
+    rows = QUERIES["bpe_apply"](spark, sf_dir).collect()
+    got = {r["doc_id"]: r["n_tokens"] for r in rows}
+    assert got == expect

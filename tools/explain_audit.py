@@ -105,6 +105,7 @@ FULL_SCAN_OK = {
     "dedup_substring_clean",  # full rewrite pass over the whole corpus by definition
     "tfidf_topterms",  # tf/df census over the whole corpus by definition
     "quality_classifier",  # per-row scoring over the whole corpus by definition
+    "bpe_apply",  # tokenizes every doc by definition (merge folds run on the vocab)
     "domain_quota",  # per-source quota ranks the whole corpus by definition
     "minhash_fidelity",  # reads every signature + the pair table by definition
     "ann_srp_recall",  # recall gate replays exact + bucket scan over every vector
