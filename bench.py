@@ -80,6 +80,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "fingerprint_overlap",
     "fingerprint_containment",
+    "dedup_containment_keep",
     "pii_redact",
     "repetition_stats",
     "topk_ngrams",

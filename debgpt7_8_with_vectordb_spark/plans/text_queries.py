@@ -1323,12 +1323,12 @@ def fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAIN_MIN = 0.5  # report pairs where either side is >= half-contained
+CONTAIN_DROP = 0.8  # removal threshold: drop a doc this contained in a larger one
 
-
-@query(
-    "fingerprint_containment",
-    oracle=f"""
-WITH s AS (
+# shared CTE chain: winnow -> df-cap -> pair join -> per-doc denominators;
+# ends at `scored` = (doc_a, doc_b, n_shared, n_a, n_b) — consumed by the
+# containment REPORT and the keep-rule TRANSFORM below
+_CONTAIN_CTES = f"""s AS (
   SELECT doc_id,
          list_transform(
            list_transform(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1)),
@@ -1355,14 +1355,24 @@ shared AS (
   FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY doc_a, doc_b
   HAVING count(*) >= {OVERLAP_MIN_SHARED}
-)
+),
+scored AS (
+  SELECT doc_a, doc_b, n_shared, ca.n AS n_a, cb.n AS n_b
+  FROM shared
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+)"""
+
+
+@query(
+    "fingerprint_containment",
+    oracle=f"""
+WITH {_CONTAIN_CTES}
 SELECT doc_a, doc_b, n_shared::BIGINT AS n_shared,
-       round(n_shared / ca.n, 6) AS cont_a,
-       round(n_shared / cb.n, 6) AS cont_b
-FROM shared
-JOIN cnt ca ON ca.doc_id = doc_a
-JOIN cnt cb ON cb.doc_id = doc_b
-WHERE greatest(round(n_shared / ca.n, 6), round(n_shared / cb.n, 6))
+       round(n_shared / n_a, 6) AS cont_a,
+       round(n_shared / n_b, 6) AS cont_b
+FROM scored
+WHERE greatest(round(n_shared / n_a, 6), round(n_shared / n_b, 6))
       >= {CONTAIN_MIN}
 """,
 )
@@ -1386,6 +1396,21 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     coincidences before the ratio is taken; thresholds compare the
     6dp-ROUNDED ratios (both engines, the dedup_recall convention) so
     a boundary pair can't hash-flake."""
+    scored = _containment_scored(spark, sf_dir)
+    cont_a = F.round(F.col("n_shared") / F.col("n_a"), 6)
+    cont_b = F.round(F.col("n_shared") / F.col("n_b"), 6)
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        cont_a.alias("cont_a"),
+        cont_b.alias("cont_b"),
+    ).filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= CONTAIN_MIN)
+
+
+def _containment_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_a, n_b) over the persisted winnow
+    table — the Spark twin of the oracle's `scored` CTE."""
     fp = winnow_fp_table(spark, sf_dir)
     keep = (
         fp.groupBy("fp")
@@ -1410,19 +1435,57 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")
     cb = cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")
-    cont_a = F.round(F.col("n_shared") / F.col("n_a"), 6)
-    cont_b = F.round(F.col("n_shared") / F.col("n_b"), 6)
-    return (
-        shared.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared",
-            cont_a.alias("cont_a"),
-            cont_b.alias("cont_b"),
+    return shared.join(ca, "doc_a").join(cb, "doc_b")
+
+
+@query(
+    "dedup_containment_keep",
+    oracle=f"""
+WITH {_CONTAIN_CTES},
+drops AS (
+  SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a > doc_b)
+              THEN doc_a ELSE doc_b END AS doc_id
+  FROM scored
+  WHERE round(n_shared / CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a > doc_b)
+                              THEN n_a ELSE n_b END, 6) >= {CONTAIN_DROP}
+)
+SELECT d.doc_id, (dr.doc_id IS NULL) AS keep
+FROM documents d
+LEFT JOIN (SELECT DISTINCT doc_id FROM drops) dr USING (doc_id)
+""",
+)
+def dedup_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM half of containment dedup (the report/transform
+    pairing the dedup family follows: substring/substring_clean,
+    lsh/lsh_keep): drop a document when it is >= {CONTAIN_DROP}
+    contained in a doc with MORE discriminative fingerprints (ties to
+    the smaller doc_id) — i.e. quoted-inside/boilerplate-subset pages
+    go, their hosts stay. The smaller side of each pair is the drop
+    candidate and ONLY its containment is thresholded, so a pair of
+    near-equals (mutual high containment) keeps exactly one.
+
+    Scale shape: identical to fingerprint_containment through the
+    df-capped pair join (everything downstream of the persisted winnow
+    table); the verdict join back to documents keys on doc_id. Output
+    is corpus-sized by contract (a keep flag per document — the shape
+    corpus_pipeline's dedup stage consumes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _containment_scored(spark, sf_dir)
+    a_drops = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))
+    )
+    victim = F.when(a_drops, F.col("doc_a")).otherwise(F.col("doc_b"))
+    victim_n = F.when(a_drops, F.col("n_a")).otherwise(F.col("n_b"))
+    drops = (
+        scored.filter(
+            F.round(F.col("n_shared") / victim_n, 6) >= CONTAIN_DROP
         )
-        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= CONTAIN_MIN)
+        .select(victim.alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return docs.join(drops, "doc_id", "left").select(
+        "doc_id", F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep")
     )
 
 

@@ -153,3 +153,16 @@ def test_retention_cohorts_offsets(spark, tmp_path):
         ("2024-01-01", 3): 1,
         ("2024-01-02", 0): 1,
     }, got
+
+
+def test_containment_keep_drops_contained_doc(spark, tmp_path):
+    """The keep rule drops the smaller (contained) doc, keeps the
+    host, and passes unrelated docs through."""
+    inner = "zebra quartz jovial wombat kayak plinth gizmo vortex " * 6
+    filler = " ".join(f"fill{i}word{i * 7 % 13}" for i in range(400))
+    docs = [inner, filler[: len(filler) // 2] + " " + inner + " " + filler,
+            "completely unrelated tiny text about nothing at all"]
+    d = _write_docs(tmp_path, docs)
+    rows = {r["doc_id"]: r["keep"] for r in
+            QUERIES["dedup_containment_keep"](spark, d).collect()}
+    assert rows == {0: False, 1: True, 2: True}, rows

@@ -43,6 +43,7 @@ FULL_SCAN_OK = {
     "winnow_fingerprints",  # per-row fingerprinting over the whole corpus by definition
     "fingerprint_overlap",  # fingerprint census + capped equi-join over the whole corpus
     "fingerprint_containment",  # same capped join + per-doc denominators over the whole corpus
+    "dedup_containment_keep",  # keep flag per document by contract (full verdict join)
     "token_count_bpe",
     "dedup_exact",
     "dedup_simhash",
