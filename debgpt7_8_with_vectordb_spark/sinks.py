@@ -58,8 +58,13 @@ def write_corpus(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    return _write_manifest(df.sparkSession, path, partition_by)
 
-    written = df.sparkSession.read.parquet(path)
+
+def _write_manifest(spark, path: str, partition_by: Sequence[str]) -> dict:
+    """Recount the corpus FROM DISK and atomically (re)write the
+    manifest — it certifies what landed, not what the plan promised."""
+    written = spark.read.parquet(path)
     if partition_by:
         counts = {
             "|".join(str(r[k]) for k in partition_by): r["cnt"]
@@ -93,3 +98,59 @@ def write_corpus(
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST)) as fh:
         return json.load(fh)
+
+
+def compact_corpus(spark, path: str, target_bytes: int = 128 << 20) -> dict:
+    """Small-shard compaction — the maintenance pass every long-lived
+    100 TB corpus needs: dynamic-partition writes and incremental
+    appends leave partitions holding many files far below the parquet
+    sweet spot (~128-256 MB), and scan parallelism/open-file overhead
+    degrade with file COUNT, not byte count. Per partition directory:
+    if it holds more files than ceil(total_bytes / target_bytes), read
+    just that partition, rewrite it into that many shards, and swap the
+    files in; right-sized partitions are left untouched (incremental —
+    cost tracks the debt, not the corpus). The manifest is recounted
+    from disk afterwards.
+
+    The swap is remove-then-move on the local filesystem — fine for the
+    single-writer contract this sink documents; a concurrent-reader
+    deployment does this inside a snapshotting table format instead
+    (same compaction decision, different commit protocol).
+
+    Returns the refreshed manifest plus a ``compacted`` list of the
+    partition dirs rewritten."""
+    import math
+    import shutil
+
+    man = read_manifest(path)
+    by_dir: dict[str, list[str]] = {}
+    for rel in man["shards"]:
+        by_dir.setdefault(os.path.dirname(rel), []).append(
+            os.path.join(path, rel)
+        )
+
+    compacted = []
+    for d, files in sorted(by_dir.items()):
+        total = sum(os.path.getsize(f) for f in files)
+        want = max(1, math.ceil(total / target_bytes))
+        if len(files) <= want:
+            continue
+        src = os.path.join(path, d) if d else path
+        tmp = os.path.join(
+            os.path.dirname(src), f".compact-tmp-{os.path.basename(src) or 'root'}"
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(src).repartition(want).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        for f in files:
+            os.remove(f)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(tmp, f), os.path.join(src, f))
+        shutil.rmtree(tmp)
+        compacted.append(d)
+
+    manifest = _write_manifest(spark, path, man["partition_by"])
+    manifest["compacted"] = compacted
+    return manifest

@@ -69,3 +69,36 @@ def test_sort_within_orders_each_shard(spark, docs, tmp_path):
             for r in spark.read.parquet(os.path.join(out, shard)).collect()
         ]
         assert ids == sorted(ids), f"{shard} not locally sorted"
+
+
+def test_compact_corpus_merges_small_shards(spark, sf_dir, tmp_path):
+    from debgpt7_8_with_vectordb_spark.sinks import (
+        compact_corpus,
+        read_manifest,
+        write_corpus,
+    )
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    # tiny shards on purpose: the small-file debt compaction pays down
+    man0 = write_corpus(docs, out, partition_by=("lang",), max_records_per_file=7)
+    assert man0["n_shards"] > 5 * 3
+
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+    man1 = compact_corpus(spark, out, target_bytes=1 << 30)
+    # one shard per lang partition at a huge target
+    assert man1["n_shards"] == len(man1["rows_per_partition"])
+    assert set(man1["compacted"]) == {f"lang={r}" for r in man1["rows_per_partition"]}
+    assert man1["n_rows"] == man0["n_rows"]
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+    assert after == before
+    # manifest on disk refreshed; second pass is a no-op
+    assert read_manifest(out)["n_shards"] == man1["n_shards"]
+    man2 = compact_corpus(spark, out, target_bytes=1 << 30)
+    assert man2["compacted"] == []
+    assert man2["n_shards"] == man1["n_shards"]
