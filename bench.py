@@ -113,6 +113,7 @@ HEADLINE = [
     "sessionize_stream",
     "stream_windowed_topk",
     "stream_neardup_screen",
+    "stream_event_funnel",
     "corpus_pipeline",
     # mapreduce reduce loops (round-2: measure the de-funneled rounds)
     "mapreduce_echo",

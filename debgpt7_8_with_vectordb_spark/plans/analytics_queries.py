@@ -585,10 +585,9 @@ def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL = ("signup", "click", "purchase")
 
-
-@query(
-    "event_funnel",
-    oracle=f"""
+# shared with stream_event_funnel (pipeline_queries) — the drained
+# stream twin proves it computes exactly this relational definition
+FUNNEL_ORACLE = f"""
 WITH s AS (
   SELECT user_id, min(ts) AS t1 FROM events
   WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
@@ -607,8 +606,10 @@ UNION ALL
 SELECT 2::BIGINT, '{_FUNNEL[1]}', (SELECT count(*) FROM c)::BIGINT
 UNION ALL
 SELECT 3::BIGINT, '{_FUNNEL[2]}', (SELECT count(*) FROM p)::BIGINT
-""",
-)
+"""
+
+
+@query("event_funnel", oracle=FUNNEL_ORACLE)
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion (signup -> click -> purchase): a user
     reaches stage k+1 at the first stage-(k+1) event STRICTLY AFTER

@@ -505,3 +505,71 @@ def stream_neardup_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.coalesce("matched", F.lit(False))).alias("near_dup")
         )
     )
+
+
+@query("stream_event_funnel", oracle=None)
+def stream_event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_funnel (applyInPandasWithState — see
+    streaming/stateful.funnel_states): per-user funnel stages
+    maintained incrementally across micro-batches, drained via
+    availableNow, then reduced to the same (stage, event_type, users)
+    shape as the batch query. The oracle is the IDENTICAL 3-CTE batch
+    SQL (registered below via catalog import) — equality proves the
+    stateful operator computes the relational min-chain even though
+    events reach the state handler in arrival order, not time order
+    (stage reachability is monotone in the event set; the handler
+    recomputes the chain from its pruned candidate frontier each
+    batch, so cross-batch disorder cannot stick — pinned by the
+    split-feed test in tests/test_stream_funnel.py)."""
+    from ..streaming.sessionize import stream_events_from_dir
+    from ..streaming.stateful import funnel_states
+    from .analytics_queries import _FUNNEL
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", min(8, int(old_sp)))
+    try:
+        ev = stream_events_from_dir(spark, sf_dir, glob="events.parquet")
+        st = funnel_states(ev, funnel=_FUNNEL, idle_timeout_ms=None)
+        name = f"stream_funnel_sink_{next(_SINK_SEQ)}"
+        q = (
+            st.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    deepest = (
+        spark.table(name).groupBy("user_id").agg(F.max("stage").alias("stage"))
+    )
+    counts = deepest.agg(
+        *[
+            F.sum((F.col("stage") >= k).cast("long")).alias(f"n{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("stage"),
+                F.lit(name_).alias("event_type"),
+                F.coalesce(F.col(f"n{k}"), F.lit(0)).cast("long").alias("users"),
+            )
+            for k, name_ in enumerate(_FUNNEL, start=1)
+        ]
+    )
+    return counts.select(F.explode(stages).alias("s")).select("s.*")
+
+
+# the stream twin shares the batch oracle verbatim: same output shape,
+# same relational definition — registered after the fact because the
+# @query(oracle=...) literal lives with the batch query
+from .catalog import ORACLE as _ORACLE_REG  # noqa: E402
+from .analytics_queries import FUNNEL_ORACLE as _FUNNEL_ORACLE  # noqa: E402
+
+_ORACLE_REG["stream_event_funnel"] = _ORACLE_REG.get(
+    "event_funnel", _FUNNEL_ORACLE
+)

@@ -123,6 +123,7 @@ SKIP = {
     "bpe_train_merges",  # per-merge driver loop over the vocab — per-round plans only
     "stream_windowed_topk",  # streaming drain — audited via its batch twin
     "stream_neardup_screen",  # streaming drain — audited via its batch twin (dedup_incremental_neardup)
+    "stream_event_funnel",  # streaming drain — audited via its batch twin (event_funnel)
 }
 
 
