@@ -104,3 +104,122 @@ def test_stream_funnel_drain_equals_batch(spark, sf_dir):
         for r in QUERIES["stream_event_funnel"](spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+# ---------- pure-Python handler properties (no Spark) ----------
+
+
+class _StubState:
+    """Minimal GroupState stand-in for driving the handler directly."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _drive(handler, batches, state):
+    import pandas as pd
+
+    out = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "event_type": [e[0] for e in batch],
+                "ts": pd.to_datetime([e[1] for e in batch], unit="us"),
+            }
+        )
+        out.extend(handler((7,), iter([pdf]), state))
+    return out
+
+
+def _batch_stage(events):
+    t1 = min((us for et, us in events if et == "signup"), default=None)
+    if t1 is None:
+        return 0
+    t2 = min(
+        (us for et, us in events if et == "click" and us > t1), default=None
+    )
+    if t2 is None:
+        return 1
+    t3 = min(
+        (us for et, us in events if et == "purchase" and us > t2),
+        default=None,
+    )
+    return 2 if t3 is None else 3
+
+
+def test_funnel_handler_any_batch_split_matches_batch():
+    """Hypothesis: for ANY event sequence in ANY batch split, the last
+    emitted stage equals the batch min-chain — the frontier-pruning
+    correctness claim, exercised far past what one planted feed covers."""
+    from hypothesis import given, settings, strategies as st
+
+    from debgpt7_8_with_vectordb_spark.streaming.stateful import (
+        _make_update_funnel,
+    )
+
+    ev = st.tuples(
+        st.sampled_from(["signup", "click", "purchase"]),
+        st.integers(min_value=1, max_value=40),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(ev, min_size=0, max_size=14), st.data())
+    def run(events, data):
+        # random batch split preserving order
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(events)), max_size=3, unique=True
+                )
+            )
+        )
+        batches, prev = [], 0
+        for c in [*cuts, len(events)]:
+            batches.append(events[prev:c])
+            prev = c
+        handler = _make_update_funnel(
+            ("signup", "click", "purchase"), None
+        )
+        state = _StubState()
+        out = _drive(handler, batches, state)
+        assert int(out[-1]["stage"][0]) == _batch_stage(events)
+
+    run()
+
+
+def test_funnel_handler_timeout_emits_final_and_evicts():
+    from debgpt7_8_with_vectordb_spark.streaming.stateful import (
+        _make_update_funnel,
+    )
+
+    handler = _make_update_funnel(("signup", "click", "purchase"), 1000)
+    state = _StubState()
+    _drive(handler, [[("signup", 1), ("click", 2)]], state)
+    assert state.exists
+
+    timed = _StubState(value=state.get, timed_out=True)
+    out = list(handler((7,), iter([]), timed))
+    assert timed.removed
+    assert len(out) == 1
+    assert bool(out[0]["final"][0]) is True
+    assert int(out[0]["stage"][0]) == 2
