@@ -1,0 +1,53 @@
+"""bench.py stdout must survive the driver's ~2000-byte tail window.
+
+Round 4's 93-query JSON line overflowed it and BENCH_r04.json recorded
+"parsed": null (VERDICT r4 "What's wrong" #2). These tests pin the
+budgeted-line contract: the line always parses, always fits, always
+carries every r1-anchor query, and small catalogs pass through whole.
+"""
+
+import json
+
+import bench
+
+
+def _payload(times):
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": 0.1,
+        "runs_per_query": 2,
+        "agg": "min",
+        "n_queries": len(times),
+        "detail": "BENCH_DETAIL.json",
+    }
+
+
+def test_full_headline_fits_budget():
+    # worst realistic case: every headline query present, 3dp values
+    times = {n: 12.345 for n in bench.HEADLINE}
+    line = bench._budgeted_line(_payload(times))
+    assert len(line) <= bench._STDOUT_BUDGET
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    assert parsed["detail"] == "BENCH_DETAIL.json"
+
+
+def test_anchor_queries_always_survive():
+    times = {n: 12.345 for n in bench.HEADLINE}
+    kept = json.loads(bench._budgeted_line(_payload(times)))["queries"]
+    for name in bench._R1_ANCHOR:
+        assert name in kept, f"r1 anchor {name} dropped from stdout line"
+
+
+def test_small_catalog_passes_whole():
+    times = {"a": 1.0, "b": 2.0}
+    kept = json.loads(bench._budgeted_line(_payload(times)))["queries"]
+    assert kept == times
+
+
+def test_anchor_names_are_headline_names():
+    missing = [n for n in bench._R1_ANCHOR if n not in bench.HEADLINE]
+    assert missing == []
