@@ -371,9 +371,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
       both engines), and int64 array_intersect beats string intersect;
     - size-ratio prefilter: J ≥ t forces min|A|,|B| ≥ t·max|A|,|B|,
       so mismatched pairs skip the intersect entirely;
-    - the per-doc hash-set table broadcasts (5k docs × ~60 longs ≪
-      10 MB; at 100 TB it shuffle-joins on doc_id instead — both
-      sides already partition on it);
+    - the per-doc hash-set join is UNHINTED (round 5): AQE broadcasts
+      it while it fits (5k docs × ~60 longs ≪ 10 MB here) and falls
+      back to a shuffle join on doc_id at 100 TB — a forced
+      F.broadcast would override that size check and OOM;
     - the RESULT is persisted (round 3): verification runs once per
       corpus and the pair table is read by everything downstream
       (clusters, recall gate, pipeline) — the signature-table
@@ -411,11 +412,14 @@ def _verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hs"),
     )
     pairs = (
-        cand.join(
-            F.broadcast(toksets.withColumnRenamed("doc_id", "doc_a")), "doc_a"
-        )
+        # no broadcast hints: toksets is CORPUS-sized (one row per doc),
+        # so a forced broadcast would OOM past ~10⁷ docs — exactly the
+        # scale SCALING.md promises this join survives. Both sides key
+        # on the doc id; AQE broadcasts while the table fits and falls
+        # back to a shuffle join when it doesn't (VERDICT r4 #1).
+        cand.join(toksets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("hs", "hs_a")
-        .join(F.broadcast(toksets.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+        .join(toksets.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .withColumnRenamed("hs", "hs_b")
     )
     na, nb = F.size("hs_a"), F.size("hs_b")
@@ -597,9 +601,11 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hs"),
     )
     pairs = (
-        cand.join(F.broadcast(toksets.withColumnRenamed("doc_id", "doc_a")), "doc_a")
+        # unhinted (see _verify_candidates): toksets grows with the
+        # distinct-text count; AQE decides broadcast vs shuffle.
+        cand.join(toksets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("hs", "hs_a")
-        .join(F.broadcast(toksets.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+        .join(toksets.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .withColumnRenamed("hs", "hs_b")
     )
     na, nb = F.size("hs_a"), F.size("hs_b")
@@ -613,11 +619,10 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
     return (
-        verified.join(
-            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")), "doc_a"
-        )
+        # unhinted: sizes is one row per distinct text — corpus-scale.
+        verified.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("class_size", "sz_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .withColumnRenamed("class_size", "sz_b")
         .select(
             "doc_a",
