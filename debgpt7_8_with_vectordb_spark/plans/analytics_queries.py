@@ -178,7 +178,7 @@ WITH gaps AS (
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS is_start,
          event_id
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 sess AS (
   SELECT user_id, ts, event_id,
@@ -195,8 +195,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gap > 1 h starts a new session) — the batch
     twin of the Structured Streaming `session_window` pipeline in
     ``streaming/sessionize.py``. One shuffle on user_id shared by the lag
-    window, the running sum, and the final group-by."""
-    ev = load_table(spark, sf_dir, "events")
+    window, the running sum, and the final group-by.
+
+    ts IS NOT NULL on both engines: an event with no timestamp cannot
+    be placed in a gap-based session, and the engines disagree on NULL
+    ordering inside the lag window (Spark sorts NULLs first ascending,
+    DuckDB last) — caught by the NULL-ts edge rows (round 5)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         "user_id",
@@ -590,15 +595,17 @@ _FUNNEL = ("signup", "click", "purchase")
 FUNNEL_ORACLE = f"""
 WITH s AS (
   SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+  WHERE event_type = '{_FUNNEL[0]}' AND ts IS NOT NULL GROUP BY user_id
 ),
 c AS (
   SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s USING (user_id)
-  WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s.t1 GROUP BY e.user_id
+  WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts IS NOT NULL
+    AND e.ts > s.t1 GROUP BY e.user_id
 ),
 p AS (
   SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
-  WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > c.t2 GROUP BY e.user_id
+  WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts IS NOT NULL
+    AND e.ts > c.t2 GROUP BY e.user_id
 )
 SELECT 1::BIGINT AS stage, '{_FUNNEL[0]}' AS event_type,
        (SELECT count(*) FROM s)::BIGINT AS users
@@ -623,8 +630,13 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold is codegen array math, no Python, no window function, and the
     per-user event list is session-scale (the same boundedness
     argument as sessionize/pack_sequences)."""
+    # ts IS NOT NULL on BOTH engines (the rolling_user_stats
+    # convention): without it the oracle's s CTE counts a user whose
+    # only signups have NULL ts (min(ts)=NULL still yields a GROUP BY
+    # row) while the fold leaves t1 NULL and count("f.t1") excludes
+    # them — a NULL-bearing corpus would hash-mismatch (ADVICE r4).
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(*_FUNNEL)
+        F.col("event_type").isin(*_FUNNEL) & F.col("ts").isNotNull()
     )
     sorted_ev = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", "event_type"))

@@ -159,7 +159,7 @@ def cached_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH c AS (
   SELECT date_trunc('day', ts) AS window_start, event_type,
          count(*) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY window_start
@@ -275,7 +275,7 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
               THEN 1 ELSE 0 END AS is_start
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessions AS (

@@ -77,9 +77,14 @@ def sessionize_stream(
     gap: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Gap-based session aggregation with bounded state."""
+    """Gap-based session aggregation with bounded state.
+
+    NULL event times are dropped explicitly: a session window cannot
+    place them (Spark would silently drop them anyway), and the batch
+    oracles filter ts IS NOT NULL — one convention, both engines."""
     return (
-        events.withWatermark("ts", watermark)
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(
             F.count("*").alias("n_events"),
@@ -105,9 +110,11 @@ def windowed_counts_stream(
     operator matrix (gap sessions, stream-stream join, stream dedup,
     arbitrary state, and now fixed windows). A window finalizes once
     event time passes end + watermark; per-key state is one count row
-    per (window, event_type)."""
+    per (window, event_type). NULL event times dropped explicitly —
+    same convention as sessionize_stream."""
     return (
-        events.withWatermark("ts", watermark)
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
         .select(

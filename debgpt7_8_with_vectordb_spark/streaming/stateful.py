@@ -192,7 +192,13 @@ def funnel_states(
         if idle_timeout_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout
     )
-    filtered = events.filter(events["event_type"].isin(*funnel))
+    # NULL-timestamp events can't anchor or advance a strictly-after
+    # chain — drop them at the source, matching the batch event_funnel
+    # and its oracle (ADVICE r4: an unfiltered NULL min(ts) signup row
+    # would count in SQL's count(*) but never in the fold).
+    filtered = events.filter(
+        events["event_type"].isin(*funnel) & events["ts"].isNotNull()
+    )
     return filtered.groupBy("user_id").applyInPandasWithState(
         _make_update_funnel(funnel, idle_timeout_ms),
         outputStructType=FUNNEL_OUTPUT_SCHEMA,

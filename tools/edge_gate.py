@@ -94,7 +94,15 @@ COPY (
     (90002, (SELECT min(ts) FROM '{base}/events.parquet'), 1, 'click', 2.5,
      '{{"k": "notanumber"}}'),
     (90003, (SELECT max(ts) FROM '{base}/events.parquet'), 777, 'purchase', 3.0,
-     '{{"k": 7}}')
+     '{{"k": 7}}'),
+    -- NULL-ts rows (ADVICE r4): user 888's ONLY signup has NULL ts —
+    -- an unfiltered funnel oracle would count them at stage 1 while
+    -- the Spark fold never sets t1; plus a NULL-ts click for an
+    -- existing user so strictly-after chains see NULLs mid-stream.
+    (90004, NULL, 888, 'signup', 1.0, NULL),
+    (90005, (SELECT max(ts) FROM '{base}/events.parquet'), 888, 'click',
+     1.0, NULL),
+    (90006, NULL, 1, 'click', 1.0, NULL)
   ) t(event_id, ts, user_id, event_type, value, props)
 ) TO '{out}' (FORMAT PARQUET)
 """
