@@ -74,12 +74,7 @@ def _write_manifest(spark, path: str, partition_by: Sequence[str]) -> dict:
         }
     else:
         counts = {"": written.count()}
-    shards = sorted(
-        os.path.relpath(os.path.join(root, f), path)
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    shards = _list_shards(path)
     manifest = {
         "path": path,
         "partition_by": list(partition_by),
@@ -100,6 +95,21 @@ def read_manifest(path: str) -> dict:
         return json.load(fh)
 
 
+def _list_shards(path: str) -> list[str]:
+    """Data shards under ``path`` FROM DISK, honoring Spark's
+    hidden-file convention (path components starting with '.' or '_'
+    are invisible to readers — so are crashed ``.compact-tmp`` dirs)."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        out.extend(
+            os.path.relpath(os.path.join(root, f), path)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return sorted(out)
+
+
 def compact_corpus(spark, path: str, target_bytes: int = 128 << 20) -> dict:
     """Small-shard compaction — the maintenance pass every long-lived
     100 TB corpus needs: dynamic-partition writes and incremental
@@ -112,28 +122,39 @@ def compact_corpus(spark, path: str, target_bytes: int = 128 << 20) -> dict:
     cost tracks the debt, not the corpus). The manifest is recounted
     from disk afterwards.
 
-    The swap is remove-then-move on the local filesystem — fine for the
-    single-writer contract this sink documents; a concurrent-reader
-    deployment does this inside a snapshotting table format instead
-    (same compaction decision, different commit protocol).
+    The swap is MOVE-IN-THEN-DELETE (round 5, ADVICE r4): the old shard
+    names are snapshotted from disk, the rewritten files move into the
+    live partition first (Spark part-file names are UUID-based — no
+    collision with the old set), and only then are the old files
+    removed. A crash anywhere in the window leaves a SUPERSET of the
+    data (duplicates, detectable by the manifest recount) — never a
+    partition whose only data files sit in a dot-prefixed tmp dir that
+    readers ignore. Shard inventory and sizing come from a DISK WALK,
+    not the manifest: shards added out-of-band are compacted rather
+    than silently deleted from the manifest's view, and shards removed
+    out-of-band can't abort the pass with FileNotFoundError. Still
+    single-writer; a concurrent-reader deployment does this inside a
+    snapshotting table format instead (same compaction decision,
+    different commit protocol).
 
     Returns the refreshed manifest plus a ``compacted`` list of the
     partition dirs rewritten."""
     import math
     import shutil
 
-    man = read_manifest(path)
+    man = read_manifest(path)  # partition_by only; shards come from disk
     by_dir: dict[str, list[str]] = {}
-    for rel in man["shards"]:
+    for rel in _list_shards(path):
         by_dir.setdefault(os.path.dirname(rel), []).append(
             os.path.join(path, rel)
         )
 
     compacted = []
     for d, files in sorted(by_dir.items()):
-        total = sum(os.path.getsize(f) for f in files)
+        old = sorted(files)  # snapshot BEFORE the rewrite lands
+        total = sum(os.path.getsize(f) for f in old)
         want = max(1, math.ceil(total / target_bytes))
-        if len(files) <= want:
+        if len(old) <= want:
             continue
         src = os.path.join(path, d) if d else path
         tmp = os.path.join(
@@ -143,11 +164,11 @@ def compact_corpus(spark, path: str, target_bytes: int = 128 << 20) -> dict:
         spark.read.parquet(src).repartition(want).write.mode(
             "overwrite"
         ).parquet(tmp)
-        for f in files:
-            os.remove(f)
         for f in os.listdir(tmp):
             if f.endswith(".parquet"):
                 os.replace(os.path.join(tmp, f), os.path.join(src, f))
+        for f in old:
+            os.remove(f)
         shutil.rmtree(tmp)
         compacted.append(d)
 

@@ -102,3 +102,83 @@ def test_compact_corpus_merges_small_shards(spark, sf_dir, tmp_path):
     man2 = compact_corpus(spark, out, target_bytes=1 << 30)
     assert man2["compacted"] == []
     assert man2["n_shards"] == man1["n_shards"]
+
+
+def test_compact_crash_window_leaves_superset(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash between moving rewritten files in and deleting the old
+    ones must leave a readable SUPERSET (duplicates detectable by a
+    recount), never a partition whose only data lives in a tmp dir
+    (ADVICE r4: the old remove-then-move order lost data)."""
+    from debgpt7_8_with_vectordb_spark.sinks import compact_corpus, write_corpus
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, partition_by=("lang",), max_records_per_file=7)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+
+    real_remove = os.remove
+
+    def crash_on_first_delete(p):
+        raise OSError(f"simulated crash before deleting {p}")
+
+    monkeypatch.setattr(os, "remove", crash_on_first_delete)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_corpus(spark, out, target_bytes=1 << 30)
+    monkeypatch.setattr(os, "remove", real_remove)
+
+    # every original row is still present (possibly duplicated) and the
+    # partition is readable by a plain parquet reader
+    after = spark.read.parquet(out).select("doc_id", "lang").collect()
+    counts: dict[tuple, int] = {}
+    for r in after:
+        counts[tuple(r)] = counts.get(tuple(r), 0) + 1
+    assert set(counts) == set(before)
+    assert all(c >= 1 for c in counts.values())
+    assert len(after) >= len(before)
+
+    # a fresh compaction pass recovers: dedup is the caller's policy,
+    # but the pass itself completes and the manifest recount is honest
+    man = compact_corpus(spark, out, target_bytes=1 << 30)
+    assert man["n_rows"] == spark.read.parquet(out).count()
+
+
+def test_compact_sees_out_of_band_shards(spark, sf_dir, tmp_path):
+    """Shards added without a manifest rewrite are compacted (disk walk,
+    not manifest trust) and their rows survive; shards the manifest
+    lists but which were removed out-of-band can't abort the pass."""
+    import shutil
+
+    from debgpt7_8_with_vectordb_spark.sinks import compact_corpus, write_corpus
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, partition_by=("lang",), max_records_per_file=7)
+
+    # out-of-band ADD: clone one shard under a new name (no manifest
+    # rewrite) — duplicates rows, which the recount must then report
+    part = next(d for d in sorted(os.listdir(out)) if d.startswith("lang="))
+    pdir = os.path.join(out, part)
+    shard = next(f for f in sorted(os.listdir(pdir)) if f.endswith(".parquet"))
+    oob = os.path.join(pdir, "part-oob-added-shard.c000.snappy.parquet")
+    shutil.copy(os.path.join(pdir, shard), oob)
+    oob_rows = spark.read.parquet(oob).count()
+
+    # out-of-band REMOVE in a different partition: getsize on a
+    # manifest-trusting pass would raise FileNotFoundError here
+    part2 = next(
+        d for d in sorted(os.listdir(out)) if d.startswith("lang=") and d != part
+    )
+    p2dir = os.path.join(out, part2)
+    victim = next(f for f in sorted(os.listdir(p2dir)) if f.endswith(".parquet"))
+    lost_rows = spark.read.parquet(os.path.join(p2dir, victim)).count()
+    os.remove(os.path.join(p2dir, victim))
+
+    expect = docs.count() + oob_rows - lost_rows
+    man = compact_corpus(spark, out, target_bytes=1 << 30)
+    assert man["n_rows"] == expect
+    assert spark.read.parquet(out).count() == expect
+    assert f"{part}" in man["compacted"]
