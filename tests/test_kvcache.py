@@ -150,10 +150,61 @@ def test_commit_lock_and_retention(spark, tmp_path):
     assert vdirs == ["v3", "v4"]
     assert len(c) == 5  # latest snapshot intact after pruning
 
+    # a LIVE writer holds the flock -> second writer fails fast
+    import fcntl
+
     lock = os.path.join(root, "_commit.lock")
-    open(lock, "w").close()
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     with pytest.raises(RuntimeError, match="single-writer"):
         c.put("contended", "x")
-    os.unlink(lock)
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
     c.put("contended", "x")  # lock released -> commits again
     assert c.get("contended") == "x"
+
+
+def test_killed_writer_leaves_no_stale_lock(spark, tmp_path):
+    """A writer killed mid-commit must not block the next writer: the
+    kernel drops its flock with the process, so a leftover
+    _commit.lock FILE alone (the old O_EXCL scheme's permanent wedge —
+    VERDICT r4 #6) means nothing."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root = str(tmp_path / "cache")
+    c = KVCache(spark, root)
+    c.put("k", "v")
+
+    # child acquires the flock exactly like _commit, then hangs as if
+    # crashed between acquisition and release
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            f"""
+import fcntl, os, time
+fd = os.open({os.path.join(root, "_commit.lock")!r}, os.O_CREAT | os.O_WRONLY)
+fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+print("locked", flush=True)
+time.sleep(300)
+""",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert child.stdout.readline().strip() == "locked"
+    import pytest
+
+    with pytest.raises(RuntimeError, match="live writer"):
+        c.put("blocked", "x")  # the child really holds it
+
+    child.send_signal(signal.SIGKILL)  # crash mid-commit
+    child.wait()
+    time.sleep(0.1)
+    assert os.path.exists(os.path.join(root, "_commit.lock"))  # file stays
+    c.put("recovered", "yes")  # ...but the next writer just acquires
+    assert c.get("recovered") == "yes"
