@@ -68,6 +68,19 @@ ORACLE_ARTIFACTS: dict[str, tuple[str, str]] = {
 _HANDOFF_ROOT = "/tmp/spark_graft_artifacts/oracle_handoff"
 
 
+def tag_artifact(token: str, params: str) -> None:
+    """Embed the TRAINING PARAMETERS in a handoff artifact's cache tag
+    (round 5, VERDICT r4 #5): the cache key was (corpus identity, name)
+    only, so bumping a constant like _PCA_K or N_MERGES would silently
+    read a stale artifact trained under the old value. The module that
+    owns each parameter calls this at import time (before any
+    oracle_artifact_path use); idempotent under re-registration."""
+    src_name, tag = ORACLE_ARTIFACTS[token]
+    suffix = f"-{params}"
+    if not tag.endswith(suffix):
+        ORACLE_ARTIFACTS[token] = (src_name, f"{tag}{suffix}")
+
+
 def oracle_artifact_path(token: str, sf_dir: str) -> str:
     """The corpus-keyed path for one handoff artifact at one sf_dir."""
     import os

@@ -18,7 +18,7 @@ from ..operators.retrieval import (
     topk,
 )
 from ..tables import load_table
-from .catalog import oracle_artifact_path, query
+from .catalog import oracle_artifact_path, query, tag_artifact
 
 # DuckDB fragment: a FLOAT[] column as DOUBLE[] (scores computed in double
 # precision on both engines — SURVEY.md §7.7 risk 5)
@@ -490,6 +490,11 @@ def context_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literal path per sf_dir; the query writes the same path via
 # oracle_artifact_path — no global shared file (round-3 caveat retired).
 _IVF_CENTROIDS = "__IVF_CENTROIDS__"
+_IVF_K, _IVF_SEED = 8, 42
+# parameter-bearing cache tags (round 5): bumping k/seed re-keys both
+# the handoff artifact and the private index caches — a stale artifact
+# trained under the old constants can never be read back silently
+tag_artifact(_IVF_CENTROIDS, f"k{_IVF_K}s{_IVF_SEED}")
 
 @query(
     "ann_ivf_kmeans",
@@ -578,17 +583,21 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     cent_path = corpus_cache_path(
-        src, "ivf_k8_s42_v1", "/tmp/spark_graft_artifacts/ivf_centroid_cache",
+        src,
+        f"ivf_k{_IVF_K}_s{_IVF_SEED}_v1",
+        "/tmp/spark_graft_artifacts/ivf_centroid_cache",
         ext=".parquet",
     )
     idx_path = corpus_cache_path(
-        src, "ivf_idx_k8_s42_v1", "/tmp/spark_graft_artifacts/ivf_index"
+        src,
+        f"ivf_idx_k{_IVF_K}_s{_IVF_SEED}_v1",
+        "/tmp/spark_graft_artifacts/ivf_index",
     )
     if not (
         os.path.exists(cent_path)
         and os.path.exists(os.path.join(idx_path, "_SUCCESS"))
     ):
-        indexed, centroids = build_ivf_index(emb, k=8, seed=42)
+        indexed, centroids = build_ivf_index(emb, k=_IVF_K, seed=_IVF_SEED)
         # one file per cluster directory — the cluster-local file layout
         # a real index build ships to object storage
         indexed.repartition("cluster_id").write.mode("overwrite").partitionBy(
@@ -602,6 +611,11 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
 
 
 _PQ_CODEBOOKS = "__PQ_CODEBOOKS__"
+from ..operators.ann import PQ_KSUB as _PQ_KSUB  # noqa: E402
+from ..operators.ann import PQ_SUBSPACES as _PQ_M  # noqa: E402
+
+_PQ_SEED = 42
+tag_artifact(_PQ_CODEBOOKS, f"m{_PQ_M}k{_PQ_KSUB}s{_PQ_SEED}")
 
 
 @query(
@@ -712,7 +726,9 @@ def _pq_codebooks_cached(
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     path = corpus_cache_path(
-        src, "pq_m4_k16_v1", "/tmp/spark_graft_artifacts/pq_codebook_cache",
+        src,
+        f"pq_m{_PQ_M}_k{_PQ_KSUB}_s{_PQ_SEED}_v1",
+        "/tmp/spark_graft_artifacts/pq_codebook_cache",
         ext=".parquet",
     )
     if os.path.exists(path):
@@ -723,7 +739,7 @@ def _pq_codebooks_cached(
         return [
             [books[s][c] for c in sorted(books[s])] for s in sorted(books)
         ]
-    built = build_pq_codebooks(normed)
+    built = build_pq_codebooks(normed, m=_PQ_M, ksub=_PQ_KSUB, seed=_PQ_SEED)
     _persist_pq_codebooks(built, path)
     return built
 
@@ -1314,6 +1330,7 @@ def _gram_table(emb: DataFrame, include_sums: bool = False) -> DataFrame:
 
 _PCA_COMPONENTS = "__PCA_COMPONENTS__"
 _PCA_K = 4
+tag_artifact(_PCA_COMPONENTS, f"k{_PCA_K}")
 
 
 def _pca_components_cached(

@@ -15,7 +15,7 @@ from ..functions.hashing import md5_long
 from ..functions.text import char_shingles, tokens, word_shingles
 from ..operators.textprofile import repetition_counts
 from ..tables import load_table
-from .catalog import oracle_artifact_path, query
+from .catalog import oracle_artifact_path, query, tag_artifact
 
 # DuckDB: whitespace tokens with empties dropped (matches functions.text.tokens)
 _TOKS = r"list_filter(string_split_regex({t}, '\s+'), x -> x <> '')"
@@ -1038,6 +1038,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # adjacent-pair census over the vocab's symbol lists -> argmax pair
 # (ties lexicographic) -> left-to-right non-overlapping fold-merge.
 N_MERGES = 4
+tag_artifact("__BPE_MERGES__", f"m{N_MERGES}")
 
 
 def _bpe_oracle() -> str:
