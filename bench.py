@@ -95,6 +95,7 @@ HEADLINE = [
     "topk_ngrams",
     "tfidf_topterms",
     "quality_classifier",
+    "quality_classifier_trained",
     "bpe_train_merges",
     "bpe_apply",
     "ngram_lm_score",

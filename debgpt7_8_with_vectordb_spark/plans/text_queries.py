@@ -1033,6 +1033,145 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QC_BUCKETS = 4096  # hashed feature space — bounds the weight table
+
+_QC_B_SQL = f"({_MD5L.format(e=chr(39) + 'qw|' + chr(39) + ' || x')} % {_QC_BUCKETS})"
+
+
+@query(
+    "quality_classifier_trained",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+lab AS (
+  SELECT CASE WHEN round(0.5 * (len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+                                / len(toks))
+                   + 0.5 * least(len(toks)::DOUBLE / 100.0, 1.0), 6) >= 0.5
+              THEN 1 ELSE 0 END AS pos,
+         toks
+  FROM t WHERE len(toks) > 0
+),
+e AS (SELECT pos, {_QC_B_SQL} AS b
+      FROM (SELECT pos, unnest(toks) AS x FROM lab)),
+w AS (
+  SELECT b, round(ln((sum(pos) + 1)::DOUBLE
+                     / (count(*) - sum(pos) + 1)) * 1000000.0)::BIGINT AS wu
+  FROM e GROUP BY b
+),
+occ AS (SELECT doc_id, {_QC_B_SQL} AS b
+        FROM (SELECT doc_id, unnest(toks) AS x FROM t)),
+inf AS (
+  SELECT occ.doc_id, sum(w.wu) AS ws FROM occ JOIN w USING (b)
+  GROUP BY occ.doc_id
+),
+s AS (
+  SELECT t.doc_id, len(t.toks) AS n,
+         CASE WHEN len(t.toks) = 0 THEN NULL
+              ELSE round(inf.ws::DOUBLE / (len(t.toks) * 1000000.0), 6) END
+           AS logit
+  FROM t LEFT JOIN inf ON t.doc_id = inf.doc_id
+)
+SELECT doc_id, n::BIGINT AS n_tokens, logit,
+       CASE WHEN n = 0 THEN NULL
+            ELSE round(1.0 / (1.0 + exp(-4.0 * logit)), 6) END AS prob,
+       CASE WHEN n = 0 THEN false
+            ELSE round(1.0 / (1.0 + exp(-4.0 * logit)), 6) >= 0.5 END AS keep
+FROM s
+""",
+)
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quality_classifier`` with the md5 stand-in weights replaced by
+    a REAL TRAINED weight table — the seam the md5 variant pins,
+    exercised end-to-end (VERDICT r4 #4). Training is the CCNet
+    bootstrap: label every document with the cheap heuristic
+    (``quality_score``'s 50/50 stopword+length blend ≥ 0.5), hash each
+    token occurrence into {_QC_BUCKETS} buckets, and fit per-bucket
+    naive-Bayes log-odds ln((pos+1)/(neg+1)), stored as exact integer
+    MICRO-UNITS (round(ln·10⁶)) so inference sums integers and the
+    cross-engine hash never depends on float order (the
+    ngram_lm_score discipline).
+
+    Scale shape: training is one explode + one groupBy on a key space
+    structurally bounded at {_QC_BUCKETS} (map-side combine collapses
+    it executor-side), run once per corpus; the learned table collapses
+    to a SINGLE array literal (one Catalyst Literal node — the
+    embedding_pca_project codegen-literal pattern), so inference is the
+    IDENTICAL zero-shuffle per-row fold as the md5 variant: no explode,
+    no join, no shuffle, scan-parallel at any corpus size. At
+    fasttext-scale vocab (~2M buckets) the literal swaps for the
+    hash_embedding Arrow path (weights in the worker closure); never a
+    per-token equi-join."""
+    import math as _math  # noqa: F401 (documented alternative below)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*_STOP)))
+    q = F.round(
+        0.5 * (stop_cnt.cast("double") / n.cast("double"))
+        + 0.5 * F.least(n.cast("double") / 100.0, F.lit(1.0)),
+        6,
+    )
+
+    def bucket(t: F.Column) -> F.Column:
+        return md5_long(F.concat(F.lit("qw|"), t)) % _QC_BUCKETS
+
+    # -- train: bounded-key census + JVM-side ln (same libm pairing as
+    # ngram_lm_score), collected as <=4096 rows — the centroid/BPE
+    # class of bounded driver collect, run once per corpus
+    # label in its OWN projection BEFORE the explode: putting q and
+    # explode(toks) in one select makes Catalyst evaluate the full
+    # stopword-filter expression per EXPLODED row — O(tokens²) per doc
+    # (measured 6.3 s -> 0.7 s at sf0.1 for the split)
+    lab0 = docs.filter(n > 0).select(
+        (q >= 0.5).cast("int").alias("pos"), toks.alias("tk")
+    )
+    lab = lab0.select("pos", F.explode(F.col("tk")).alias("tok"))
+    wdf = (
+        lab.select("pos", bucket(F.col("tok")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.sum("pos").alias("cpos"),
+            (F.count("*") - F.sum("pos")).alias("cneg"),
+        )
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.col("cpos") + 1).cast("double")
+                    / (F.col("cneg") + 1).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("wu"),
+        )
+    )
+    weights = [0] * _QC_BUCKETS
+    for r in wdf.collect():
+        weights[int(r["b"])] = int(r["wu"])
+
+    # -- infer: one array literal, zero-shuffle integer fold per row
+    warr = F.lit(weights)
+    ws = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.element_at(warr, (bucket(t) + 1).cast("int")),
+    )
+    base = docs.select("doc_id", n.alias("n"), ws.alias("ws"))
+    logit = F.round(
+        F.col("ws").cast("double") / (F.col("n").cast("double") * 1e6), 6
+    )
+    prob = F.round(1.0 / (1.0 + F.exp(-4.0 * logit)), 6)
+    nonempty = F.col("n") > 0
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.when(nonempty, logit).alias("logit"),
+        F.when(nonempty, prob).alias("prob"),
+        F.when(nonempty, prob >= 0.5).otherwise(F.lit(False)).alias("keep"),
+    )
+
+
 # BPE merge training (tokenizer-training stage). The oracle unrolls
 # N_MERGES rounds as a generated WITH chain: per round, weighted
 # adjacent-pair census over the vocab's symbol lists -> argmax pair
