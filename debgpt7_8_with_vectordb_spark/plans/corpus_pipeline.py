@@ -171,15 +171,28 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
     embedded = chunks.select("doc_id", raw_norm.alias("rn"))
 
+    # each crossJoin side is a 1-row scalar agg — hint it so the plan
+    # stays BroadcastNestedLoopJoin even with size-based broadcasting
+    # disabled (no-broadcast audit: unhinted 1-row crossJoins degrade
+    # to CartesianProduct, which at 5 chained joins re-shuffles the
+    # 1-row stream through every stage)
     return (
         docs.agg(F.count("*").cast("long").alias("n_docs_in"))
-        .crossJoin(qualified.agg(F.count("*").cast("long").alias("n_qualified")))
-        .crossJoin(survivors.agg(F.count("*").cast("long").alias("n_survivors")))
-        .crossJoin(chunks.agg(F.count("*").cast("long").alias("n_chunks")))
         .crossJoin(
-            embedded.agg(
-                F.count("*").cast("long").alias("n_vectors"),
-                F.round(F.sum("rn"), 4).alias("sum_raw_norms"),
+            F.broadcast(qualified.agg(F.count("*").cast("long").alias("n_qualified")))
+        )
+        .crossJoin(
+            F.broadcast(survivors.agg(F.count("*").cast("long").alias("n_survivors")))
+        )
+        .crossJoin(
+            F.broadcast(chunks.agg(F.count("*").cast("long").alias("n_chunks")))
+        )
+        .crossJoin(
+            F.broadcast(
+                embedded.agg(
+                    F.count("*").cast("long").alias("n_vectors"),
+                    F.round(F.sum("rn"), 4).alias("sum_raw_norms"),
+                )
             )
         )
     )

@@ -106,6 +106,7 @@ FULL_SCAN_OK = {
     "dedup_substring_clean",  # full rewrite pass over the whole corpus by definition
     "tfidf_topterms",  # tf/df census over the whole corpus by definition
     "quality_classifier",  # per-row scoring over the whole corpus by definition
+    "quality_classifier_trained",  # same per-row scoring; train census cached per corpus
     "bpe_apply",  # tokenizes every doc by definition (merge folds run on the vocab)
     "domain_quota",  # per-source quota ranks the whole corpus by definition
     "minhash_fidelity",  # reads every signature + the pair table by definition
@@ -164,6 +165,52 @@ def audit_one(name: str, df) -> tuple[list[str], str]:
     return problems, formatted
 
 
+# BroadcastNestedLoopJoin sites that are CORRECT even in no-broadcast
+# mode: their build side is an explicit F.broadcast hint on a
+# structurally bounded table (k rows / 1 row), so the hint surviving a
+# disabled threshold is the intended behavior, not a fallback failure.
+BNLJ_OK = {
+    "knn_join",  # k-query build side
+    "bm25_search",  # 1-row corpus-stats build side
+    "tfidf_topterms",  # 1-row total-docs build side
+    "corpus_mixture",  # 1-row totals build side
+    "contamination_filter",  # via contamination_check's 1-row shape
+    "dedup_recall",  # 3-row tier table theta-join
+    "dedup_recall_sampled",  # 3-row tier table theta-join
+    "minhash_fidelity",  # scalar-agg crossJoin
+    "ann_recall_sweep",  # k-row exact-set build side
+    "ann_srp_recall",  # k-row exact-set build side
+    "ann_pq_recall",  # k-row exact-set build side
+    "corpus_quantiles",  # 1-row quantile-struct crossJoin
+    "quality_score",
+    "corpus_pipeline",  # composes the quantile/stats crossJoins above
+    "embedding_pca_project",  # 1-row mean/component literals path
+    "repetition_stats",
+}
+
+
+def audit_nobroadcast(name: str, df) -> list[str]:
+    """Fallback-plan sanity with every size-based broadcast DISABLED
+    (autoBroadcastJoinThreshold=-1 in both the static planner and AQE):
+    what the plan degrades to when no join side fits in memory — the
+    100 TB shape. Explicit F.broadcast hints survive by design (they
+    are only on structurally bounded tables after round 5); everything
+    else must fall back to a shuffled join, never a cartesian product
+    or an unbounded nested loop."""
+    df.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    problems: list[str] = []
+    if "CartesianProduct" in plan:
+        problems.append("CartesianProduct in no-broadcast fallback")
+    if "BatchEvalPython" in plan:
+        problems.append("row-at-a-time Python UDF (BatchEvalPython)")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        problems.append(
+            "unexpected BroadcastNestedLoopJoin in no-broadcast fallback"
+        )
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -202,6 +249,22 @@ def main() -> int:
         sections.append(
             f"## {name}\n\n**verdict:** {verdict}\n\n```\n" + "\n".join(frags) + "\n```\n"
         )
+
+    # -- pass 2: no-broadcast fallback mode (VERDICT r4 #7) -------------
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    nb_lines: list[str] = []
+    for name in names:
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            problems = audit_nobroadcast(name, df)
+        except Exception as exc:
+            problems = [f"audit error: {exc}"]
+        verdict = "CLEAN" if not problems else "; ".join(problems)
+        print(("OK nb " if not problems else "FLAGnb") + f"{name}: {verdict}")
+        if problems:
+            failures += 1
+        nb_lines.append(f"- {name}: {verdict}")
     spark.stop()
 
     with open("PLANS.md", "w") as f:
@@ -212,6 +275,16 @@ def main() -> int:
             "present, filters pushed to parquet scans where the query\n"
             "filters. Full-scan queries are declared as such.\n\n"
             + "\n".join(sections)
+            + "\n\n# No-broadcast fallback audit\n\n"
+            "Same queries re-planned with autoBroadcastJoinThreshold=-1\n"
+            "(static AND adaptive): the shape every join degrades to when\n"
+            "no side fits executor memory — the 100 TB fallback. Explicit\n"
+            "F.broadcast hints survive by design (they mark structurally\n"
+            "bounded build sides: top-k rows, 1-row scalar aggs, tier\n"
+            "tables); everything unhinted must become a shuffled join,\n"
+            "never a CartesianProduct or an unbounded nested loop.\n\n"
+            + "\n".join(nb_lines)
+            + "\n"
         )
     print(f"\n{failures} flagged; PLANS.md written")
     return 1 if failures else 0
