@@ -1084,14 +1084,14 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised end-to-end (VERDICT r4 #4). Training is the CCNet
     bootstrap: label every document with the cheap heuristic
     (``quality_score``'s 50/50 stopword+length blend ≥ 0.5), hash each
-    token occurrence into {_QC_BUCKETS} buckets, and fit per-bucket
+    token occurrence into 4096 buckets, and fit per-bucket
     naive-Bayes log-odds ln((pos+1)/(neg+1)), stored as exact integer
     MICRO-UNITS (round(ln·10⁶)) so inference sums integers and the
     cross-engine hash never depends on float order (the
     ngram_lm_score discipline).
 
     Scale shape: training is one explode + one groupBy on a key space
-    structurally bounded at {_QC_BUCKETS} (map-side combine collapses
+    structurally bounded at 4096 (_QC_BUCKETS; map-side combine collapses
     it executor-side), run once per corpus; the learned table collapses
     to a SINGLE array literal (one Catalyst Literal node — the
     embedding_pca_project codegen-literal pattern), so inference is the
@@ -1100,8 +1100,6 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     fasttext-scale vocab (~2M buckets) the literal swaps for the
     hash_embedding Arrow path (weights in the worker closure); never a
     per-token equi-join."""
-    import math as _math  # noqa: F401 (documented alternative below)
-
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
