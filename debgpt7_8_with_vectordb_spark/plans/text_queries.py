@@ -1113,40 +1113,64 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucket(t: F.Column) -> F.Column:
         return md5_long(F.concat(F.lit("qw|"), t)) % _QC_BUCKETS
 
-    # -- train: bounded-key census + JVM-side ln (same libm pairing as
-    # ngram_lm_score), collected as <=4096 rows — the centroid/BPE
-    # class of bounded driver collect, run once per corpus
-    # label in its OWN projection BEFORE the explode: putting q and
-    # explode(toks) in one select makes Catalyst evaluate the full
-    # stopword-filter expression per EXPLODED row — O(tokens²) per doc
-    # (measured 6.3 s -> 0.7 s at sf0.1 for the split)
-    lab0 = docs.filter(n > 0).select(
-        (q >= 0.5).cast("int").alias("pos"), toks.alias("tk")
+    # -- train (cached per corpus like centroids/codebooks: the model
+    # is fit once at ingest, read by every inference run; the key
+    # embeds the bucket count so a _QC_BUCKETS bump retrains)
+    import json as _json
+    import os as _os
+
+    from ..operators.artifacts import corpus_cache_path
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    wpath = corpus_cache_path(
+        src,
+        f"qcw_b{_QC_BUCKETS}_v1",
+        "/tmp/spark_graft_artifacts/qc_weights",
+        ext=".json",
     )
-    lab = lab0.select("pos", F.explode(F.col("tk")).alias("tok"))
-    wdf = (
-        lab.select("pos", bucket(F.col("tok")).alias("b"))
-        .groupBy("b")
-        .agg(
-            F.sum("pos").alias("cpos"),
-            (F.count("*") - F.sum("pos")).alias("cneg"),
+    if _os.path.exists(wpath):
+        with open(wpath) as fh:
+            weights = _json.load(fh)
+    else:
+        # bounded-key census + JVM-side ln (same libm pairing as
+        # ngram_lm_score), collected as <=4096 rows — the centroid/BPE
+        # class of bounded driver collect, run once per corpus.
+        # label in its OWN projection BEFORE the explode: putting q and
+        # explode(toks) in one select makes Catalyst evaluate the full
+        # stopword-filter expression per EXPLODED row — O(tokens²) per
+        # doc (measured 6.3 s -> 0.7 s at sf0.1 for the split)
+        lab0 = docs.filter(n > 0).select(
+            (q >= 0.5).cast("int").alias("pos"), toks.alias("tk")
         )
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    (F.col("cpos") + 1).cast("double")
-                    / (F.col("cneg") + 1).cast("double")
-                )
-                * 1e6
+        lab = lab0.select("pos", F.explode(F.col("tk")).alias("tok"))
+        wdf = (
+            lab.select("pos", bucket(F.col("tok")).alias("b"))
+            .groupBy("b")
+            .agg(
+                F.sum("pos").alias("cpos"),
+                (F.count("*") - F.sum("pos")).alias("cneg"),
             )
-            .cast("long")
-            .alias("wu"),
+            .select(
+                "b",
+                F.round(
+                    F.log(
+                        (F.col("cpos") + 1).cast("double")
+                        / (F.col("cneg") + 1).cast("double")
+                    )
+                    * 1e6
+                )
+                .cast("long")
+                .alias("wu"),
+            )
         )
-    )
-    weights = [0] * _QC_BUCKETS
-    for r in wdf.collect():
-        weights[int(r["b"])] = int(r["wu"])
+        weights = [0] * _QC_BUCKETS
+        for r in wdf.collect():
+            weights[int(r["b"])] = int(r["wu"])
+        _os.makedirs(_os.path.dirname(wpath), exist_ok=True)
+        tmp = f"{wpath}.tmp-{_os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump(weights, fh)
+        _os.replace(tmp, wpath)  # atomic; concurrent first-builds race benignly
 
     # -- infer: one array literal, zero-shuffle integer fold per row
     warr = F.lit(weights)
