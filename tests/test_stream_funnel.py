@@ -28,7 +28,10 @@ def _write_events_file(path, rows, start_id=0):
                 range(start_id, start_id + len(rows)), type=pa.int64()
             ),
             "ts": pa.array(
-                [BASE + dt.timedelta(hours=r[2]) for r in rows],
+                [
+                    None if r[2] is None else BASE + dt.timedelta(hours=r[2])
+                    for r in rows
+                ],
                 type=pa.timestamp("us"),
             ),
             "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
@@ -91,6 +94,62 @@ def test_stream_funnel_survives_cross_batch_disorder(spark, tmp_path):
     assert got[1] == 3, got
     # user 2: click@5 precedes signup@6 — stage 1 only (strictly-after)
     assert got[2] == 1, got
+
+
+def test_stream_funnel_drops_null_ts(spark, tmp_path):
+    """NULL-ts events can't anchor or advance a chain (round-5 NULL-ts
+    convention): a user whose ONLY signup is NULL-ts never enters the
+    funnel, and a NULL-ts click doesn't block a real conversion."""
+    import pyspark.sql.functions as F
+
+    from debgpt7_8_with_vectordb_spark.streaming.sessionize import (
+        stream_events_from_dir,
+    )
+    from debgpt7_8_with_vectordb_spark.streaming.stateful import funnel_states
+
+    d = tmp_path / "feed_null"
+    os.makedirs(d)
+    _write_events_file(
+        str(d / "b1.parquet"),
+        [
+            (1, "signup", None),  # user 1's ONLY signup: NULL ts
+            (1, "click", 2),
+            (2, "signup", 1),
+            (2, "click", None),  # NULL click must not satisfy stage 2
+            (2, "click", 3),
+            (2, "purchase", 4),
+        ],
+    )
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = stream_events_from_dir(spark, str(d))
+        st = funnel_states(ev, idle_timeout_ms=None)
+        q = (
+            st.writeStream.format("memory")
+            .queryName("t_funnel_nullts")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    got = {
+        r["user_id"]: r["deep"]
+        for r in spark.table("t_funnel_nullts")
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("deep"))
+        .collect()
+    }
+    # NULL-ts signup never anchors: user 1 stays at stage 0 (their
+    # real click reaches the handler but has nothing to follow) — a
+    # stage-0 row adds nothing to any funnel count, matching the batch
+    # oracle which drops the user entirely
+    assert got.get(1, 0) == 0, got
+    assert got[2] == 3, got  # real chain converts past the NULL click
 
 
 def test_stream_funnel_drain_equals_batch(spark, sf_dir):
