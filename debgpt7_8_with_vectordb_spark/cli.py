@@ -13,6 +13,7 @@ Usage:
     python -m debgpt7_8_with_vectordb_spark mapreduce --sf-dir D [--compact]
     python -m debgpt7_8_with_vectordb_spark dedup --sf-dir D --method exact|minhash|simhash
     python -m debgpt7_8_with_vectordb_spark query --sf-dir D --name <catalog-query>
+    python -m debgpt7_8_with_vectordb_spark compact --path /corpus [--target-mb 128]
 """
 
 from __future__ import annotations
@@ -142,6 +143,28 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-shard compaction of a written corpus (sinks.compact_corpus)
+    — the maintenance pass a long-lived corpus needs; prints the
+    refreshed manifest summary."""
+    spark = _spark(args)
+    from .sinks import compact_corpus
+
+    man = compact_corpus(spark, args.path, target_bytes=args.target_mb << 20)
+    print(
+        json.dumps(
+            {
+                "path": args.path,
+                "compacted": man["compacted"],
+                "n_shards": man["n_shards"],
+                "n_rows": man["n_rows"],
+            }
+        )
+    )
+    _maybe_stop(spark)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="debgpt7_8_with_vectordb_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -194,6 +217,12 @@ def build_parser() -> argparse.ArgumentParser:
     common(q)
     q.add_argument("--name", required=True)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="compact small shards of a written corpus")
+    common(c)
+    c.add_argument("--path", required=True, help="corpus root (has a manifest)")
+    c.add_argument("--target-mb", type=int, default=128)
+    c.set_defaults(fn=cmd_compact)
 
     return p
 

@@ -61,3 +61,22 @@ def test_cli_does_not_stop_ambient_session(spark, sf_dir):
     main(["query", "--sf-dir", sf_dir, "--name", "group_counts", "--limit", "1"])
     # the shared fixture session must survive the CLI call
     assert spark.range(3).count() == 3
+
+
+def test_cli_compact(spark, sf_dir, tmp_path, capsys):
+    from debgpt7_8_with_vectordb_spark.sinks import write_corpus
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    out = str(tmp_path / "corpus")
+    write_corpus(
+        load_table(spark, sf_dir, "documents"),
+        out,
+        partition_by=("lang",),
+        max_records_per_file=7,
+    )
+    rc = main(["compact", "--path", out, "--target-mb", "1024"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["compacted"]  # tiny shards were merged
+    assert summary["n_shards"] == len(summary["compacted"])
+    assert summary["n_rows"] == spark.read.parquet(out).count()
