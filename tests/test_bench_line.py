@@ -51,3 +51,16 @@ def test_small_catalog_passes_whole():
 def test_anchor_names_are_headline_names():
     missing = [n for n in bench._R1_ANCHOR if n not in bench.HEADLINE]
     assert missing == []
+
+
+def test_anchor_matches_r1_record():
+    """The anchor must be EXACTLY the r1 bench's query set when the
+    record exists (a hand-maintained list drifted — round 5)."""
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_r01.json")
+    if not os.path.exists(path):
+        return
+    r1 = set(json.load(open(path))["parsed"]["queries"])
+    assert set(bench._R1_ANCHOR) == r1
+    assert set(bench._R1_FALLBACK) == r1  # keep the fallback honest too
