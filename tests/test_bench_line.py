@@ -64,3 +64,40 @@ def test_anchor_matches_r1_record():
     r1 = set(json.load(open(path))["parsed"]["queries"])
     assert set(bench._R1_ANCHOR) == r1
     assert set(bench._R1_FALLBACK) == r1  # keep the fallback honest too
+
+
+def test_budget_invariants_hold_for_any_catalog():
+    """Property: for ANY query-name set, the stdout line fits the
+    budget and every anchor present in the times survives."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz_",
+            min_size=1,
+            max_size=40,
+        ),
+        max_size=300,
+        unique=True,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(names=names, anchor_times=st.booleans())
+    def prop(names, anchor_times):
+        times = {n: 1.234 for n in names}
+        if anchor_times:
+            for n in bench._R1_ANCHOR:
+                times[n] = 0.5
+        line = bench._budgeted_line(_payload(times))
+        parsed = json.loads(line)
+        kept = parsed["queries"]
+        anchors_present = [n for n in bench._R1_ANCHOR if n in times]
+        assert all(n in kept for n in anchors_present)
+        # budget holds whenever there is anything non-anchor to drop;
+        # an anchor-only (or tiny) set passes through whole by design
+        if len(kept) > len(anchors_present):
+            assert len(line.encode()) <= bench._STDOUT_BUDGET
+        assert parsed["n_queries"] == len(times)
+
+    prop()
