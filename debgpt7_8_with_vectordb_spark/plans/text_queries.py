@@ -971,24 +971,38 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..functions.rounding import half_up_ratio, half_up_ratio_sql  # noqa: E402
+
+# logit is a RATIO OF INTEGERS (weight-sum / token-count): its 6dp
+# rounding must run in exact integer arithmetic or the engines can
+# disagree at half-boundaries (functions/rounding.py; found by the
+# round-5 sf0.1 sweep — one boundary row in each classifier).
+_HUR_SQL_WSU = half_up_ratio_sql("wsu", "dn")
+
+
 @query(
     "quality_classifier",
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
 s AS (
-  SELECT doc_id, len(toks) AS n,
-         list_sum(list_transform(toks,
-           x -> (({_MD5L.format(e="'w|' || x")} % 2001) - 1000)::DOUBLE / 1000.0))
-           AS ws
+  SELECT doc_id, len(toks) AS n, greatest(len(toks), 1)::BIGINT AS dn,
+         (coalesce(list_sum(list_transform(toks,
+            x -> ({_MD5L.format(e="'w|' || x")} % 2001) - 1000)), 0)
+          * 1000)::BIGINT AS wsu
   FROM t
+),
+lg AS (
+  SELECT doc_id, n,
+         ({_HUR_SQL_WSU}) / 1000000.0 AS logit
+  FROM s
 )
 SELECT doc_id, n::BIGINT AS n_tokens,
-       CASE WHEN n = 0 THEN NULL ELSE round(ws / n, 6) END AS logit,
+       CASE WHEN n = 0 THEN NULL ELSE logit END AS logit,
        CASE WHEN n = 0 THEN NULL
-            ELSE round(1.0 / (1.0 + exp(-4.0 * (ws / n))), 6) END AS prob,
+            ELSE round(1.0 / (1.0 + exp(-4.0 * logit)), 6) END AS prob,
        CASE WHEN n = 0 THEN false
-            ELSE round(1.0 / (1.0 + exp(-4.0 * (ws / n))), 6) >= 0.5 END AS keep
-FROM s
+            ELSE round(1.0 / (1.0 + exp(-4.0 * logit)), 6) >= 0.5 END AS keep
+FROM lg
 """,
 )
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,27 +1019,35 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure per-row Catalyst expressions — the token fold
     runs inside the row, no explode, no shuffle, scan-parallel at any
-    corpus size. Both engines fold the token array LEFT-TO-RIGHT in
-    document order, so the float sum is bit-identical cross-engine;
-    logit/prob are 6dp-rounded and the keep decision reads the ROUNDED
-    prob (ties-at-boundary convention, ADVICE r3 #1)."""
+    corpus size. The weight sum folds as EXACT INTEGERS (weights are
+    thousandths, summed as numerators), and logit's 6dp rounding is
+    exact integer half-up (functions/rounding.py) — a float ws/n can
+    land on a half-boundary where the engines' round() disagree (one
+    real row at sf0.1, round 5). prob stays a transcendental round
+    (measure-zero boundary) computed from the ROUNDED logit; keep
+    reads the rounded prob (ties-at-boundary convention, ADVICE r3
+    #1)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    w = lambda t: (
-        (md5_long(F.concat(F.lit("w|"), t)) % 2001) - 1000
-    ).cast("double") / 1000.0
+    wu = lambda t: (md5_long(F.concat(F.lit("w|"), t)) % 2001) - 1000
     base = docs.select(
         "doc_id",
         F.size(toks).alias("n"),
-        F.aggregate(toks, F.lit(0.0), lambda a, t: a + w(t)).alias("ws"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + wu(t)
+        ).alias("wsu"),
     )
-    logit = F.col("ws") / F.col("n")
+    lu = half_up_ratio(
+        (F.col("wsu") * 1000).cast("long"),
+        F.greatest(F.col("n"), F.lit(1)).cast("long"),  # guard INSIDE (ANSI)
+    )
+    logit = lu.cast("double") / 1e6
     prob = F.round(1.0 / (1.0 + F.exp(-4.0 * logit)), 6)
     nonempty = F.col("n") > 0
     return base.select(
         "doc_id",
         F.col("n").cast("long").alias("n_tokens"),
-        F.when(nonempty, F.round(logit, 6)).alias("logit"),
+        F.when(nonempty, logit).alias("logit"),
         F.when(nonempty, prob).alias("prob"),
         # token-less docs fail the filter OUTRIGHT (false, not NULL) —
         # a tri-state keep column helps nobody downstream
@@ -1063,12 +1085,16 @@ inf AS (
   SELECT occ.doc_id, sum(w.wu) AS ws FROM occ JOIN w USING (b)
   GROUP BY occ.doc_id
 ),
-s AS (
-  SELECT t.doc_id, len(t.toks) AS n,
-         CASE WHEN len(t.toks) = 0 THEN NULL
-              ELSE round(inf.ws::DOUBLE / (len(t.toks) * 1000000.0), 6) END
-           AS logit
+s0 AS (
+  SELECT t.doc_id, len(t.toks) AS n, greatest(len(t.toks), 1)::BIGINT AS dn,
+         coalesce(inf.ws, 0)::BIGINT AS wsu
   FROM t LEFT JOIN inf ON t.doc_id = inf.doc_id
+),
+s AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN NULL
+              ELSE ({_HUR_SQL_WSU}) / 1000000.0 END AS logit
+  FROM s0
 )
 SELECT doc_id, n::BIGINT AS n_tokens, logit,
        CASE WHEN n = 0 THEN NULL
@@ -1180,9 +1206,12 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: acc + F.element_at(warr, (bucket(t) + 1).cast("int")),
     )
     base = docs.select("doc_id", n.alias("n"), ws.alias("ws"))
-    logit = F.round(
-        F.col("ws").cast("double") / (F.col("n").cast("double") * 1e6), 6
+    # exact integer half-up: ws is micro-units, so logit's 6dp value IS
+    # round(ws/n) — never a float boundary (functions/rounding.py)
+    lu = half_up_ratio(
+        F.col("ws"), F.greatest(F.col("n"), F.lit(1)).cast("long")
     )
+    logit = lu.cast("double") / 1e6
     prob = F.round(1.0 / (1.0 + F.exp(-4.0 * logit)), 6)
     nonempty = F.col("n") > 0
     return base.select(
