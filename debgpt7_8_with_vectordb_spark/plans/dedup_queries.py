@@ -16,12 +16,31 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..functions.hashing import md5_long
+from ..functions.rounding import half_up_ratio, half_up_ratio_sql
 from ..functions.text import distinct_tokens, tokens, word_shingles
 from ..tables import load_table
 from .catalog import query
 
 _TOKS = r"list_distinct(list_filter(string_split_regex({t}, '\s+'), x -> x <> ''))"
 _MD5L = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+# Jaccard = inter/union is a RATIO OF INTEGERS, so its 6dp rounding —
+# both the reported value and the >= threshold filters — runs in exact
+# integer arithmetic (functions/rounding.py; the round-5 sf0.1 sweep
+# showed float ratio roundings CAN land on half-boundaries where the
+# engines' round() disagree). `_JU` expects BIGINT columns named
+# inter/total in scope; thresholds compare against units (0.8 -> 800000).
+_JU = half_up_ratio_sql("(inter * 1000000)", "greatest(total - inter, 1)")
+
+
+def _jac_units(inter: Column, total: Column) -> Column:
+    """Spark twin of ``_JU``: exact 6dp jaccard units from BIGINT
+    intersection and total set sizes (union = total - inter; the
+    greatest() guard runs INSIDE the expression — ANSI lesson)."""
+    return half_up_ratio(
+        (inter * F.lit(1_000_000)).cast("long"),
+        F.greatest(total - inter, F.lit(1)).cast("long"),
+    )
 
 # 2 bands of 16 → LSH collision threshold (1/b)^(1/r) ≈ 0.96. The
 # corpus is deliberately near-dup-heavy (median pairwise token Jaccard
@@ -63,14 +82,14 @@ WITH t AS (
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.hs, b.hs))::DOUBLE AS inter,
-         (len(a.hs) + len(b.hs))::DOUBLE AS total
+         len(list_intersect(a.hs, b.hs))::BIGINT AS inter,
+         (len(a.hs) + len(b.hs))::BIGINT AS total
   FROM t a JOIN t b
     ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
    WHERE least(len(a.hs), len(b.hs))::DOUBLE >= 0.5 * greatest(len(a.hs), len(b.hs))
 )
-SELECT doc_a, doc_b, round(inter / (total - inter), 6) AS jaccard
-FROM pairs WHERE total > 0 AND round(inter / (total - inter), 6) >= 0.5
+SELECT doc_a, doc_b, ({_JU}) / 1000000.0 AS jaccard
+FROM pairs WHERE total > inter AND ({_JU}) >= 500000
 """.replace("{MD5L}", _MD5L.format(e="tk") + " % 2147483647"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,27 +148,22 @@ def _ngram_jaccard_from(
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.size(F.array_intersect("a.hs", "b.hs")).cast("double").alias("inter"),
-        (na + nb).cast("double").alias("total"),
+        F.size(F.array_intersect("a.hs", "b.hs")).cast("long").alias("inter"),
+        (na + nb).cast("long").alias("total"),
     )
-    # division made intrinsically safe: a both-token-less pair is 0/0,
-    # and a filter-order guard is NOT enough — Catalyst may evaluate the
-    # predicate inside a downstream join stage where the total>0 conjunct
-    # no longer short-circuits ahead of it (bit the sampled recall gate
-    # on the edge corpus). total > inter ⟺ union > 0, and the guard
-    # changes no surviving value: inter < total whenever either side has
-    # tokens.
-    jac = F.when(
-        F.col("total") > F.col("inter"),
-        F.col("inter") / (F.col("total") - F.col("inter")),
-    )
-    # Threshold on the 6dp-ROUNDED value — the same convention the
-    # DuckDB oracles and the full recall gate use — so a true jaccard in
-    # [threshold - 5e-7, threshold) can't diverge between the engine
-    # truth and the oracle truth at a tier boundary (round-3 advice).
+    # Exact-integer 6dp jaccard (round 5, _jac_units): the division-
+    # by-zero guard lives INSIDE the expression (greatest(union, 1) —
+    # the ANSI filter-order lesson), a both-token-less 0/0 pair scores
+    # 0 and fails every threshold, and thresholding on integer UNITS is
+    # the same 6dp-rounded convention as before minus the float
+    # half-boundary hazard the sf0.1 sweep exposed.
+    ju = _jac_units(F.col("inter"), F.col("total"))
     return (
-        pairs.filter(F.round(jac, 6) >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        pairs.filter(
+            (F.col("total") > F.col("inter"))
+            & (ju >= int(round(threshold * 1_000_000)))
+        )
+        .select("doc_a", "doc_b", (ju.cast("double") / 1e6).alias("jaccard"))
     )
 
 
@@ -344,16 +358,16 @@ toksets AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-         len(list_intersect(ta.hs, tb.hs))::DOUBLE AS inter,
-         (len(ta.hs) + len(tb.hs))::DOUBLE AS total
+         len(list_intersect(ta.hs, tb.hs))::BIGINT AS inter,
+         (len(ta.hs) + len(tb.hs))::BIGINT AS total
   FROM cand c
   JOIN toksets ta ON ta.doc_id = c.doc_a
   JOIN toksets tb ON tb.doc_id = c.doc_b
   WHERE least(len(ta.hs), len(tb.hs))::DOUBLE
           >= 0.8 * greatest(len(ta.hs), len(tb.hs))
 )
-SELECT doc_a, doc_b, round(inter / (total - inter), 6) AS jaccard
-FROM verified WHERE round(inter / (total - inter), 6) >= 0.8
+SELECT doc_a, doc_b, ({_JU}) / 1000000.0 AS jaccard
+FROM verified WHERE ({_JU}) >= 800000
 """,
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,7 +410,7 @@ def verified_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.artifacts import corpus_cache_path
 
     src = os.path.join(sf_dir, "documents.parquet")
-    path = corpus_cache_path(src, "vpairs2", "/tmp/spark_graft_verified_pairs")
+    path = corpus_cache_path(src, "vpairs3", "/tmp/spark_graft_verified_pairs")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _verify_candidates(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -426,13 +440,13 @@ def _verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter = F.least(na, nb).cast("double") >= 0.8 * F.greatest(na, nb).cast(
         "double"
     )
-    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-    total = (na + nb).cast("double")
-    jac = inter / (total - inter)
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    total = (na + nb).cast("long")
+    ju = _jac_units(inter, total)
     return (
         pairs.filter(prefilter)
-        .filter(F.round(jac, 6) >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(ju >= 800_000)
+        .select("doc_a", "doc_b", (ju.cast("double") / 1e6).alias("jaccard"))
     )
 
 
@@ -553,20 +567,20 @@ toksets AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-         len(list_intersect(ta.hs, tb.hs))::DOUBLE AS inter,
-         (len(ta.hs) + len(tb.hs))::DOUBLE AS total
+         len(list_intersect(ta.hs, tb.hs))::BIGINT AS inter,
+         (len(ta.hs) + len(tb.hs))::BIGINT AS total
   FROM cand c
   JOIN toksets ta ON ta.doc_id = c.doc_a
   JOIN toksets tb ON tb.doc_id = c.doc_b
   WHERE least(len(ta.hs), len(tb.hs))::DOUBLE
           >= 0.8 * greatest(len(ta.hs), len(tb.hs))
 )
-SELECT v.doc_a, v.doc_b, round(v.inter / (v.total - v.inter), 6) AS jaccard,
+SELECT doc_a, doc_b, ({_JU}) / 1000000.0 AS jaccard,
        (ra.class_size * rb.class_size)::BIGINT AS n_doc_pairs
-FROM verified v
-JOIN reps ra ON ra.doc_id = v.doc_a
-JOIN reps rb ON rb.doc_id = v.doc_b
-WHERE round(v.inter / (v.total - v.inter), 6) >= 0.8
+FROM verified
+JOIN reps ra ON ra.doc_id = verified.doc_a
+JOIN reps rb ON rb.doc_id = verified.doc_b
+WHERE ({_JU}) >= 800000
 """,
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,13 +624,13 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb = F.size("hs_a"), F.size("hs_b")
     prefilter = F.least(na, nb).cast("double") >= 0.8 * F.greatest(na, nb).cast("double")
-    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-    total = (na + nb).cast("double")
-    jac = inter / (total - inter)
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    total = (na + nb).cast("long")
+    ju = _jac_units(inter, total)
     verified = (
         pairs.filter(prefilter)
-        .filter(F.round(jac, 6) >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(ju >= 800_000)
+        .select("doc_a", "doc_b", (ju.cast("double") / 1e6).alias("jaccard"))
     )
     return (
         # unhinted: sizes is one row per distinct text — corpus-scale.
@@ -838,8 +852,8 @@ toksets AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-         len(list_intersect(ta.hs, tb.hs))::DOUBLE AS inter,
-         (len(ta.hs) + len(tb.hs))::DOUBLE AS total
+         len(list_intersect(ta.hs, tb.hs))::BIGINT AS inter,
+         (len(ta.hs) + len(tb.hs))::BIGINT AS total
   FROM cand c
   JOIN toksets ta ON ta.doc_id = c.doc_a
   JOIN toksets tb ON tb.doc_id = c.doc_b
@@ -847,8 +861,8 @@ verified AS (
           >= 0.8 * greatest(len(ta.hs), len(tb.hs))
 ),
 vp AS (
-  SELECT doc_a, doc_b, round(inter / (total - inter), 6) AS jaccard
-  FROM verified WHERE round(inter / (total - inter), 6) >= 0.8
+  SELECT doc_a, doc_b, ({_JU}) / 1000000.0 AS jaccard
+  FROM verified WHERE ({_JU}) >= 800000
 ),
 errs AS (
   SELECT round(abs(
@@ -1030,15 +1044,16 @@ toksets AS (
   FROM documents
 ),
 vpairs AS (
-  SELECT c.doc_a, c.doc_b
-  FROM cand c
-  JOIN toksets ta ON ta.doc_id = c.doc_a
-  JOIN toksets tb ON tb.doc_id = c.doc_b
-  WHERE least(len(ta.hs), len(tb.hs))::DOUBLE
-          >= 0.8 * greatest(len(ta.hs), len(tb.hs))
-    AND round(len(list_intersect(ta.hs, tb.hs))::DOUBLE
-          / ((len(ta.hs) + len(tb.hs)) - len(list_intersect(ta.hs, tb.hs)))::DOUBLE, 6)
-          >= 0.8
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(ta.hs, tb.hs))::BIGINT AS inter,
+           (len(ta.hs) + len(tb.hs))::BIGINT AS total
+    FROM cand c
+    JOIN toksets ta ON ta.doc_id = c.doc_a
+    JOIN toksets tb ON tb.doc_id = c.doc_b
+    WHERE least(len(ta.hs), len(tb.hs))::DOUBLE
+            >= 0.8 * greatest(len(ta.hs), len(tb.hs))
+  ) WHERE ({_JU}) >= 800000
 ),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM vpairs
@@ -1219,15 +1234,17 @@ jt AS (
                                       tk -> {_MD5L.format(e='tk')} % {_MH_P})) AS hs
   FROM documents
 ),
-truth AS (
+truth0 AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.hs, b.hs))::DOUBLE
-           / ((len(a.hs) + len(b.hs)) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6)
-           AS jac
+         len(list_intersect(a.hs, b.hs))::BIGINT AS inter,
+         (len(a.hs) + len(b.hs))::BIGINT AS total
   FROM jt a JOIN jt b
     ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
   WHERE least(len(a.hs), len(b.hs))::DOUBLE >= 0.8 * greatest(len(a.hs), len(b.hs))
     AND (len(a.hs) + len(b.hs)) > 0
+),
+truth AS (
+  SELECT doc_a, doc_b, ({_JU}) / 1000000.0 AS jac FROM truth0
 ),
 hits AS (
   SELECT t.jac, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
@@ -1237,7 +1254,7 @@ hits AS (
 SELECT tier,
        count(*)::BIGINT AS n_truth,
        coalesce(sum(hit), 0)::BIGINT AS n_hit,
-       round(coalesce(sum(hit), 0)::DOUBLE / count(*), 6) AS recall
+       ((CASE WHEN (coalesce(sum(hit), 0) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((coalesce(sum(hit), 0) * 1000000)) - abs((coalesce(sum(hit), 0) * 1000000)) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((coalesce(sum(hit), 0) * 1000000)) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS recall
 FROM hits
 JOIN (VALUES (0.8::DOUBLE), (0.96::DOUBLE), (1.0::DOUBLE)) tiers(tier)
   ON jac >= tier
@@ -1284,7 +1301,7 @@ def jaccard_truth_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.artifacts import corpus_cache_path
 
     src = os.path.join(sf_dir, "documents.parquet")
-    path = corpus_cache_path(src, "jtruth1", "/tmp/spark_graft_verified_pairs")
+    path = corpus_cache_path(src, "jtruth2", "/tmp/spark_graft_verified_pairs")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents")
         _ngram_jaccard_from(docs, ratio=0.8, threshold=0.8).write.mode(
@@ -1304,7 +1321,14 @@ def _recall_tiers(spark: SparkSession, truth: DataFrame, cand: DataFrame) -> Dat
         .agg(
             F.count("*").cast("long").alias("n_truth"),
             F.sum("hit").cast("long").alias("n_hit"),
-            F.round(F.sum("hit").cast("double") / F.count("*"), 6).alias("recall"),
+            # hits/count is a ratio of integers — exact half-up units
+            (
+                half_up_ratio(
+                    (F.sum("hit").cast("long") * F.lit(1_000_000)).cast("long"),
+                    F.count("*").cast("long"),
+                ).cast("double")
+                / 1e6
+            ).alias("recall"),
         )
     )
 
@@ -1326,15 +1350,17 @@ jt AS (
                                       tk -> {_MD5L.format(e='tk')} % {_MH_P})) AS hs
   FROM documents WHERE doc_id % {_RECALL_SAMPLE_MOD} = 0
 ),
-truth AS (
+truth0 AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.hs, b.hs))::DOUBLE
-           / ((len(a.hs) + len(b.hs)) - len(list_intersect(a.hs, b.hs)))::DOUBLE, 6)
-           AS jac
+         len(list_intersect(a.hs, b.hs))::BIGINT AS inter,
+         (len(a.hs) + len(b.hs))::BIGINT AS total
   FROM jt a JOIN jt b
     ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
   WHERE least(len(a.hs), len(b.hs))::DOUBLE >= 0.8 * greatest(len(a.hs), len(b.hs))
     AND (len(a.hs) + len(b.hs)) > 0
+),
+truth AS (
+  SELECT doc_a, doc_b, ({_JU}) / 1000000.0 AS jac FROM truth0
 ),
 hits AS (
   SELECT t.jac, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
@@ -1344,7 +1370,7 @@ hits AS (
 SELECT tier,
        count(*)::BIGINT AS n_truth,
        coalesce(sum(hit), 0)::BIGINT AS n_hit,
-       round(coalesce(sum(hit), 0)::DOUBLE / count(*), 6) AS recall
+       ((CASE WHEN (coalesce(sum(hit), 0) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((coalesce(sum(hit), 0) * 1000000)) - abs((coalesce(sum(hit), 0) * 1000000)) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((coalesce(sum(hit), 0) * 1000000)) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS recall
 FROM hits
 JOIN (VALUES (0.8::DOUBLE), (0.96::DOUBLE), (1.0::DOUBLE)) tiers(tier)
   ON jac >= tier
