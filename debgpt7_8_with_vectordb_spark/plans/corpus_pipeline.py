@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.hashing import md5_long
+from ..functions.rounding import half_up_ratio
 from ..functions.text import tokens
 from ..operators.chunker import chunk_documents
 from ..tables import load_table
@@ -32,6 +33,9 @@ _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 _STOP = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 MIN_QUALITY = 0.15
+# quality blend = (100p + qm)/(200q) is a ratio of integers: threshold
+# in exact half-up units (functions/rounding.py, round 5)
+_MIN_QUALITY_U = int(round(MIN_QUALITY * 1_000_000))
 CHUNK_BYTES = 120
 EMBED_DIM = 8
 
@@ -63,17 +67,19 @@ bands AS (
     "corpus_pipeline",
     oracle=f"""
 WITH scored AS (
-  SELECT doc_id, text,
-         CASE WHEN len({_TOKS.format(t='text')}) = 0 THEN NULL
-              ELSE round(
-                0.5 * (len(list_filter({_TOKS.format(t='text')}, x -> x IN {_STOP_SQL}))::DOUBLE
-                       / len({_TOKS.format(t='text')}))
-                + 0.5 * least(len({_TOKS.format(t='text')})::DOUBLE / 100.0, 1.0), 6)
-         END AS quality
-  FROM documents
+  SELECT doc_id, text, n,
+         ((CASE WHEN ((100 * p + q * m) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs(((100 * p + q * m) * 1000000)) - abs(((100 * p + q * m) * 1000000)) % (200 * q)) // (200 * q)) + (CASE WHEN 2 * (abs(((100 * p + q * m) * 1000000)) % (200 * q)) >= (200 * q) THEN 1 ELSE 0 END))) AS quality_u
+  FROM (
+    SELECT doc_id, text, len({_TOKS.format(t='text')}) AS n,
+           greatest(len({_TOKS.format(t='text')}), 1)::BIGINT AS q,
+           len(list_filter({_TOKS.format(t='text')},
+                           x -> x IN {_STOP_SQL}))::BIGINT AS p,
+           least(len({_TOKS.format(t='text')}), 100)::BIGINT AS m
+    FROM documents
+  )
 ),
 qualified AS (
-  SELECT doc_id, text FROM scored WHERE quality >= {MIN_QUALITY}
+  SELECT doc_id, text FROM scored WHERE n > 0 AND quality_u >= {_MIN_QUALITY_U}
 ),
 {_BANDS_OVER_QUALIFIED},
 bucket_min AS (SELECT band, sig, min(doc_id) AS bmin FROM bands GROUP BY band, sig),
@@ -132,15 +138,19 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     toks = tokens(F.col("text"))
-    stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*_STOP)))
-    quality = F.round(
-        0.5 * F.try_divide(stop_cnt.cast("double"), F.size(toks))
-        + 0.5 * F.least(F.size(toks).cast("double") / 100.0, F.lit(1.0)),
-        6,
+    n = F.size(toks)
+    p = F.size(F.filter(toks, lambda x: x.isin(*_STOP))).cast("long")
+    q = F.greatest(n, F.lit(1)).cast("long")
+    m = F.least(n, F.lit(100)).cast("long")
+    quality_u = half_up_ratio(
+        ((F.lit(100) * p + q * m) * F.lit(1_000_000)).cast("long"),
+        (F.lit(200) * q).cast("long"),
     )
-    qualified = docs.withColumn("quality", quality).filter(
-        F.col("quality") >= MIN_QUALITY
-    ).select("doc_id", "text")
+    qualified = (
+        docs.withColumn("quality_u", quality_u)
+        .filter((n > 0) & (F.col("quality_u") >= _MIN_QUALITY_U))
+        .select("doc_id", "text")
+    )
 
     bands = _minhash_bands_from(qualified)
     bucket_min = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("bmin"))

@@ -784,7 +784,7 @@ ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 97 = 0),
 tr AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h
        FROM sh WHERE doc_id % 97 <> 0)
 SELECT doc_id, count(*)::BIGINT AS n_shared,
-       round(count(*)::DOUBLE / any_value(n_sh), 6) AS overlap_frac
+       ((CASE WHEN (count(*) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((count(*) * 1000000)) - abs((count(*) * 1000000)) % any_value(n_sh)) // any_value(n_sh)) + (CASE WHEN 2 * (abs((count(*) * 1000000)) % any_value(n_sh)) >= any_value(n_sh) THEN 1 ELSE 0 END))) / 1000000.0 AS overlap_frac
 FROM tr JOIN ev USING (h)
 GROUP BY doc_id
 """,
@@ -826,8 +826,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shared"),
-            F.round(
-                F.count("*").cast("double") / F.first("n_sh"), 6
+            # count/n_sh is a ratio of integers -> exact half-up units
+            (
+                half_up_ratio(
+                    (F.count("*").cast("long") * F.lit(1_000_000)).cast("long"),
+                    F.first("n_sh").cast("long"),
+                ).cast("double")
+                / 1e6
             ).alias("overlap_frac"),
         )
     )
@@ -874,7 +879,7 @@ errs AS (
           JOIN mh mb ON mb.doc_id = vp.doc_b
 )
 SELECT count(*)::BIGINT AS n_pairs,
-       round(sum(err)::DOUBLE / count(*), 6) AS mae,
+       ((CASE WHEN (sum(err) * 1000000)::BIGINT < 0 THEN -1 ELSE 1 END) * (((abs((sum(err) * 1000000)::BIGINT) - abs((sum(err) * 1000000)::BIGINT) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((sum(err) * 1000000)::BIGINT) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS mae,
        max(err)::DOUBLE AS max_err
 FROM errs
 """,
@@ -922,7 +927,14 @@ def minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.round(F.abs(est - F.col("jaccard")), 6).cast("decimal(24,6)")
     return joined.select(err.alias("err")).agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.round(F.sum("err").cast("double") / F.count("*"), 6).alias("mae"),
+        # sum(err) is DECIMAL(24,6): mae = (S*1e6)/c in exact units
+        (
+            half_up_ratio(
+                (F.sum("err") * F.lit(1_000_000)).cast("long"),
+                F.count("*").cast("long"),
+            ).cast("double")
+            / 1e6
+        ).alias("mae"),
         F.max("err").cast("double").alias("max_err"),
     )
 
@@ -986,8 +998,8 @@ g AS (
 ),
 tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM g)
 SELECT lang, source, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
-       round(n_docs::DOUBLE / td, 6) AS frac_docs,
-       CASE WHEN tt > 0 THEN round(n_tokens::DOUBLE / tt, 6) ELSE 0.0 END
+       ((CASE WHEN (n_docs * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((n_docs * 1000000)) - abs((n_docs * 1000000)) % td) // td) + (CASE WHEN 2 * (abs((n_docs * 1000000)) % td) >= td THEN 1 ELSE 0 END))) / 1000000.0 AS frac_docs,
+       CASE WHEN tt > 0 THEN ((CASE WHEN (n_tokens * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((n_tokens * 1000000)) - abs((n_tokens * 1000000)) % greatest(tt, 1)) // greatest(tt, 1)) + (CASE WHEN 2 * (abs((n_tokens * 1000000)) % greatest(tt, 1)) >= greatest(tt, 1) THEN 1 ELSE 0 END))) / 1000000.0 ELSE 0.0 END
          AS frac_tokens
 FROM g, tot
 """,
@@ -1016,10 +1028,20 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_docs").cast("double") / F.col("td"), 6).alias("frac_docs"),
+        (
+            half_up_ratio(
+                (F.col("n_docs") * F.lit(1_000_000)).cast("long"),
+                F.col("td").cast("long"),
+            ).cast("double")
+            / 1e6
+        ).alias("frac_docs"),
         F.when(
             F.col("tt") > 0,
-            F.round(F.col("n_tokens").cast("double") / F.col("tt"), 6),
+            half_up_ratio(
+                (F.col("n_tokens") * F.lit(1_000_000)).cast("long"),
+                F.greatest(F.col("tt"), F.lit(1)).cast("long"),
+            ).cast("double")
+            / 1e6,
         )
         .otherwise(F.lit(0.0))
         .alias("frac_tokens"),
@@ -1452,7 +1474,7 @@ nd AS (
 SELECT nd.doc_id, nd.n_tokens::BIGINT AS n_tokens,
        n_dup_windows::BIGINT AS n_dup_windows,
        covered::BIGINT AS covered_tokens,
-       round(covered::DOUBLE / nd.n_tokens, 6) AS dup_frac
+       ((CASE WHEN (covered * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((covered * 1000000)) - abs((covered * 1000000)) % nd.n_tokens) // nd.n_tokens) + (CASE WHEN 2 * (abs((covered * 1000000)) % nd.n_tokens) >= nd.n_tokens THEN 1 ELSE 0 END))) / 1000000.0 AS dup_frac
 FROM nd JOIN cov USING (doc_id)
 """,
 )
@@ -1510,9 +1532,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "n_dup_windows",
         F.col("covered").cast("long").alias("covered_tokens"),
-        F.round(F.col("covered").cast("double") / F.col("n_tokens"), 6).alias(
-            "dup_frac"
-        ),
+        (
+            half_up_ratio(
+                (F.col("covered") * F.lit(1_000_000)).cast("long"),
+                F.col("n_tokens").cast("long"),
+            ).cast("double")
+            / 1e6
+        ).alias("dup_frac"),
     )
 
 

@@ -15,6 +15,7 @@ from ..functions.hashing import md5_long
 from ..functions.text import char_shingles, tokens, word_shingles
 from ..operators.textprofile import repetition_counts
 from ..tables import load_table
+from ..functions.rounding import half_up_ratio, half_up_ratio_sql
 from .catalog import oracle_artifact_path, query, tag_artifact
 
 # DuckDB: whitespace tokens with empties dropped (matches functions.text.tokens)
@@ -35,7 +36,7 @@ SELECT doc_id,
        strlen(text)::BIGINT AS n_bytes,
        length(text)::BIGINT AS n_chars_actual,
        CASE WHEN len(toks) = 0 THEN NULL
-            ELSE round(list_sum(list_transform(toks, x -> strlen(x)::DOUBLE)) / len(toks), 6)
+            ELSE ((CASE WHEN (list_sum(list_transform(toks, x -> strlen(x)::BIGINT)) * 1000000)::BIGINT < 0 THEN -1 ELSE 1 END) * (((abs((list_sum(list_transform(toks, x -> strlen(x)::BIGINT)) * 1000000)::BIGINT) - abs((list_sum(list_transform(toks, x -> strlen(x)::BIGINT)) * 1000000)::BIGINT) % len(toks)) // len(toks)) + (CASE WHEN 2 * (abs((list_sum(list_transform(toks, x -> strlen(x)::BIGINT)) * 1000000)::BIGINT) % len(toks)) >= len(toks) THEN 1 ELSE 0 END))) / 1000000.0
        END AS avg_token_bytes
 FROM t
 """,
@@ -52,13 +53,19 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_actual"),
         F.when(
             F.size(toks) > 0,
-            F.round(
-                F.aggregate(
-                    toks, F.lit(0.0), lambda a, x: a + F.octet_length(x).cast("double")
-                )
-                / F.size(toks),
-                6,
-            ),
+            # bytes/tokens is a ratio of integers -> exact half-up units
+            half_up_ratio(
+                (
+                    F.aggregate(
+                        toks,
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + F.octet_length(x).cast("long"),
+                    )
+                    * F.lit(1_000_000)
+                ).cast("long"),
+                F.greatest(F.size(toks), F.lit(1)).cast("long"),
+            ).cast("double")
+            / 1e6,
         ).alias("avg_token_bytes"),  # NULL for token-less docs (ANSI: no /0)
     )
 
@@ -68,15 +75,15 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents)
 SELECT doc_id,
-       CASE WHEN len(toks) = 0 THEN NULL
-            ELSE round(len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks), 6)
-       END AS stopword_ratio,
-       round(least(len(toks)::DOUBLE / 100.0, 1.0), 6) AS length_score,
-       CASE WHEN len(toks) = 0 THEN NULL
-            ELSE round(0.5 * (len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE / len(toks))
-                       + 0.5 * least(len(toks)::DOUBLE / 100.0, 1.0), 6)
-       END AS quality
-FROM t
+       CASE WHEN n = 0 THEN NULL ELSE ((CASE WHEN (p * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((p * 1000000)) - abs((p * 1000000)) % q) // q) + (CASE WHEN 2 * (abs((p * 1000000)) % q) >= q THEN 1 ELSE 0 END))) / 1000000.0 END AS stopword_ratio,
+       (least(n, 100) * 10000) / 1000000.0 AS length_score,
+       CASE WHEN n = 0 THEN NULL ELSE ((CASE WHEN ((100 * p + q * m) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs(((100 * p + q * m) * 1000000)) - abs(((100 * p + q * m) * 1000000)) % (200 * q)) // (200 * q)) + (CASE WHEN 2 * (abs(((100 * p + q * m) * 1000000)) % (200 * q)) >= (200 * q) THEN 1 ELSE 0 END))) / 1000000.0 END AS quality
+FROM (
+  SELECT doc_id, len(toks) AS n, greatest(len(toks), 1)::BIGINT AS q,
+         len(list_filter(toks, x -> x IN {_STOP_SQL}))::BIGINT AS p,
+         least(len(toks), 100)::BIGINT AS m
+  FROM t
+)
 """,
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,15 +91,23 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fluency proxy) + length saturation, combined 50/50."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*_STOP)))
-    # try_divide: NULL ratio for token-less docs (ANSI: plain / raises)
-    stop_ratio = F.try_divide(stop_cnt.cast("double"), F.size(toks))
-    len_score = F.least(F.size(toks).cast("double") / 100.0, F.lit(1.0))
+    n = F.size(toks)
+    p = F.size(F.filter(toks, lambda x: x.isin(*_STOP))).cast("long")
+    q = F.greatest(n, F.lit(1)).cast("long")  # guard INSIDE (ANSI)
+    m = F.least(n, F.lit(100)).cast("long")
+    # all three outputs are ratios of integers (blend = (100p+qm)/200q)
+    # -> exact half-up units (functions/rounding.py, round 5)
+    sr_u = half_up_ratio((p * F.lit(1_000_000)).cast("long"), q)
+    qu_u = half_up_ratio(
+        ((F.lit(100) * p + q * m) * F.lit(1_000_000)).cast("long"),
+        (F.lit(200) * q).cast("long"),
+    )
+    nonempty = n > 0
     return docs.select(
         "doc_id",
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(len_score, 6).alias("length_score"),
-        F.round(0.5 * stop_ratio + 0.5 * len_score, 6).alias("quality"),
+        F.when(nonempty, sr_u.cast("double") / 1e6).alias("stopword_ratio"),
+        ((m * F.lit(10_000)).cast("double") / 1e6).alias("length_score"),
+        F.when(nonempty, qu_u.cast("double") / 1e6).alias("quality"),
     )
 
 
@@ -529,10 +544,10 @@ SELECT t.doc_id,
        coalesce(topc, 0)::BIGINT AS top_token_count,
        coalesce(topb, 0)::BIGINT AS top_bigram_count,
        CASE WHEN n IS NULL THEN NULL
-            ELSE round(1.0 - nd::DOUBLE / n, 6) END AS dup_token_frac,
+            ELSE ((CASE WHEN ((n - nd) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs(((n - nd) * 1000000)) - abs(((n - nd) * 1000000)) % greatest(n, 1)) // greatest(n, 1)) + (CASE WHEN 2 * (abs(((n - nd) * 1000000)) % greatest(n, 1)) >= greatest(n, 1) THEN 1 ELSE 0 END))) / 1000000.0 END AS dup_token_frac,
        CASE WHEN n IS NULL THEN NULL
-            ELSE round(topc::DOUBLE / n, 6) END AS top_token_frac,
-       CASE WHEN n >= 2 THEN round(topb::DOUBLE / (n - 1), 6)
+            ELSE ((CASE WHEN (topc * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((topc * 1000000)) - abs((topc * 1000000)) % greatest(n, 1)) // greatest(n, 1)) + (CASE WHEN 2 * (abs((topc * 1000000)) % greatest(n, 1)) >= greatest(n, 1) THEN 1 ELSE 0 END))) / 1000000.0 END AS top_token_frac,
+       CASE WHEN n >= 2 THEN ((CASE WHEN (topb * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((topb * 1000000)) - abs((topb * 1000000)) % greatest(n - 1, 1)) // greatest(n - 1, 1)) + (CASE WHEN 2 * (abs((topb * 1000000)) % greatest(n - 1, 1)) >= greatest(n - 1, 1) THEN 1 ELSE 0 END))) / 1000000.0
             ELSE NULL END AS top_bigram_frac
 FROM t LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
 """,
@@ -551,26 +566,23 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs. The oracle replays the same counts via unnest + GROUP BY."""
     docs = load_table(spark, sf_dir, "documents")
     counts = repetition_counts(docs)
-    n = F.col("n_tokens").cast("double")
+    nl = F.col("n_tokens").cast("long")
+    dn = F.greatest(nl, F.lit(1))
+    dn1 = F.greatest(nl - 1, F.lit(1))
+    # all three fractions are ratios of integer counts -> exact units
+    dup_u = half_up_ratio(((nl - F.col("n_distinct")) * F.lit(1_000_000)).cast("long"), dn)
+    top_u = half_up_ratio((F.col("top_token_count") * F.lit(1_000_000)).cast("long"), dn)
+    bg_u = half_up_ratio((F.col("top_bigram_count") * F.lit(1_000_000)).cast("long"), dn1)
+    has = nl > 0
     return counts.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
         "top_token_count",
         "top_bigram_count",
-        F.round(
-            F.lit(1.0) - F.try_divide(F.col("n_distinct").cast("double"), n), 6
-        ).alias("dup_token_frac"),
-        F.round(
-            F.try_divide(F.col("top_token_count").cast("double"), n), 6
-        ).alias("top_token_frac"),
-        F.round(
-            F.try_divide(
-                F.col("top_bigram_count").cast("double"),
-                F.when(F.col("n_tokens") >= 2, n - 1),
-            ),
-            6,
-        ).alias("top_bigram_frac"),
+        F.when(has, dup_u.cast("double") / 1e6).alias("dup_token_frac"),
+        F.when(has, top_u.cast("double") / 1e6).alias("top_token_frac"),
+        F.when(nl >= 2, bg_u.cast("double") / 1e6).alias("top_bigram_frac"),
     )
 
 
@@ -626,7 +638,7 @@ scored AS (
   JOIN cw1 ON string_split(b.bg, ' ')[1] = cw1.w1
 )
 SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       round(sum(lp)::DOUBLE / count(*), 6) AS avg_logp
+       ((CASE WHEN (sum(lp) * 1000000)::BIGINT < 0 THEN -1 ELSE 1 END) * (((abs((sum(lp) * 1000000)::BIGINT) - abs((sum(lp) * 1000000)::BIGINT) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((sum(lp) * 1000000)::BIGINT) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS avg_logp
 FROM scored GROUP BY doc_id
 """,
 )
@@ -675,7 +687,14 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
-        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logp"),
+        # sum(lp) is DECIMAL(24,6): avg = (S*1e6)/c in exact units
+        (
+            half_up_ratio(
+                (F.sum("lp") * F.lit(1_000_000)).cast("long"),
+                F.count("*").cast("long"),
+            ).cast("double")
+            / 1e6
+        ).alias("avg_logp"),
     )
 
 
@@ -740,7 +759,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_quantiles",
     oracle="""
 SELECT lang, count(*)::BIGINT AS n_docs,
-       round(avg(n_chars), 6) AS mean_chars,
+       ((CASE WHEN (sum(n_chars)::BIGINT * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((sum(n_chars)::BIGINT * 1000000)) - abs((sum(n_chars)::BIGINT * 1000000)) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((sum(n_chars)::BIGINT * 1000000)) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS mean_chars,
        round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
        round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
        round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
@@ -764,7 +783,14 @@ def corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = {"p50_chars": 0.5, "p90_chars": 0.9, "p99_chars": 0.99}
     return docs.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        # n_chars is integral: mean is a ratio of integers -> exact units
+        (
+            half_up_ratio(
+                (F.sum("n_chars").cast("long") * F.lit(1_000_000)).cast("long"),
+                F.count("*").cast("long"),
+            ).cast("double")
+            / 1e6
+        ).alias("mean_chars"),
         *[
             F.round(F.percentile(F.col("n_chars"), F.lit(p)), 6).alias(name)
             for name, p in pcts.items()
@@ -971,8 +997,6 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..functions.rounding import half_up_ratio, half_up_ratio_sql  # noqa: E402
-
 # logit is a RATIO OF INTEGERS (weight-sum / token-count): its 6dp
 # rounding must run in exact integer arithmetic or the engines can
 # disagree at half-boundaries (functions/rounding.py; found by the
@@ -1065,12 +1089,13 @@ _QC_B_SQL = f"({_MD5L.format(e=chr(39) + 'qw|' + chr(39) + ' || x')} % {_QC_BUCK
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
 lab AS (
-  SELECT CASE WHEN round(0.5 * (len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
-                                / len(toks))
-                   + 0.5 * least(len(toks)::DOUBLE / 100.0, 1.0), 6) >= 0.5
-              THEN 1 ELSE 0 END AS pos,
-         toks
-  FROM t WHERE len(toks) > 0
+  SELECT CASE WHEN ((CASE WHEN ((100 * p + q * m) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs(((100 * p + q * m) * 1000000)) - abs(((100 * p + q * m) * 1000000)) % (200 * q)) // (200 * q)) + (CASE WHEN 2 * (abs(((100 * p + q * m) * 1000000)) % (200 * q)) >= (200 * q) THEN 1 ELSE 0 END))) >= 500000 THEN 1 ELSE 0 END AS pos, toks
+  FROM (
+    SELECT toks, greatest(len(toks), 1)::BIGINT AS q,
+           len(list_filter(toks, x -> x IN {_STOP_SQL}))::BIGINT AS p,
+           least(len(toks), 100)::BIGINT AS m
+    FROM t WHERE len(toks) > 0
+  )
 ),
 e AS (SELECT pos, {_QC_B_SQL} AS b
       FROM (SELECT pos, unnest(toks) AS x FROM lab)),
@@ -1129,11 +1154,15 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n = F.size(toks)
-    stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*_STOP)))
-    q = F.round(
-        0.5 * (stop_cnt.cast("double") / n.cast("double"))
-        + 0.5 * F.least(n.cast("double") / 100.0, F.lit(1.0)),
-        6,
+    # CCNet-bootstrap label = the quality_score blend in exact integer
+    # units ((100p + qm)/200q — the round-5 ratio convention), so the
+    # pos/neg split can never flip cross-engine at a float boundary
+    _p = F.size(F.filter(toks, lambda x: x.isin(*_STOP))).cast("long")
+    _q = F.greatest(n, F.lit(1)).cast("long")
+    _m = F.least(n, F.lit(100)).cast("long")
+    quality_u = half_up_ratio(
+        ((F.lit(100) * _p + _q * _m) * F.lit(1_000_000)).cast("long"),
+        (F.lit(200) * _q).cast("long"),
     )
 
     def bucket(t: F.Column) -> F.Column:
@@ -1166,7 +1195,7 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stopword-filter expression per EXPLODED row — O(tokens²) per
         # doc (measured 6.3 s -> 0.7 s at sf0.1 for the split)
         lab0 = docs.filter(n > 0).select(
-            (q >= 0.5).cast("int").alias("pos"), toks.alias("tk")
+            (quality_u >= 500_000).cast("int").alias("pos"), toks.alias("tk")
         )
         lab = lab0.select("pos", F.explode(F.col("tk")).alias("tok"))
         wdf = (
@@ -1522,6 +1551,15 @@ def fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_MIN = 0.5  # report pairs where either side is >= half-contained
 CONTAIN_DROP = 0.8  # removal threshold: drop a doc this contained in a larger one
 
+# exact-integer 6dp containment units (functions/rounding.py — the
+# round-5 ratio-rounding convention): containment is count/count, so
+# its rounding and the >= thresholds run in integer arithmetic
+_CONTAIN_MIN_U = int(round(CONTAIN_MIN * 1_000_000))
+_CONTAIN_DROP_U = int(round(CONTAIN_DROP * 1_000_000))
+_CU_A = half_up_ratio_sql("(n_shared * 1000000)", "n_a")
+_CU_B = half_up_ratio_sql("(n_shared * 1000000)", "n_b")
+_CU_V = half_up_ratio_sql("cn", "vd")
+
 # shared CTE chain: winnow -> df-cap -> pair join -> per-doc denominators;
 # ends at `scored` = (doc_a, doc_b, n_shared, n_a, n_b) — consumed by the
 # containment REPORT and the keep-rule TRANSFORM below
@@ -1566,11 +1604,10 @@ scored AS (
     oracle=f"""
 WITH {_CONTAIN_CTES}
 SELECT doc_a, doc_b, n_shared::BIGINT AS n_shared,
-       round(n_shared / n_a, 6) AS cont_a,
-       round(n_shared / n_b, 6) AS cont_b
+       ({_CU_A}) / 1000000.0 AS cont_a,
+       ({_CU_B}) / 1000000.0 AS cont_b
 FROM scored
-WHERE greatest(round(n_shared / n_a, 6), round(n_shared / n_b, 6))
-      >= {CONTAIN_MIN}
+WHERE greatest(({_CU_A}), ({_CU_B})) >= {_CONTAIN_MIN_U}
 """,
 )
 def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,15 +1631,24 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-ROUNDED ratios (both engines, the dedup_recall convention) so
     a boundary pair can't hash-flake."""
     scored = _containment_scored(spark, sf_dir)
-    cont_a = F.round(F.col("n_shared") / F.col("n_a"), 6)
-    cont_b = F.round(F.col("n_shared") / F.col("n_b"), 6)
-    return scored.select(
-        "doc_a",
-        "doc_b",
-        "n_shared",
-        cont_a.alias("cont_a"),
-        cont_b.alias("cont_b"),
-    ).filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= CONTAIN_MIN)
+    ca_u = half_up_ratio(
+        (F.col("n_shared") * F.lit(1_000_000)).cast("long"),
+        F.col("n_a").cast("long"),
+    )
+    cb_u = half_up_ratio(
+        (F.col("n_shared") * F.lit(1_000_000)).cast("long"),
+        F.col("n_b").cast("long"),
+    )
+    return (
+        scored.filter(F.greatest(ca_u, cb_u) >= _CONTAIN_MIN_U)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (ca_u.cast("double") / 1e6).alias("cont_a"),
+            (cb_u.cast("double") / 1e6).alias("cont_b"),
+        )
+    )
 
 
 def _containment_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1640,11 +1686,14 @@ def _containment_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_CONTAIN_CTES},
 drops AS (
-  SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a > doc_b)
-              THEN doc_a ELSE doc_b END AS doc_id
-  FROM scored
-  WHERE round(n_shared / CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a > doc_b)
-                              THEN n_a ELSE n_b END, 6) >= {CONTAIN_DROP}
+  SELECT victim AS doc_id FROM (
+    SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a > doc_b)
+                THEN doc_a ELSE doc_b END AS victim,
+           (n_shared * 1000000)::BIGINT AS cn,
+           (CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a > doc_b)
+                 THEN n_a ELSE n_b END)::BIGINT AS vd
+    FROM scored
+  ) WHERE ({_CU_V}) >= {_CONTAIN_DROP_U}
 )
 SELECT d.doc_id, (dr.doc_id IS NULL) AS keep
 FROM documents d
@@ -1675,7 +1724,11 @@ def dedup_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     victim_n = F.when(a_drops, F.col("n_a")).otherwise(F.col("n_b"))
     drops = (
         scored.filter(
-            F.round(F.col("n_shared") / victim_n, 6) >= CONTAIN_DROP
+            half_up_ratio(
+                (F.col("n_shared") * F.lit(1_000_000)).cast("long"),
+                victim_n.cast("long"),
+            )
+            >= _CONTAIN_DROP_U
         )
         .select(victim.alias("doc_id"))
         .distinct()
