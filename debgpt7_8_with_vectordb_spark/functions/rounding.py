@@ -43,6 +43,31 @@ def half_up_ratio(num: Column, den: Column) -> Column:
     return F.when(num < 0, -q).otherwise(q)
 
 
+def half_up_ratio_nonneg(num: Column, den: Column) -> Column:
+    """``half_up_ratio`` for num >= 0, den > 0 — as the SINGLE-REFERENCE
+    formula floor((2·num + den) / (2·den)).
+
+    Why it exists: the general helper references ``num`` four times, and
+    when num is an expensive per-row expression (array_intersect in the
+    jaccard pair space) Catalyst inlines it at every reference — a
+    measured 5× slowdown on dedup_ngram_jaccard. Here num appears once.
+
+    Exactness: the true quotient's distance to any integer is >=
+    1/(2·den), far above double ulp for |2·num + den| < 2^53 (same
+    precondition class as the general helper), so the IEEE division
+    cannot cross an integer and floor is exact. Ties (x.5) round UP,
+    which for non-negative ratios is identical to half-away-from-zero.
+    """
+    return F.floor(
+        (2 * num + den).cast("double") / (2 * den).cast("double")
+    ).cast("long")
+
+
+def half_up_ratio_nonneg_sql(num: str, den: str) -> str:
+    """DuckDB twin of ``half_up_ratio_nonneg`` (num >= 0, den > 0)."""
+    return f"floor((2 * {num} + {den}) / (2.0 * ({den})))::BIGINT"
+
+
 def half_up_ratio_sql(num: str, den: str) -> str:
     """The identical computation as a DuckDB SQL fragment.
 

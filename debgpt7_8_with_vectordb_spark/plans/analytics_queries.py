@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.rounding import half_up_ratio
+from ..functions.rounding import half_up_ratio_nonneg
 from ..tables import load_table
 from .catalog import query
 
@@ -24,7 +24,7 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ((CASE WHEN ((sum(l_quantity))::BIGINT * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs(((sum(l_quantity))::BIGINT * 1000000)) - abs(((sum(l_quantity))::BIGINT * 1000000)) % count(*)) // count(*)) + (CASE WHEN 2 * (abs(((sum(l_quantity))::BIGINT * 1000000)) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS avg_qty,
+       (floor((2 * ((sum(l_quantity))::BIGINT * 1000000) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS avg_qty,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -48,7 +48,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # quantities are integer-valued: avg is a ratio of
             # integers -> exact half-up units (round-5 convention)
             (
-                half_up_ratio(
+                half_up_ratio_nonneg(
                     (F.sum("l_quantity").cast("long") * F.lit(1_000_000)).cast(
                         "long"
                     ),
@@ -522,7 +522,7 @@ SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
        -- avg derived from the ROUNDED total: both engines then divide
        -- identical numerators, so no half-boundary straddle from 1-ulp
        -- sum drift (seen at sf0.1: avg(…) landing exactly on …125)
-       ((CASE WHEN (round(round(sum(value), 4) * 10000)::BIGINT * 100) < 0 THEN -1 ELSE 1 END) * (((abs((round(round(sum(value), 4) * 10000)::BIGINT * 100)) - abs((round(round(sum(value), 4) * 10000)::BIGINT * 100)) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((round(round(sum(value), 4) * 10000)::BIGINT * 100)) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS avg_value
+       (floor((2 * (round(round(sum(value), 4) * 10000)::BIGINT * 100) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS avg_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
@@ -541,7 +541,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
         (
-            half_up_ratio(
+            half_up_ratio_nonneg(
                 (
                     F.round(F.round(F.sum("value"), 4) * 1e4).cast("long")
                     * F.lit(100)

@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.hashing import md5_long
-from ..functions.rounding import half_up_ratio
+from ..functions.rounding import half_up_ratio_nonneg
 from ..functions.text import tokens
 from ..operators.chunker import chunk_documents
 from ..tables import load_table
@@ -68,7 +68,7 @@ bands AS (
     oracle=f"""
 WITH scored AS (
   SELECT doc_id, text, n,
-         ((CASE WHEN ((100 * p + q * m) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs(((100 * p + q * m) * 1000000)) - abs(((100 * p + q * m) * 1000000)) % (200 * q)) // (200 * q)) + (CASE WHEN 2 * (abs(((100 * p + q * m) * 1000000)) % (200 * q)) >= (200 * q) THEN 1 ELSE 0 END))) AS quality_u
+         (floor((2 * ((100 * p + q * m) * 1000000) + (200 * q)) / (2.0 * ((200 * q))))::BIGINT) AS quality_u
   FROM (
     SELECT doc_id, text, len({_TOKS.format(t='text')}) AS n,
            greatest(len({_TOKS.format(t='text')}), 1)::BIGINT AS q,
@@ -142,7 +142,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.size(F.filter(toks, lambda x: x.isin(*_STOP))).cast("long")
     q = F.greatest(n, F.lit(1)).cast("long")
     m = F.least(n, F.lit(100)).cast("long")
-    quality_u = half_up_ratio(
+    quality_u = half_up_ratio_nonneg(
         ((F.lit(100) * p + q * m) * F.lit(1_000_000)).cast("long"),
         (F.lit(200) * q).cast("long"),
     )

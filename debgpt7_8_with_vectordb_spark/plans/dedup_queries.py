@@ -16,7 +16,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..functions.hashing import md5_long
-from ..functions.rounding import half_up_ratio, half_up_ratio_sql
+from ..functions.rounding import (
+    half_up_ratio_nonneg,
+    half_up_ratio_nonneg_sql,
+)
 from ..functions.text import distinct_tokens, tokens, word_shingles
 from ..tables import load_table
 from .catalog import query
@@ -30,14 +33,14 @@ _MD5L = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 # showed float ratio roundings CAN land on half-boundaries where the
 # engines' round() disagree). `_JU` expects BIGINT columns named
 # inter/total in scope; thresholds compare against units (0.8 -> 800000).
-_JU = half_up_ratio_sql("(inter * 1000000)", "greatest(total - inter, 1)")
+_JU = half_up_ratio_nonneg_sql("(inter * 1000000)", "greatest(total - inter, 1)")
 
 
 def _jac_units(inter: Column, total: Column) -> Column:
     """Spark twin of ``_JU``: exact 6dp jaccard units from BIGINT
     intersection and total set sizes (union = total - inter; the
     greatest() guard runs INSIDE the expression — ANSI lesson)."""
-    return half_up_ratio(
+    return half_up_ratio_nonneg(
         (inter * F.lit(1_000_000)).cast("long"),
         F.greatest(total - inter, F.lit(1)).cast("long"),
     )
@@ -784,7 +787,7 @@ ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 97 = 0),
 tr AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h
        FROM sh WHERE doc_id % 97 <> 0)
 SELECT doc_id, count(*)::BIGINT AS n_shared,
-       ((CASE WHEN (count(*) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((count(*) * 1000000)) - abs((count(*) * 1000000)) % any_value(n_sh)) // any_value(n_sh)) + (CASE WHEN 2 * (abs((count(*) * 1000000)) % any_value(n_sh)) >= any_value(n_sh) THEN 1 ELSE 0 END))) / 1000000.0 AS overlap_frac
+       (floor((2 * (count(*) * 1000000) + any_value(n_sh)) / (2.0 * (any_value(n_sh))))::BIGINT) / 1000000.0 AS overlap_frac
 FROM tr JOIN ev USING (h)
 GROUP BY doc_id
 """,
@@ -828,7 +831,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_shared"),
             # count/n_sh is a ratio of integers -> exact half-up units
             (
-                half_up_ratio(
+                half_up_ratio_nonneg(
                     (F.count("*").cast("long") * F.lit(1_000_000)).cast("long"),
                     F.first("n_sh").cast("long"),
                 ).cast("double")
@@ -879,7 +882,7 @@ errs AS (
           JOIN mh mb ON mb.doc_id = vp.doc_b
 )
 SELECT count(*)::BIGINT AS n_pairs,
-       ((CASE WHEN (sum(err) * 1000000)::BIGINT < 0 THEN -1 ELSE 1 END) * (((abs((sum(err) * 1000000)::BIGINT) - abs((sum(err) * 1000000)::BIGINT) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((sum(err) * 1000000)::BIGINT) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS mae,
+       (floor((2 * (sum(err) * 1000000)::BIGINT + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS mae,
        max(err)::DOUBLE AS max_err
 FROM errs
 """,
@@ -929,7 +932,7 @@ def minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         # sum(err) is DECIMAL(24,6): mae = (S*1e6)/c in exact units
         (
-            half_up_ratio(
+            half_up_ratio_nonneg(
                 (F.sum("err") * F.lit(1_000_000)).cast("long"),
                 F.count("*").cast("long"),
             ).cast("double")
@@ -998,8 +1001,8 @@ g AS (
 ),
 tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM g)
 SELECT lang, source, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
-       ((CASE WHEN (n_docs * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((n_docs * 1000000)) - abs((n_docs * 1000000)) % td) // td) + (CASE WHEN 2 * (abs((n_docs * 1000000)) % td) >= td THEN 1 ELSE 0 END))) / 1000000.0 AS frac_docs,
-       CASE WHEN tt > 0 THEN ((CASE WHEN (n_tokens * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((n_tokens * 1000000)) - abs((n_tokens * 1000000)) % greatest(tt, 1)) // greatest(tt, 1)) + (CASE WHEN 2 * (abs((n_tokens * 1000000)) % greatest(tt, 1)) >= greatest(tt, 1) THEN 1 ELSE 0 END))) / 1000000.0 ELSE 0.0 END
+       (floor((2 * (n_docs * 1000000) + td) / (2.0 * (td)))::BIGINT) / 1000000.0 AS frac_docs,
+       CASE WHEN tt > 0 THEN (floor((2 * (n_tokens * 1000000) + greatest(tt, 1)) / (2.0 * (greatest(tt, 1))))::BIGINT) / 1000000.0 ELSE 0.0 END
          AS frac_tokens
 FROM g, tot
 """,
@@ -1029,7 +1032,7 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         (
-            half_up_ratio(
+            half_up_ratio_nonneg(
                 (F.col("n_docs") * F.lit(1_000_000)).cast("long"),
                 F.col("td").cast("long"),
             ).cast("double")
@@ -1037,7 +1040,7 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frac_docs"),
         F.when(
             F.col("tt") > 0,
-            half_up_ratio(
+            half_up_ratio_nonneg(
                 (F.col("n_tokens") * F.lit(1_000_000)).cast("long"),
                 F.greatest(F.col("tt"), F.lit(1)).cast("long"),
             ).cast("double")
@@ -1276,7 +1279,7 @@ hits AS (
 SELECT tier,
        count(*)::BIGINT AS n_truth,
        coalesce(sum(hit), 0)::BIGINT AS n_hit,
-       ((CASE WHEN (coalesce(sum(hit), 0) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((coalesce(sum(hit), 0) * 1000000)) - abs((coalesce(sum(hit), 0) * 1000000)) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((coalesce(sum(hit), 0) * 1000000)) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS recall
+       (floor((2 * (coalesce(sum(hit), 0) * 1000000) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS recall
 FROM hits
 JOIN (VALUES (0.8::DOUBLE), (0.96::DOUBLE), (1.0::DOUBLE)) tiers(tier)
   ON jac >= tier
@@ -1345,7 +1348,7 @@ def _recall_tiers(spark: SparkSession, truth: DataFrame, cand: DataFrame) -> Dat
             F.sum("hit").cast("long").alias("n_hit"),
             # hits/count is a ratio of integers — exact half-up units
             (
-                half_up_ratio(
+                half_up_ratio_nonneg(
                     (F.sum("hit").cast("long") * F.lit(1_000_000)).cast("long"),
                     F.count("*").cast("long"),
                 ).cast("double")
@@ -1392,7 +1395,7 @@ hits AS (
 SELECT tier,
        count(*)::BIGINT AS n_truth,
        coalesce(sum(hit), 0)::BIGINT AS n_hit,
-       ((CASE WHEN (coalesce(sum(hit), 0) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((coalesce(sum(hit), 0) * 1000000)) - abs((coalesce(sum(hit), 0) * 1000000)) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((coalesce(sum(hit), 0) * 1000000)) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS recall
+       (floor((2 * (coalesce(sum(hit), 0) * 1000000) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS recall
 FROM hits
 JOIN (VALUES (0.8::DOUBLE), (0.96::DOUBLE), (1.0::DOUBLE)) tiers(tier)
   ON jac >= tier
@@ -1474,7 +1477,7 @@ nd AS (
 SELECT nd.doc_id, nd.n_tokens::BIGINT AS n_tokens,
        n_dup_windows::BIGINT AS n_dup_windows,
        covered::BIGINT AS covered_tokens,
-       ((CASE WHEN (covered * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((covered * 1000000)) - abs((covered * 1000000)) % nd.n_tokens) // nd.n_tokens) + (CASE WHEN 2 * (abs((covered * 1000000)) % nd.n_tokens) >= nd.n_tokens THEN 1 ELSE 0 END))) / 1000000.0 AS dup_frac
+       (floor((2 * (covered * 1000000) + nd.n_tokens) / (2.0 * (nd.n_tokens)))::BIGINT) / 1000000.0 AS dup_frac
 FROM nd JOIN cov USING (doc_id)
 """,
 )
@@ -1533,7 +1536,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_windows",
         F.col("covered").cast("long").alias("covered_tokens"),
         (
-            half_up_ratio(
+            half_up_ratio_nonneg(
                 (F.col("covered") * F.lit(1_000_000)).cast("long"),
                 F.col("n_tokens").cast("long"),
             ).cast("double")

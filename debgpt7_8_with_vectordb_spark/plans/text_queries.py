@@ -15,7 +15,12 @@ from ..functions.hashing import md5_long
 from ..functions.text import char_shingles, tokens, word_shingles
 from ..operators.textprofile import repetition_counts
 from ..tables import load_table
-from ..functions.rounding import half_up_ratio, half_up_ratio_sql
+from ..functions.rounding import (
+    half_up_ratio,
+    half_up_ratio_nonneg,
+    half_up_ratio_nonneg_sql,
+    half_up_ratio_sql,
+)
 from .catalog import oracle_artifact_path, query, tag_artifact
 
 # DuckDB: whitespace tokens with empties dropped (matches functions.text.tokens)
@@ -36,7 +41,7 @@ SELECT doc_id,
        strlen(text)::BIGINT AS n_bytes,
        length(text)::BIGINT AS n_chars_actual,
        CASE WHEN len(toks) = 0 THEN NULL
-            ELSE ((CASE WHEN (list_sum(list_transform(toks, x -> strlen(x)::BIGINT)) * 1000000)::BIGINT < 0 THEN -1 ELSE 1 END) * (((abs((list_sum(list_transform(toks, x -> strlen(x)::BIGINT)) * 1000000)::BIGINT) - abs((list_sum(list_transform(toks, x -> strlen(x)::BIGINT)) * 1000000)::BIGINT) % len(toks)) // len(toks)) + (CASE WHEN 2 * (abs((list_sum(list_transform(toks, x -> strlen(x)::BIGINT)) * 1000000)::BIGINT) % len(toks)) >= len(toks) THEN 1 ELSE 0 END))) / 1000000.0
+            ELSE (floor((2 * (list_sum(list_transform(toks, x -> strlen(x)::BIGINT)) * 1000000)::BIGINT + len(toks)) / (2.0 * (len(toks))))::BIGINT) / 1000000.0
        END AS avg_token_bytes
 FROM t
 """,
@@ -54,7 +59,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.size(toks) > 0,
             # bytes/tokens is a ratio of integers -> exact half-up units
-            half_up_ratio(
+            half_up_ratio_nonneg(
                 (
                     F.aggregate(
                         toks,
@@ -75,9 +80,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents)
 SELECT doc_id,
-       CASE WHEN n = 0 THEN NULL ELSE ((CASE WHEN (p * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((p * 1000000)) - abs((p * 1000000)) % q) // q) + (CASE WHEN 2 * (abs((p * 1000000)) % q) >= q THEN 1 ELSE 0 END))) / 1000000.0 END AS stopword_ratio,
+       CASE WHEN n = 0 THEN NULL ELSE (floor((2 * (p * 1000000) + q) / (2.0 * (q)))::BIGINT) / 1000000.0 END AS stopword_ratio,
        (least(n, 100) * 10000) / 1000000.0 AS length_score,
-       CASE WHEN n = 0 THEN NULL ELSE ((CASE WHEN ((100 * p + q * m) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs(((100 * p + q * m) * 1000000)) - abs(((100 * p + q * m) * 1000000)) % (200 * q)) // (200 * q)) + (CASE WHEN 2 * (abs(((100 * p + q * m) * 1000000)) % (200 * q)) >= (200 * q) THEN 1 ELSE 0 END))) / 1000000.0 END AS quality
+       CASE WHEN n = 0 THEN NULL ELSE (floor((2 * ((100 * p + q * m) * 1000000) + (200 * q)) / (2.0 * ((200 * q))))::BIGINT) / 1000000.0 END AS quality
 FROM (
   SELECT doc_id, len(toks) AS n, greatest(len(toks), 1)::BIGINT AS q,
          len(list_filter(toks, x -> x IN {_STOP_SQL}))::BIGINT AS p,
@@ -97,8 +102,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.least(n, F.lit(100)).cast("long")
     # all three outputs are ratios of integers (blend = (100p+qm)/200q)
     # -> exact half-up units (functions/rounding.py, round 5)
-    sr_u = half_up_ratio((p * F.lit(1_000_000)).cast("long"), q)
-    qu_u = half_up_ratio(
+    sr_u = half_up_ratio_nonneg((p * F.lit(1_000_000)).cast("long"), q)
+    qu_u = half_up_ratio_nonneg(
         ((F.lit(100) * p + q * m) * F.lit(1_000_000)).cast("long"),
         (F.lit(200) * q).cast("long"),
     )
@@ -544,10 +549,10 @@ SELECT t.doc_id,
        coalesce(topc, 0)::BIGINT AS top_token_count,
        coalesce(topb, 0)::BIGINT AS top_bigram_count,
        CASE WHEN n IS NULL THEN NULL
-            ELSE ((CASE WHEN ((n - nd) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs(((n - nd) * 1000000)) - abs(((n - nd) * 1000000)) % greatest(n, 1)) // greatest(n, 1)) + (CASE WHEN 2 * (abs(((n - nd) * 1000000)) % greatest(n, 1)) >= greatest(n, 1) THEN 1 ELSE 0 END))) / 1000000.0 END AS dup_token_frac,
+            ELSE (floor((2 * ((n - nd) * 1000000) + greatest(n, 1)) / (2.0 * (greatest(n, 1))))::BIGINT) / 1000000.0 END AS dup_token_frac,
        CASE WHEN n IS NULL THEN NULL
-            ELSE ((CASE WHEN (topc * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((topc * 1000000)) - abs((topc * 1000000)) % greatest(n, 1)) // greatest(n, 1)) + (CASE WHEN 2 * (abs((topc * 1000000)) % greatest(n, 1)) >= greatest(n, 1) THEN 1 ELSE 0 END))) / 1000000.0 END AS top_token_frac,
-       CASE WHEN n >= 2 THEN ((CASE WHEN (topb * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((topb * 1000000)) - abs((topb * 1000000)) % greatest(n - 1, 1)) // greatest(n - 1, 1)) + (CASE WHEN 2 * (abs((topb * 1000000)) % greatest(n - 1, 1)) >= greatest(n - 1, 1) THEN 1 ELSE 0 END))) / 1000000.0
+            ELSE (floor((2 * (topc * 1000000) + greatest(n, 1)) / (2.0 * (greatest(n, 1))))::BIGINT) / 1000000.0 END AS top_token_frac,
+       CASE WHEN n >= 2 THEN (floor((2 * (topb * 1000000) + greatest(n - 1, 1)) / (2.0 * (greatest(n - 1, 1))))::BIGINT) / 1000000.0
             ELSE NULL END AS top_bigram_frac
 FROM t LEFT JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
 """,
@@ -570,9 +575,9 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dn = F.greatest(nl, F.lit(1))
     dn1 = F.greatest(nl - 1, F.lit(1))
     # all three fractions are ratios of integer counts -> exact units
-    dup_u = half_up_ratio(((nl - F.col("n_distinct")) * F.lit(1_000_000)).cast("long"), dn)
-    top_u = half_up_ratio((F.col("top_token_count") * F.lit(1_000_000)).cast("long"), dn)
-    bg_u = half_up_ratio((F.col("top_bigram_count") * F.lit(1_000_000)).cast("long"), dn1)
+    dup_u = half_up_ratio_nonneg(((nl - F.col("n_distinct")) * F.lit(1_000_000)).cast("long"), dn)
+    top_u = half_up_ratio_nonneg((F.col("top_token_count") * F.lit(1_000_000)).cast("long"), dn)
+    bg_u = half_up_ratio_nonneg((F.col("top_bigram_count") * F.lit(1_000_000)).cast("long"), dn1)
     has = nl > 0
     return counts.select(
         "doc_id",
@@ -759,7 +764,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_quantiles",
     oracle="""
 SELECT lang, count(*)::BIGINT AS n_docs,
-       ((CASE WHEN (sum(n_chars)::BIGINT * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs((sum(n_chars)::BIGINT * 1000000)) - abs((sum(n_chars)::BIGINT * 1000000)) % count(*)) // count(*)) + (CASE WHEN 2 * (abs((sum(n_chars)::BIGINT * 1000000)) % count(*)) >= count(*) THEN 1 ELSE 0 END))) / 1000000.0 AS mean_chars,
+       (floor((2 * (sum(n_chars)::BIGINT * 1000000) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS mean_chars,
        round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
        round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
        round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
@@ -785,7 +790,7 @@ def corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         # n_chars is integral: mean is a ratio of integers -> exact units
         (
-            half_up_ratio(
+            half_up_ratio_nonneg(
                 (F.sum("n_chars").cast("long") * F.lit(1_000_000)).cast("long"),
                 F.count("*").cast("long"),
             ).cast("double")
@@ -1089,7 +1094,7 @@ _QC_B_SQL = f"({_MD5L.format(e=chr(39) + 'qw|' + chr(39) + ' || x')} % {_QC_BUCK
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
 lab AS (
-  SELECT CASE WHEN ((CASE WHEN ((100 * p + q * m) * 1000000) < 0 THEN -1 ELSE 1 END) * (((abs(((100 * p + q * m) * 1000000)) - abs(((100 * p + q * m) * 1000000)) % (200 * q)) // (200 * q)) + (CASE WHEN 2 * (abs(((100 * p + q * m) * 1000000)) % (200 * q)) >= (200 * q) THEN 1 ELSE 0 END))) >= 500000 THEN 1 ELSE 0 END AS pos, toks
+  SELECT CASE WHEN (floor((2 * ((100 * p + q * m) * 1000000) + (200 * q)) / (2.0 * ((200 * q))))::BIGINT) >= 500000 THEN 1 ELSE 0 END AS pos, toks
   FROM (
     SELECT toks, greatest(len(toks), 1)::BIGINT AS q,
            len(list_filter(toks, x -> x IN {_STOP_SQL}))::BIGINT AS p,
@@ -1160,7 +1165,7 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     _p = F.size(F.filter(toks, lambda x: x.isin(*_STOP))).cast("long")
     _q = F.greatest(n, F.lit(1)).cast("long")
     _m = F.least(n, F.lit(100)).cast("long")
-    quality_u = half_up_ratio(
+    quality_u = half_up_ratio_nonneg(
         ((F.lit(100) * _p + _q * _m) * F.lit(1_000_000)).cast("long"),
         (F.lit(200) * _q).cast("long"),
     )
@@ -1556,9 +1561,9 @@ CONTAIN_DROP = 0.8  # removal threshold: drop a doc this contained in a larger o
 # its rounding and the >= thresholds run in integer arithmetic
 _CONTAIN_MIN_U = int(round(CONTAIN_MIN * 1_000_000))
 _CONTAIN_DROP_U = int(round(CONTAIN_DROP * 1_000_000))
-_CU_A = half_up_ratio_sql("(n_shared * 1000000)", "n_a")
-_CU_B = half_up_ratio_sql("(n_shared * 1000000)", "n_b")
-_CU_V = half_up_ratio_sql("cn", "vd")
+_CU_A = half_up_ratio_nonneg_sql("(n_shared * 1000000)", "n_a")
+_CU_B = half_up_ratio_nonneg_sql("(n_shared * 1000000)", "n_b")
+_CU_V = half_up_ratio_nonneg_sql("cn", "vd")
 
 # shared CTE chain: winnow -> df-cap -> pair join -> per-doc denominators;
 # ends at `scored` = (doc_a, doc_b, n_shared, n_a, n_b) — consumed by the
@@ -1631,11 +1636,11 @@ def fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-ROUNDED ratios (both engines, the dedup_recall convention) so
     a boundary pair can't hash-flake."""
     scored = _containment_scored(spark, sf_dir)
-    ca_u = half_up_ratio(
+    ca_u = half_up_ratio_nonneg(
         (F.col("n_shared") * F.lit(1_000_000)).cast("long"),
         F.col("n_a").cast("long"),
     )
-    cb_u = half_up_ratio(
+    cb_u = half_up_ratio_nonneg(
         (F.col("n_shared") * F.lit(1_000_000)).cast("long"),
         F.col("n_b").cast("long"),
     )
@@ -1724,7 +1729,7 @@ def dedup_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     victim_n = F.when(a_drops, F.col("n_a")).otherwise(F.col("n_b"))
     drops = (
         scored.filter(
-            half_up_ratio(
+            half_up_ratio_nonneg(
                 (F.col("n_shared") * F.lit(1_000_000)).cast("long"),
                 victim_n.cast("long"),
             )
