@@ -12,19 +12,19 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.rounding import half_up_ratio_nonneg
+from ..functions.rounding import half_up_scaled_ratio, half_up_scaled_ratio_sql
 from ..tables import load_table
 from .catalog import query
 
 
 @query(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       (floor((2 * ((sum(l_quantity))::BIGINT * 1000000) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS avg_qty,
+       ({half_up_scaled_ratio_sql("round(sum(l_quantity))", "count(*)")}) / 1000000.0 AS avg_qty,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -46,12 +46,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_disc_price"
             ),
             # quantities are integer-valued: avg is a ratio of
-            # integers -> exact half-up units (round-5 convention)
+            # integers -> exact half-up units (round-5 convention).
+            # The numerator is a CORPUS-SCALE sum -> decimal-exact
+            # scaled helper (no 2^53/int64 bound; ADVICE r5).
             (
-                half_up_ratio_nonneg(
-                    (F.sum("l_quantity").cast("long") * F.lit(1_000_000)).cast(
-                        "long"
-                    ),
+                half_up_scaled_ratio(
+                    F.round(F.sum("l_quantity")),
                     F.count("*").cast("long"),
                 ).cast("double")
                 / 1e6
@@ -515,14 +515,18 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hypertable_rollup",
-    oracle="""
+    oracle=f"""
 SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS total_value,
        -- avg derived from the ROUNDED total: both engines then divide
        -- identical numerators, so no half-boundary straddle from 1-ulp
-       -- sum drift (seen at sf0.1: avg(…) landing exactly on …125)
-       (floor((2 * (round(round(sum(value), 4) * 10000)::BIGINT * 100) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS avg_value
+       -- sum drift (seen at sf0.1: avg(…) landing exactly on …125).
+       -- SIGNED helper (half away from zero): an hourly sum of values
+       -- may be negative, and the nonneg formula would round it
+       -- half-toward-+inf (ADVICE r5); numerator is in 1e4-units, so
+       -- scale=100 lands in micro-units.
+       ({half_up_scaled_ratio_sql("round(round(sum(value), 4) * 10000)", "count(*)", scale=100)}) / 1000000.0 AS avg_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
@@ -540,13 +544,13 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
+        # signed scaled helper: hourly sums may be negative; 1e4-unit
+        # numerator x scale=100 -> micro-units, half away from zero
         (
-            half_up_ratio_nonneg(
-                (
-                    F.round(F.round(F.sum("value"), 4) * 1e4).cast("long")
-                    * F.lit(100)
-                ).cast("long"),
+            half_up_scaled_ratio(
+                F.round(F.round(F.sum("value"), 4) * 1e4).cast("long"),
                 F.count("*").cast("long"),
+                scale=100,
             ).cast("double")
             / 1e6
         ).alias("avg_value"),

@@ -19,6 +19,8 @@ from ..functions.hashing import md5_long
 from ..functions.rounding import (
     half_up_ratio_nonneg,
     half_up_ratio_nonneg_sql,
+    half_up_scaled_ratio,
+    half_up_scaled_ratio_sql,
 )
 from ..functions.text import distinct_tokens, tokens, word_shingles
 from ..tables import load_table
@@ -882,7 +884,7 @@ errs AS (
           JOIN mh mb ON mb.doc_id = vp.doc_b
 )
 SELECT count(*)::BIGINT AS n_pairs,
-       (floor((2 * (sum(err) * 1000000)::BIGINT + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS mae,
+       ({half_up_scaled_ratio_sql("(sum(err) * 1000000)", "count(*)", scale=1)}) / 1000000.0 AS mae,
        max(err)::DOUBLE AS max_err
 FROM errs
 """,
@@ -930,11 +932,14 @@ def minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.round(F.abs(est - F.col("jaccard")), 6).cast("decimal(24,6)")
     return joined.select(err.alias("err")).agg(
         F.count("*").cast("long").alias("n_pairs"),
-        # sum(err) is DECIMAL(24,6): mae = (S*1e6)/c in exact units
+        # sum(err) is DECIMAL(·,6): S*1e6 is integral-VALUED — the
+        # scaled helper's decimal(38,0) cast is exact on it, and the
+        # pair-scale sum never hits a 2^53/int64 bound (ADVICE r5)
         (
-            half_up_ratio_nonneg(
-                (F.sum("err") * F.lit(1_000_000)).cast("long"),
+            half_up_scaled_ratio(
+                F.sum("err") * F.lit(1_000_000),
                 F.count("*").cast("long"),
+                scale=1,
             ).cast("double")
             / 1e6
         ).alias("mae"),
@@ -1001,8 +1006,8 @@ g AS (
 ),
 tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM g)
 SELECT lang, source, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
-       (floor((2 * (n_docs * 1000000) + td) / (2.0 * (td)))::BIGINT) / 1000000.0 AS frac_docs,
-       CASE WHEN tt > 0 THEN (floor((2 * (n_tokens * 1000000) + greatest(tt, 1)) / (2.0 * (greatest(tt, 1))))::BIGINT) / 1000000.0 ELSE 0.0 END
+       ({half_up_scaled_ratio_sql("n_docs", "td")}) / 1000000.0 AS frac_docs,
+       CASE WHEN tt > 0 THEN ({half_up_scaled_ratio_sql("n_tokens", "greatest(tt, 1)")}) / 1000000.0 ELSE 0.0 END
          AS frac_tokens
 FROM g, tot
 """,
@@ -1031,17 +1036,21 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
+        # per-domain doc/token counts are CORPUS-SCALE aggregates (a
+        # domain's n_tokens*1e6 passes 2^53 at ~4.5e9 tokens) -> the
+        # decimal-exact scaled helper; the group table is tiny, so the
+        # per-row decimal cost is nil (ADVICE r5)
         (
-            half_up_ratio_nonneg(
-                (F.col("n_docs") * F.lit(1_000_000)).cast("long"),
+            half_up_scaled_ratio(
+                F.col("n_docs"),
                 F.col("td").cast("long"),
             ).cast("double")
             / 1e6
         ).alias("frac_docs"),
         F.when(
             F.col("tt") > 0,
-            half_up_ratio_nonneg(
-                (F.col("n_tokens") * F.lit(1_000_000)).cast("long"),
+            half_up_scaled_ratio(
+                F.col("n_tokens"),
                 F.greatest(F.col("tt"), F.lit(1)).cast("long"),
             ).cast("double")
             / 1e6,
@@ -1279,7 +1288,7 @@ hits AS (
 SELECT tier,
        count(*)::BIGINT AS n_truth,
        coalesce(sum(hit), 0)::BIGINT AS n_hit,
-       (floor((2 * (coalesce(sum(hit), 0) * 1000000) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS recall
+       ({half_up_scaled_ratio_sql("coalesce(sum(hit), 0)", "count(*)")}) / 1000000.0 AS recall
 FROM hits
 JOIN (VALUES (0.8::DOUBLE), (0.96::DOUBLE), (1.0::DOUBLE)) tiers(tier)
   ON jac >= tier
@@ -1346,10 +1355,11 @@ def _recall_tiers(spark: SparkSession, truth: DataFrame, cand: DataFrame) -> Dat
         .agg(
             F.count("*").cast("long").alias("n_truth"),
             F.sum("hit").cast("long").alias("n_hit"),
-            # hits/count is a ratio of integers — exact half-up units
+            # hits/count is a ratio of integers — exact half-up units;
+            # truth-pair-scale sum -> decimal-exact scaled helper
             (
-                half_up_ratio_nonneg(
-                    (F.sum("hit").cast("long") * F.lit(1_000_000)).cast("long"),
+                half_up_scaled_ratio(
+                    F.sum("hit").cast("long"),
                     F.count("*").cast("long"),
                 ).cast("double")
                 / 1e6
@@ -1395,7 +1405,7 @@ hits AS (
 SELECT tier,
        count(*)::BIGINT AS n_truth,
        coalesce(sum(hit), 0)::BIGINT AS n_hit,
-       (floor((2 * (coalesce(sum(hit), 0) * 1000000) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS recall
+       ({half_up_scaled_ratio_sql("coalesce(sum(hit), 0)", "count(*)")}) / 1000000.0 AS recall
 FROM hits
 JOIN (VALUES (0.8::DOUBLE), (0.96::DOUBLE), (1.0::DOUBLE)) tiers(tier)
   ON jac >= tier

@@ -20,6 +20,8 @@ from ..functions.rounding import (
     half_up_ratio_nonneg,
     half_up_ratio_nonneg_sql,
     half_up_ratio_sql,
+    half_up_scaled_ratio,
+    half_up_scaled_ratio_sql,
 )
 from .catalog import oracle_artifact_path, query, tag_artifact
 
@@ -762,9 +764,9 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_quantiles",
-    oracle="""
+    oracle=f"""
 SELECT lang, count(*)::BIGINT AS n_docs,
-       (floor((2 * (sum(n_chars)::BIGINT * 1000000) + count(*)) / (2.0 * (count(*))))::BIGINT) / 1000000.0 AS mean_chars,
+       ({half_up_scaled_ratio_sql("sum(n_chars)", "count(*)")}) / 1000000.0 AS mean_chars,
        round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
        round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
        round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
@@ -788,10 +790,13 @@ def corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = {"p50_chars": 0.5, "p90_chars": 0.9, "p99_chars": 0.99}
     return docs.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
-        # n_chars is integral: mean is a ratio of integers -> exact units
+        # n_chars is integral: mean is a ratio of integers -> exact
+        # units. CORPUS-SCALE sum numerator -> decimal-exact scaled
+        # helper (sum(n_chars)*1e6 passes 2^53 at ~4.5e9 chars — well
+        # inside 100 TB; ADVICE r5).
         (
-            half_up_ratio_nonneg(
-                (F.sum("n_chars").cast("long") * F.lit(1_000_000)).cast("long"),
+            half_up_scaled_ratio(
+                F.sum("n_chars"),
                 F.count("*").cast("long"),
             ).cast("double")
             / 1e6
@@ -1086,6 +1091,18 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QC_BUCKETS = 4096  # hashed feature space — bounds the weight table
 
+# The trained-classifier cache key embeds the LABEL HEURISTIC identity
+# (stopword set + 50/50 blend constants + keep threshold + weight
+# scale), not just corpus + bucket count: changing the bootstrap
+# heuristic must RETRAIN, or the Spark side silently reuses stale
+# weights while the DuckDB oracle retrains inline — the stale-artifact
+# class tag_artifact was added to eliminate (ADVICE r5 #3).
+import hashlib as _hashlib
+
+_QC_HEUR = _hashlib.md5(
+    ("|".join(_STOP) + "|blend=100p+qm/200q|thr=500000|w=round(ln*1e6)").encode()
+).hexdigest()[:8]
+
 _QC_B_SQL = f"({_MD5L.format(e=chr(39) + 'qw|' + chr(39) + ' || x')} % {_QC_BUCKETS})"
 
 
@@ -1184,7 +1201,7 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _os.path.join(sf_dir, "documents.parquet")
     wpath = corpus_cache_path(
         src,
-        f"qcw_b{_QC_BUCKETS}_v1",
+        f"qcw_b{_QC_BUCKETS}_h{_QC_HEUR}_v1",
         "/tmp/spark_graft_artifacts/qc_weights",
         ext=".json",
     )

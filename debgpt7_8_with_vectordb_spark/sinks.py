@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame
 
 MANIFEST = "_corpus_manifest.json"
 
+#: per-partition compaction journal (underscore prefix — invisible to
+#: readers). Present only between "rewrite landed in tmp" and "old
+#: shards deleted"; its existence means the partition holds a superset
+#: and names exactly which files are the duplicates.
+COMPACT_MARKER = "_compact_inprogress.json"
+
 
 def write_corpus(
     df: DataFrame,
@@ -122,27 +128,37 @@ def compact_corpus(spark, path: str, target_bytes: int = 128 << 20) -> dict:
     cost tracks the debt, not the corpus). The manifest is recounted
     from disk afterwards.
 
-    The swap is MOVE-IN-THEN-DELETE (round 5, ADVICE r4): the old shard
-    names are snapshotted from disk, the rewritten files move into the
-    live partition first (Spark part-file names are UUID-based — no
-    collision with the old set), and only then are the old files
-    removed. A crash anywhere in the window leaves a SUPERSET of the
-    data (duplicates, detectable by the manifest recount) — never a
-    partition whose only data files sit in a dot-prefixed tmp dir that
-    readers ignore. Shard inventory and sizing come from a DISK WALK,
-    not the manifest: shards added out-of-band are compacted rather
-    than silently deleted from the manifest's view, and shards removed
+    The swap is MOVE-IN-THEN-DELETE under a PER-PARTITION JOURNAL
+    (round 6, ADVICE r5): after the rewrite fully lands in a
+    dot-prefixed tmp dir, an atomic ``COMPACT_MARKER`` is written into
+    the live partition recording the old and new shard basenames; then
+    the new files move in (Spark part-file names are UUID-based — no
+    collision with the old set), the old files are deleted, and the
+    marker is removed. A crash anywhere in the window leaves a SUPERSET
+    of the data — never a partition whose only data files sit in a tmp
+    dir readers ignore — and the NEXT pass (or ``recover_compaction``)
+    rolls the journal FORWARD before any sizing decision: remaining new
+    files move in, surviving old files (the named duplicates) are
+    deleted, tmp and marker are cleared. Duplicates are therefore
+    removed, not baked in by the re-read/rewrite (the r5-ADVICE hole:
+    the manifest recount records an inflated count but compares against
+    nothing). Shard inventory and sizing come from a DISK WALK, not the
+    manifest: shards added out-of-band are compacted rather than
+    silently deleted from the manifest's view, and shards removed
     out-of-band can't abort the pass with FileNotFoundError. Still
     single-writer; a concurrent-reader deployment does this inside a
     snapshotting table format instead (same compaction decision,
     different commit protocol).
 
     Returns the refreshed manifest plus a ``compacted`` list of the
-    partition dirs rewritten."""
+    partition dirs rewritten and a ``recovered`` list of partition dirs
+    whose interrupted journal was rolled forward."""
     import math
     import shutil
 
     man = read_manifest(path)  # partition_by only; shards come from disk
+    recovered = recover_compaction(path)
+
     by_dir: dict[str, list[str]] = {}
     for rel in _list_shards(path):
         by_dir.setdefault(os.path.dirname(rel), []).append(
@@ -164,14 +180,65 @@ def compact_corpus(spark, path: str, target_bytes: int = 128 << 20) -> dict:
         spark.read.parquet(src).repartition(want).write.mode(
             "overwrite"
         ).parquet(tmp)
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                os.replace(os.path.join(tmp, f), os.path.join(src, f))
+        new = sorted(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        # journal the swap BEFORE any file moves: from here on, a crash
+        # is recoverable forward (every new file is in tmp or live;
+        # every surviving old file is a named duplicate)
+        marker = os.path.join(src, COMPACT_MARKER)
+        mtmp = marker + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(
+                {"tmp": tmp, "old": [os.path.basename(f) for f in old],
+                 "new": new},
+                fh,
+            )
+        os.replace(mtmp, marker)
+        for f in new:
+            os.replace(os.path.join(tmp, f), os.path.join(src, f))
         for f in old:
             os.remove(f)
         shutil.rmtree(tmp)
+        os.remove(marker)
         compacted.append(d)
 
     manifest = _write_manifest(spark, path, man["partition_by"])
     manifest["compacted"] = compacted
+    manifest["recovered"] = recovered
     return manifest
+
+
+def recover_compaction(path: str) -> list[str]:
+    """Roll FORWARD every interrupted compaction journal under ``path``.
+
+    A ``COMPACT_MARKER`` exists only after the rewrite fully landed in
+    its tmp dir, so forward completion is always valid: move any listed
+    new shard still in tmp into the live partition (``os.replace`` is
+    atomic — a file is in exactly one place), delete any listed old
+    shard still present (these are the duplicate rows a crashed swap
+    left), then clear tmp and the marker. Idempotent: re-running after
+    a crash MID-RECOVERY just resumes. Returns the partition dirs
+    (relative to ``path``) that needed recovery."""
+    import shutil
+
+    recovered = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        if COMPACT_MARKER not in files:
+            continue
+        marker = os.path.join(root, COMPACT_MARKER)
+        with open(marker) as fh:
+            st = json.load(fh)
+        for name in st["new"]:
+            t = os.path.join(st["tmp"], name)
+            if os.path.exists(t):
+                os.replace(t, os.path.join(root, name))
+        for name in st["old"]:
+            p = os.path.join(root, name)
+            if os.path.exists(p):
+                os.remove(p)
+        shutil.rmtree(st["tmp"], ignore_errors=True)
+        os.remove(marker)
+        recovered.append(os.path.relpath(root, path))
+    return sorted(recovered)

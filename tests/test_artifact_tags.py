@@ -39,6 +39,29 @@ def test_tag_embeds_live_constant(token, param):
     assert tag.endswith(f"-{param()}"), (token, tag)
 
 
+def test_qc_weight_tag_embeds_label_heuristic():
+    """ADVICE r5 #3: the trained-classifier weight cache must re-key
+    when the bootstrap LABEL heuristic (stop list / blend / threshold)
+    changes, not only when the bucket count does — otherwise Spark
+    reuses stale weights while the DuckDB oracle retrains inline."""
+    import hashlib
+
+    from debgpt7_8_with_vectordb_spark.plans.text_queries import (
+        _QC_BUCKETS,
+        _QC_HEUR,
+        _STOP,
+    )
+
+    assert _QC_HEUR in f"qcw_b{_QC_BUCKETS}_h{_QC_HEUR}_v1"
+    # the hash is derived from the live stopword set: editing _STOP
+    # yields a different tag
+    other = hashlib.md5(
+        ("|".join(_STOP + ("zzz",)) + "|blend=100p+qm/200q|thr=500000|"
+         "w=round(ln*1e6)").encode()
+    ).hexdigest()[:8]
+    assert other != _QC_HEUR
+
+
 def test_param_bump_changes_cache_path():
     token = "__PCA_COMPONENTS__"
     old_entry = catalog.ORACLE_ARTIFACTS[token]

@@ -139,10 +139,75 @@ def test_compact_crash_window_leaves_superset(spark, sf_dir, tmp_path, monkeypat
     assert all(c >= 1 for c in counts.values())
     assert len(after) >= len(before)
 
-    # a fresh compaction pass recovers: dedup is the caller's policy,
-    # but the pass itself completes and the manifest recount is honest
+    # a fresh compaction pass rolls the journal FORWARD before sizing:
+    # the named old duplicates are deleted, not baked in by the re-read
+    # (ADVICE r5 #4) — rows return to EXACTLY the original set
     man = compact_corpus(spark, out, target_bytes=1 << 30)
-    assert man["n_rows"] == spark.read.parquet(out).count()
+    assert man["recovered"], "interrupted journal should have been rolled forward"
+    assert man["n_rows"] == len(before)
+    final = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+    assert final == before
+
+
+def test_compact_crash_mid_move_in_recovers_exactly(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A crash while MOVING rewritten shards into the live partition
+    (marker written, some new files still in tmp) also recovers to the
+    exact original rows: recover_compaction completes the move forward
+    and deletes the journaled old shards. Recovery is idempotent."""
+    from debgpt7_8_with_vectordb_spark.sinks import (
+        COMPACT_MARKER,
+        compact_corpus,
+        recover_compaction,
+        write_corpus,
+    )
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, partition_by=("lang",), max_records_per_file=7)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crash_on_second_replace(a, b):
+        # call 1 = the marker commit; call 2 = the first shard move-in
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError(f"simulated crash moving {a}")
+        real_replace(a, b)
+
+    monkeypatch.setattr(os, "replace", crash_on_second_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_corpus(spark, out, target_bytes=1 << 30)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # the journal is on disk in exactly one partition and the live data
+    # is still a complete set (old shards untouched)
+    markers = [
+        os.path.join(r, COMPACT_MARKER)
+        for r, _, fs in os.walk(out)
+        if COMPACT_MARKER in fs
+    ]
+    assert len(markers) == 1
+    live = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+    assert live == before
+
+    recovered = recover_compaction(out)
+    assert len(recovered) == 1
+    assert recover_compaction(out) == []  # idempotent: journal cleared
+    final = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+    assert final == before
 
 
 def test_compact_sees_out_of_band_shards(spark, sf_dir, tmp_path):

@@ -128,13 +128,42 @@ SKIP = {
 }
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _conf(spark, **pairs):
+    """Set session confs for the duration, then RESTORE the prior
+    values (ADVICE r5 #5: the audit used to leave AQE disabled on the
+    shared session — any later user inherited a silently different
+    execution mode)."""
+    saved = {}
+    for k, v in pairs.items():
+        key = k.replace("__", ".")
+        saved[key] = spark.conf.get(key, None)
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
 def audit_one(name: str, df) -> tuple[list[str], str]:
     # audit the STATIC plan with AQE off: the adaptive wrapper hides
     # codegen stage ids and join strategies until runtime; the static
     # plan shows what Catalyst picked (AQE can only improve on it).
     # load_table re-enables AQE per session conf, so flip it off after
-    # the query function built its DataFrame, before plan compilation.
-    df.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+    # the query function built its DataFrame, before plan compilation —
+    # and restore it after (the session outlives the audit call).
+    with _conf(df.sparkSession, spark__sql__adaptive__enabled="false"):
+        return _audit_one_static(name, df)
+
+
+def _audit_one_static(name: str, df) -> tuple[list[str], str]:
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
     jvm = df.sparkSession._jvm
@@ -190,15 +219,18 @@ BNLJ_OK = {
 
 
 def audit_nobroadcast(name: str, df) -> list[str]:
-    """Fallback-plan sanity with every size-based broadcast DISABLED
-    (autoBroadcastJoinThreshold=-1 in both the static planner and AQE):
-    what the plan degrades to when no join side fits in memory — the
-    100 TB shape. Explicit F.broadcast hints survive by design (they
-    are only on structurally bounded tables after round 5); everything
-    else must fall back to a shuffled join, never a cartesian product
-    or an unbounded nested loop."""
-    df.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    """Fallback-plan sanity with size-based broadcasts DISABLED
+    (autoBroadcastJoinThreshold=-1): what the STATIC plan degrades to
+    when no join side fits in memory — the 100 TB shape. AQE is off for
+    the read (a pre-execution adaptive plan would only show the same
+    initial static plan anyway; AQE's own runtime re-plan decisions are
+    not observable without executing) and RESTORED after — the session
+    outlives the audit (ADVICE r5 #5). Explicit F.broadcast hints
+    survive by design (they are only on structurally bounded tables
+    after round 5); everything else must fall back to a shuffled join,
+    never a cartesian product or an unbounded nested loop."""
+    with _conf(df.sparkSession, spark__sql__adaptive__enabled="false"):
+        plan = df._jdf.queryExecution().executedPlan().toString()
     problems: list[str] = []
     if "CartesianProduct" in plan:
         problems.append("CartesianProduct in no-broadcast fallback")
@@ -251,20 +283,19 @@ def main() -> int:
         )
 
     # -- pass 2: no-broadcast fallback mode (VERDICT r4 #7) -------------
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     nb_lines: list[str] = []
-    for name in names:
-        try:
-            df = QUERIES[name](spark, sf_dir)
-            problems = audit_nobroadcast(name, df)
-        except Exception as exc:
-            problems = [f"audit error: {exc}"]
-        verdict = "CLEAN" if not problems else "; ".join(problems)
-        print(("OK nb " if not problems else "FLAGnb") + f"{name}: {verdict}")
-        if problems:
-            failures += 1
-        nb_lines.append(f"- {name}: {verdict}")
+    with _conf(spark, spark__sql__autoBroadcastJoinThreshold="-1"):
+        for name in names:
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                problems = audit_nobroadcast(name, df)
+            except Exception as exc:
+                problems = [f"audit error: {exc}"]
+            verdict = "CLEAN" if not problems else "; ".join(problems)
+            print(("OK nb " if not problems else "FLAGnb") + f"{name}: {verdict}")
+            if problems:
+                failures += 1
+            nb_lines.append(f"- {name}: {verdict}")
     spark.stop()
 
     with open("PLANS.md", "w") as f:
@@ -277,8 +308,10 @@ def main() -> int:
             + "\n".join(sections)
             + "\n\n# No-broadcast fallback audit\n\n"
             "Same queries re-planned with autoBroadcastJoinThreshold=-1\n"
-            "(static AND adaptive): the shape every join degrades to when\n"
-            "no side fits executor memory — the 100 TB fallback. Explicit\n"
+            "(static planner; AQE is off during the read — a runtime\n"
+            "adaptive re-plan is not observable without executing): the\n"
+            "shape every join degrades to when no side fits executor\n"
+            "memory — the 100 TB fallback. Explicit\n"
             "F.broadcast hints survive by design (they mark structurally\n"
             "bounded build sides: top-k rows, 1-row scalar aggs, tier\n"
             "tables); everything unhinted must become a shuffled join,\n"
