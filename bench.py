@@ -116,6 +116,7 @@ HEADLINE = [
     "binpack_crossdoc",
     "pack_sequences",
     "multimodal_metadata",
+    "multimodal_decode",
     "frame_sample",
     "source_router",
     "cached_fetch",

@@ -6,17 +6,24 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes cross the JVM↔Python boundary once per
 batch, never per row.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode step is stubbed two ways:
-- ``decode_image_stub``: raises NotImplementedError (the honest stub);
-- ``fake_decode_metadata``: a deterministic fake (dimensions derived
-  from the payload's md5) so the Spark-side plumbing — schema, batch
-  shape, UDF signature — is fully real and testable end-to-end.
+Codec status (round 6): the HEADER-METADATA decode is REAL — a
+zero-dependency parser for the four container formats whose headers
+need no codec library (PNG / GIF / BMP / PPM-PGM), wired as the
+default through ``decode_image_metadata`` and pinned by golden-byte
+tests. Pixel decode (PIL/cv2) and av codecs (ffmpeg/torchaudio) remain
+honestly stubbed — those libraries are absent in this container:
+- ``decode_image_stub``: raises NotImplementedError (the honest stub
+  for PIXEL decode);
+- ``fake_decode_metadata``: the deterministic md5-derived fake kept
+  for the oracled plumbing query (testdata payloads are text bytes,
+  not image files).
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,6 +32,135 @@ from pyspark.sql import DataFrame
 
 MEDIA_SCHEMA = "doc_id long, payload binary, media_type string"
 DECODED_SCHEMA = "doc_id long, n_bytes long, digest string, width int, height int"
+HEADER_SCHEMA = "doc_id long, fmt string, width int, height int, n_bytes long"
+
+
+_PNM_HEADER = re.compile(
+    rb"^(P[1-6])\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s"
+)
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL image metadata decode, zero dependencies: identify the
+    container from its magic bytes and read (width, height) straight
+    from the header layout each format specifies. Returns
+    ``(fmt, width, height)`` or None for unrecognized/truncated bytes.
+
+    Formats whose headers are pure struct layout (no codec needed):
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian uint32 at offsets 16/20 (PNG spec §11.2.2);
+    - GIF87a/GIF89a: logical-screen width/height, little-endian uint16
+      at offsets 6/8 (GIF89a spec §18);
+    - BMP: 'BM' magic; BITMAPINFOHEADER width/height are little-endian
+      int32 at offsets 18/22 (height may be negative = top-down rows);
+    - PPM/PGM/PBM (P1-P6): ASCII "<magic> <width> <height>" with
+      whitespace/comment separators (Netpbm format spec).
+
+    This is the metadata half a curation pipeline actually runs at
+    scale (filter by dimensions / aspect ratio BEFORE paying pixel
+    decode); pixel decode stays behind ``decode_image_stub``."""
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return "png", int(w), int(h)
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", int(w), int(h)
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        hdr_size = struct.unpack("<I", payload[14:18])[0]
+        if hdr_size >= 40:  # BITMAPINFOHEADER and successors
+            w, h = struct.unpack("<ii", payload[18:26])
+            return "bmp", int(w), abs(int(h))
+        if hdr_size == 12 and len(payload) >= 22:  # BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", payload[18:22])
+            return "bmp", int(w), int(h)
+        return None
+    m = _PNM_HEADER.match(payload)
+    if m:
+        return m.group(1).decode("ascii").lower(), int(m.group(2)), int(m.group(3))
+    return None
+
+
+def decode_image_metadata(media: DataFrame) -> DataFrame:
+    """The REAL header-decode stage: Arrow-batched ``mapInPandas`` over
+    binary payloads → (fmt, width, height, n_bytes), parsing actual
+    container headers via ``parse_image_header``. Unrecognized payloads
+    yield fmt NULL (kept, not dropped — a curation pipeline routes
+    them to quarantine rather than silently losing rows). Same batch
+    shape and partition-preserving plumbing as ``fake_decode_metadata``;
+    only the codec differs."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            parsed = [parse_image_header(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [t[0] if t else None for t in parsed],
+                    "width": pd.array(
+                        [t[1] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [t[2] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=HEADER_SCHEMA
+    )
+
+
+def encode_test_image(fmt: str, width: int, height: int) -> bytes:
+    """Minimal VALID image bytes for the given container — the writer
+    half used by the oracled round-trip query and the golden-byte
+    tests. Writers are independent of ``parse_image_header`` (struct
+    layouts written forward from the specs, not by inverting the
+    parser); pixel payloads are the smallest legal filler."""
+    if fmt == "png":
+        import zlib
+
+        ihdr = struct.pack(">II", width, height) + b"\x08\x00\x00\x00\x00"
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        # one grayscale scanline per row: filter byte + width zeros
+        raw = (b"\x00" + b"\x00" * width) * height
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00"  # no GCT, bg 0, aspect 0
+            + b"\x3b"  # trailer
+        )
+    if fmt == "bmp":
+        row = (width * 3 + 3) // 4 * 4  # 24bpp rows pad to 4 bytes
+        pix = b"\x00" * (row * height)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+        )
+        off = 14 + 40
+        hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+        return hdr + info + pix
+    if fmt == "ppm":
+        hdr = f"P6 {width} {height} 255\n".encode("ascii")
+        return hdr + b"\x00" * (3 * width * height)
+    raise ValueError(f"unknown test-image format: {fmt}")
 
 
 def attach_binary_payload(
@@ -74,6 +210,36 @@ def fake_decode_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def synthesize_test_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate REAL image payloads (valid PNG/GIF/BMP/PPM containers,
+    format and dimensions derived from the id by fixed arithmetic) —
+    the writer half of the oracled decode round-trip: the engine
+    encodes real bytes and parses them back with the independent
+    header parser, while the SQL oracle predicts the parsed metadata
+    from the same arithmetic without touching bytes. Dimensions stay
+    <= 32 so the Arrow batches carry a few KB per row."""
+    fmts = ("png", "gif", "bmp", "ppm")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_int = [int(i) for i in pdf[id_col]]
+            payloads = [
+                encode_test_image(fmts[i % 4], 1 + i % 32, 1 + (i * 7) % 32)
+                for i in ids_int
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": [
+                        "image/" + fmts[i % 4] for i in ids_int
+                    ],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_stub(media: DataFrame, every_nth: int = 10) -> DataFrame:

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.binpack import chunk_and_pack
 from ..operators.chunker import chunk_documents
 from ..operators.mapreduce import mapreduce_echo as mr_echo
-from ..operators.multimodal import attach_binary_payload, fake_decode_metadata
+from ..operators.multimodal import (
+    attach_binary_payload,
+    decode_image_metadata,
+    fake_decode_metadata,
+    synthesize_test_media,
+)
 from ..tables import load_table
 from .catalog import query
 
@@ -448,6 +453,37 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return fake_decode_metadata(media)
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' ELSE 'p6' END AS fmt,
+       (1 + doc_id % 32)::INT AS width,
+       (1 + (doc_id * 7) % 32)::INT AS height
+FROM documents
+""",
+)
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-metadata decode round-trip (round 6 — the multimodal
+    seam's first non-fake codec): per document, fabricate a VALID image
+    container (PNG/GIF/BMP/PPM rotating on doc_id, dimensions by fixed
+    arithmetic) and parse it back through the zero-dependency header
+    parser (operators/multimodal.py parse_image_header — struct layouts
+    from the four format specs, golden-byte-pinned in tests). The SQL
+    oracle predicts the parsed metadata from the same arithmetic
+    without touching bytes, so a parser or plumbing bug breaks the
+    cross-engine hash. Scale shape: two chained Arrow stages (encode,
+    decode), zero shuffle, scan-parallel; at 100 TB the encode stage is
+    replaced by format('binaryFile') reads of actual media and the
+    decode stage runs unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_test_media(docs)
+    return decode_image_metadata(media).select(
+        "doc_id", "fmt", "width", "height"
+    )
 
 
 @query(

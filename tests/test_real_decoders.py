@@ -1,0 +1,215 @@
+"""Round-6 REAL decoders (VERDICT r5 next-round #3): the S9 PDF seam
+and the multimodal image seam had only ever run fakes. These tests pin
+the zero-dependency decoders that now back them by default —
+``parse_image_header`` (PNG/GIF/BMP/PNM container headers) and
+``pdf_extract_text`` (content-stream text incl. FlateDecode) — against
+GOLDEN BYTES: externally-sourced minimal files (the canonical 1x1
+data-URI images) and spec-crafted fixtures, then end-to-end through the
+real Spark plumbing (binaryFile source → Arrow decode stage)."""
+
+from __future__ import annotations
+
+import base64
+import struct
+import zlib
+
+import pytest
+
+from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+    decode_image_metadata,
+    encode_test_image,
+    parse_image_header,
+    synthesize_test_media,
+)
+from debgpt7_8_with_vectordb_spark.sources.readers import (
+    default_pdf_decoder,
+    pdf_extract_text,
+)
+
+# ---------------------------------------------------------------------------
+# golden image bytes: the canonical minimal 1x1 data-URI files (byte-
+# for-byte as published, NOT produced by this repo's encoders)
+# ---------------------------------------------------------------------------
+
+GOLDEN_PNG_1x1 = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+    "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+GOLDEN_GIF_1x1 = base64.b64decode(
+    "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+)
+GOLDEN_BMP_1x1 = base64.b64decode(
+    "Qk06AAAAAAAAADYAAAAoAAAAAQAAAAEAAAABABgAAAAAAAQAAAATCwAAEwsAAAAAAAAAAAAA"
+    "////AA=="
+)
+
+
+@pytest.mark.parametrize(
+    "blob,fmt",
+    [(GOLDEN_PNG_1x1, "png"), (GOLDEN_GIF_1x1, "gif"), (GOLDEN_BMP_1x1, "bmp")],
+)
+def test_golden_external_bytes_parse(blob, fmt):
+    assert parse_image_header(blob) == (fmt, 1, 1)
+
+
+@pytest.mark.parametrize("fmt", ["png", "gif", "bmp", "ppm"])
+@pytest.mark.parametrize("wh", [(1, 1), (17, 9), (255, 31), (32, 255)])
+def test_encoder_parser_roundtrip(fmt, wh):
+    w, h = wh
+    want = "p6" if fmt == "ppm" else fmt
+    assert parse_image_header(encode_test_image(fmt, w, h)) == (want, w, h)
+
+
+def test_pnm_comments_and_pgm():
+    assert parse_image_header(b"P5\n# a comment\n12 34\n255\n" + b"\0" * 408) == (
+        "p5",
+        12,
+        34,
+    )
+    assert parse_image_header(b"P2 # inline\n 3 2 255 0 0 0 0 0 0") == ("p2", 3, 2)
+
+
+def test_bmp_top_down_negative_height_and_core_header():
+    # BITMAPINFOHEADER with negative height = top-down rows; dimensions
+    # reported as positive
+    info = struct.pack("<IiiHHIIiiII", 40, 7, -5, 1, 24, 0, 0, 0, 0, 0, 0)
+    blob = b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 54) + info
+    assert parse_image_header(blob) == ("bmp", 7, 5)
+    # ancient BITMAPCOREHEADER: uint16 dims at 18/20
+    core = struct.pack("<IHHHH", 12, 9, 4, 1, 24)
+    blob = b"BM" + struct.pack("<IHHI", 14 + 12, 0, 0, 26) + core
+    assert parse_image_header(blob) == ("bmp", 9, 4)
+
+
+def test_unrecognized_and_truncated_bytes_return_none():
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"hello world, not an image") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n") is None  # truncated
+    assert parse_image_header(b"BM\x00\x00") is None  # truncated
+    # PNG signature but first chunk is not IHDR (spec violation)
+    bad = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 0) + b"IDAT" + b"\0" * 8
+    assert parse_image_header(bad) is None
+
+
+def test_decode_image_metadata_spark_seam_real_bytes(spark):
+    """Real golden bytes through the actual Arrow-batched decode stage:
+    recognized containers get exact dims, garbage gets NULL fmt (kept,
+    not dropped)."""
+    rows = [
+        (1, bytearray(GOLDEN_PNG_1x1), "image/png"),
+        (2, bytearray(GOLDEN_GIF_1x1), "image/gif"),
+        (3, bytearray(GOLDEN_BMP_1x1), "image/bmp"),
+        (4, bytearray(encode_test_image("ppm", 20, 10)), "image/ppm"),
+        (5, bytearray(b"not an image"), "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {
+        r["doc_id"]: (r["fmt"], r["width"], r["height"], r["n_bytes"])
+        for r in decode_image_metadata(media).collect()
+    }
+    assert got[1] == ("png", 1, 1, len(GOLDEN_PNG_1x1))
+    assert got[2] == ("gif", 1, 1, len(GOLDEN_GIF_1x1))
+    assert got[3] == ("bmp", 1, 1, len(GOLDEN_BMP_1x1))
+    assert got[4][:3] == ("p6", 20, 10)
+    assert got[5] == (None, None, None, 12)
+
+
+def test_synthesize_test_media_payloads_are_valid_containers(spark):
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    for r in synthesize_test_media(ids).collect():
+        parsed = parse_image_header(bytes(r["payload"]))
+        assert parsed is not None
+        fmt, w, h = parsed
+        i = r["doc_id"]
+        assert (w, h) == (1 + i % 32, 1 + (i * 7) % 32)
+        assert r["media_type"].startswith("image/")
+
+
+# ---------------------------------------------------------------------------
+# PDF extraction
+# ---------------------------------------------------------------------------
+
+
+def _mkpdf(stream: bytes, flate: bool = False, extra: bytes = b"") -> bytes:
+    body = zlib.compress(stream) if flate else stream
+    filt = b" /Filter /FlateDecode" if flate else b""
+    return (
+        b"%PDF-1.4\n1 0 obj\n<</Length "
+        + str(len(body)).encode()
+        + filt
+        + b">>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\n"
+        + extra
+        + b"trailer\n<<>>\n%%EOF"
+    )
+
+
+def test_pdf_plain_tj():
+    p = _mkpdf(b"BT /F1 12 Tf (Hello) Tj ( ) Tj (World) Tj ET")
+    assert pdf_extract_text(p) == "Hello World"
+
+
+def test_pdf_flate_tj_array_and_line_break():
+    p = _mkpdf(b"BT [(He)-20(llo)] TJ T* (second line) Tj ET", flate=True)
+    assert pdf_extract_text(p) == "Hello\nsecond line"
+
+
+def test_pdf_escapes_octal_and_nested_parens():
+    p = _mkpdf(rb"BT (a\(b\)c \101 (nested) \\ \n) Tj ET")
+    assert pdf_extract_text(p) == "a(b)c A (nested) \\ \n"
+
+
+def test_pdf_hex_strings_and_utf16():
+    p = _mkpdf(b"BT <48656C6C6F> Tj <FEFF00480069> Tj ET")
+    assert pdf_extract_text(p) == "HelloHi"
+
+
+def test_pdf_unsupported_filter_skipped_not_fatal():
+    jpeg_stream = (
+        b"2 0 obj\n<</Length 4 /Filter /DCTDecode>>\nstream\n"
+        b"\xff\xd8\xff\xe0\nendstream\nendobj\n"
+    )
+    p = _mkpdf(b"BT (good) Tj ET", extra=jpeg_stream)
+    assert pdf_extract_text(p) == "good"
+
+
+def test_pdf_quote_operator_breaks_line():
+    p = _mkpdf(b"BT (first) Tj (next) ' ET")
+    assert pdf_extract_text(p) == "first\nnext"
+
+
+def test_pdf_garbage_and_corrupt_flate_yield_empty():
+    assert pdf_extract_text(b"not a pdf at all") == ""
+    corrupt = (
+        b"%PDF-1.4\n1 0 obj\n<</Length 9 /Filter /FlateDecode>>\n"
+        b"stream\nnot-flate\nendstream\nendobj\n%%EOF"
+    )
+    assert pdf_extract_text(corrupt) == ""
+
+
+def test_default_decoder_is_real_without_pypdf():
+    dec = default_pdf_decoder()
+    try:
+        import pypdf  # noqa: F401
+    except ImportError:
+        assert dec is pdf_extract_text
+
+
+def test_pdf_source_end_to_end_default_decoder(spark, tmp_path):
+    """S9 graduates: real .pdf files on disk, read through the
+    registered 'pdf' source (binaryFile scan → Arrow decode stage) with
+    the DEFAULT decoder — no injection, no fake."""
+    from debgpt7_8_with_vectordb_spark.sources.readers import read_pdf
+
+    (tmp_path / "a.pdf").write_bytes(_mkpdf(b"BT (alpha doc) Tj ET"))
+    (tmp_path / "b.pdf").write_bytes(
+        _mkpdf(b"BT (beta) Tj T* (compressed) Tj ET", flate=True)
+    )
+    got = {
+        r["path"].rsplit("/", 1)[-1]: r["content"]
+        for r in read_pdf(spark, str(tmp_path / "*.pdf")).collect()
+    }
+    assert got == {"a.pdf": "alpha doc", "b.pdf": "beta\ncompressed"}

@@ -69,6 +69,7 @@ FULL_SCAN_OK = {
     "cache_upsert",
     "spec_expansion",
     "multimodal_metadata",
+    "multimodal_decode",  # encode+decode round-trip over every doc by definition
     "frame_sample",
     "knn_join",
     "topk_retrieval",
