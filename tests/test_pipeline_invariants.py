@@ -97,3 +97,30 @@ def test_components_tolerate_self_loops_and_duplicates(spark):
     labels, _ = connected_components(nodes, sym)
     got = {r["doc_id"]: r["lab"] for r in labels.collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+def test_cold_sweep_covers_every_artifact_root():
+    """tools/cold_sweep.py must clear EVERY /tmp cache root the package
+    writes — a root missing from its list silently stays warm and
+    defeats the cold-start gate (VERDICT r5 #7)."""
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, "tools")
+    from cold_sweep import ARTIFACT_ROOTS
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "debgpt7_8_with_vectordb_spark")
+    found = set()
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            with open(os.path.join(root, f)) as fh:
+                found.update(re.findall(r"/tmp/spark_graft[a-z_]*", fh.read()))
+    uncovered = {
+        r for r in found
+        if not any(r == a or r.startswith(a + "/") or a.startswith(r)
+                   for a in ARTIFACT_ROOTS)
+    }
+    assert not uncovered, f"cold_sweep misses cache roots: {sorted(uncovered)}"

@@ -59,6 +59,46 @@ def build(spark, src: str, out: str) -> None:
     )
     etiled.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
+    # events tiled as 10x USERS (horizontal growth — each copy is a new
+    # user with the same per-user history): the event-family measurements
+    # (asof/range/funnel/retention/rolling/sessionize) scale in users,
+    # which is how a real event table grows. ts shifts by `copy` seconds
+    # so copies aren't bit-identical streams; event_ids stay unique.
+    # NOTE ts arrives as LONG nanos (session nanosAsLong) and is written
+    # back as LONG — load_table's bigint → timestamp_micros conversion
+    # applies to the tiled table exactly as to the source.
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    ecop = ev.select("*", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("copy"))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in ev.schema.fields)[
+        "ts"
+    ]
+    shifted = (
+        (F.col("ts") + F.col("copy").cast("long") * F.lit(1_000_000_000))
+        if ts_type == "bigint"  # LONG nanos (nanosAsLong reads)
+        else F.col("ts") + F.make_interval(secs=F.col("copy").cast("double"))
+    )
+    evt = ecop.select(
+        (F.col("event_id") * 10 + F.col("copy")).alias("event_id"),
+        shifted.alias("ts"),
+        (F.col("user_id") * 10 + F.col("copy")).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    # single FILE named events.parquet (matching the testdata layout):
+    # the streaming source narrows the sf dir with
+    # pathGlobFilter='events.parquet', which matches file names — a
+    # directory of part-files would be invisible to it
+    import glob as _glob
+    import shutil as _shutil
+
+    tmp_ev = f"{out}/.events_build"
+    evt.coalesce(1).write.mode("overwrite").parquet(tmp_ev)
+    part = _glob.glob(f"{tmp_ev}/part-*.parquet")[0]
+    _shutil.rmtree(f"{out}/events.parquet", ignore_errors=True)
+    os.replace(part, f"{out}/events.parquet")
+    _shutil.rmtree(tmp_ev)
+
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
