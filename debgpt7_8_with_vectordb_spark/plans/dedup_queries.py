@@ -270,7 +270,12 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     # sigv2: schema gained the raw 32-long mh array (sketch-fidelity
     # gate reads it; band-join readers prune it at the parquet scan).
-    path = corpus_cache_path(src, "sigv2", "/tmp/spark_graft_signatures")
+    # Tag embeds the sketch parameters (the tag_artifact / qcw lesson,
+    # ADVICE r5 #3): an N_PERMS/BAND_SIZE bump retrains instead of
+    # silently reading signatures built under the old family.
+    path = corpus_cache_path(
+        src, f"sigv2_p{N_PERMS}b{BAND_SIZE}", "/tmp/spark_graft_signatures"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _minhash_bands_from(load_table(spark, sf_dir, "documents"), persist=False
         ).write.mode("overwrite").parquet(path)
@@ -441,7 +446,12 @@ def verified_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.artifacts import corpus_cache_path
 
     src = os.path.join(sf_dir, "documents.parquet")
-    path = corpus_cache_path(src, "vpairs3", "/tmp/spark_graft_verified_pairs")
+    # params: upstream sketch family + the 0.8 verify ratio/threshold
+    path = corpus_cache_path(
+        src,
+        f"vpairs3_p{N_PERMS}b{BAND_SIZE}r80t80",
+        "/tmp/spark_graft_verified_pairs",
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _verify_candidates(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -1361,7 +1371,10 @@ def jaccard_truth_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.artifacts import corpus_cache_path
 
     src = os.path.join(sf_dir, "documents.parquet")
-    path = corpus_cache_path(src, "jtruth2", "/tmp/spark_graft_verified_pairs")
+    # params: the blocked-exact truth pass's ratio/threshold (0.8/0.8)
+    path = corpus_cache_path(
+        src, "jtruth2_r80t80", "/tmp/spark_graft_verified_pairs"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents")
         _ngram_jaccard_from(docs, ratio=0.8, threshold=0.8).write.mode(

@@ -1496,7 +1496,11 @@ def winnow_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.artifacts import corpus_cache_path
 
     src = os.path.join(sf_dir, "documents.parquet")
-    path = corpus_cache_path(src, "wfp1", "/tmp/spark_graft_signatures")
+    # tag embeds the winnowing parameters (k-gram width, window) —
+    # the tag_artifact / qcw stale-cache lesson
+    path = corpus_cache_path(
+        src, f"wfp1_k{WINNOW_K}w{WINNOW_W}", "/tmp/spark_graft_signatures"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         winnow_fingerprints(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
