@@ -845,15 +845,24 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the train side is 100 TB), so it BROADCASTS: the check is one
     map-side join + per-doc count, no shuffle of the train corpus at
     all. Shingles are distinct-per-doc before the join, so count(*)
-    after it IS the distinct shared count."""
+    after it IS the distinct shared count.
+
+    Exactly-once shingling (round 6, the dedup_ngram_jaccard lesson):
+    the train branch references ``hs`` twice (size + explode), and
+    projection collapse re-inlined the shingle+md5+distinct tree at
+    each reference — the plan-marker audit showed the expression 3× in
+    the optimized plan. The single-element struct-explode below is a
+    Generate barrier making ``hs`` a plain attribute downstream;
+    measured 1.33 s → 0.68 s at sf0.1, identical rows (the win flows
+    into contamination_filter, which composes this)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     sh = docs.filter(F.size(toks) >= 3).select(
         "doc_id",
         F.array_distinct(
             F.transform(word_shingles(F.col("text"), 3), md5_long)
-        ).alias("hs"),
-    )
+        ).alias("hs0"),
+    ).select("doc_id", F.explode(F.array("hs0")).alias("hs"))
     ev = (
         sh.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("hs").alias("h"))

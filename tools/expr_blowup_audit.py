@@ -1,0 +1,101 @@
+"""Optimizer expression-blowup audit (round 6).
+
+The dedup_ngram_jaccard incident: Catalyst's projection collapse +
+filter pushdown INLINE an aliased expression at every reference, so an
+expensive per-row tree (array_intersect, shingle+md5+distinct, a fold)
+referenced by both a filter and a projection is re-evaluated per
+reference — a silent 2-5× CPU tax invisible to row-count correctness.
+
+This audit compiles every headline query and compares occurrence
+counts of expensive-expression markers between the ANALYZED plan (what
+the query declares) and the OPTIMIZED physical plan (what will run).
+Optimization must not multiply expensive work: a count that grows by
+2+ is flagged. Fix pattern: a single-element struct-explode (Generate
+barrier) between the expensive projection and its consumers — see
+_ngram_jaccard_from / contamination_check.
+
+Known-benign (suppressed):
+- pii_redact: regexp_count is REWRITTEN to size(regexp_extract_all)
+  by the optimizer (0 -> 3 is a representation change, not a blowup);
+- dedup_substring / dedup_substring_clean: diamond DAG (window table
+  feeds the dup-hash census AND the coverage join) — re-execution of a
+  branch, not expression inlining; the single-agg restructure was
+  measured a wash at sf0.1 (2.17 s vs 2.20 s) and rejected.
+
+Usage: python tools/expr_blowup_audit.py [sf_dir]; exits non-zero on
+new flags.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+MARKERS = [
+    "array_intersect",
+    "array_distinct",
+    "array_union",
+    "aggregate(",
+    "regexp_extract_all",
+    "regexp_replace",
+    "zip_with",
+    "md5(",
+]
+
+SKIP = {
+    "mapreduce_echo",
+    "mapreduce_echo_compact",
+    "sessionize_stream",
+    "paginated_fetch",
+    "bpe_train_merges",
+    "stream_windowed_topk",
+    "stream_neardup_screen",
+    "stream_event_funnel",
+    "stream_dedup",
+    "stream_join_attribution",
+    "cached_fetch",
+}
+
+#: (query, marker) pairs explained in the module docstring
+BENIGN = {
+    ("pii_redact", "regexp_extract_all"),
+    ("dedup_substring", "md5("),
+    ("dedup_substring_clean", "md5("),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import bench
+    from debgpt7_8_with_vectordb_spark.plans import QUERIES
+    from debgpt7_8_with_vectordb_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    flags = 0
+    for name in bench.HEADLINE:
+        if name in SKIP or name not in QUERIES:
+            continue
+        try:
+            qe = QUERIES[name](spark, sf_dir)._jdf.queryExecution()
+            ana = qe.analyzed().toString()
+            opt = qe.executedPlan().toString()
+        except Exception as exc:
+            print(f"ERR   {name}: {str(exc)[:100]}")
+            flags += 1
+            continue
+        for m in MARKERS:
+            a, o = ana.count(m), opt.count(m)
+            if o > a and o >= 2 and o - a >= 2:
+                tag = "benign" if (name, m) in BENIGN else "FLAG "
+                print(f"{tag} {name}: {m} analyzed={a} optimized={o}")
+                if (name, m) not in BENIGN:
+                    flags += 1
+    print(f"\n{flags} flagged")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
