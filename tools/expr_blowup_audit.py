@@ -41,6 +41,7 @@ MARKERS = [
     "regexp_replace",
     "zip_with",
     "md5(",
+    "split(",
 ]
 
 SKIP = {
@@ -57,11 +58,26 @@ SKIP = {
     "cached_fetch",
 }
 
-#: (query, marker) pairs explained in the module docstring
+#: (query, marker) pairs explained in the module docstring. The split(
+#: entries are DIAMOND-DAG branch re-execution (several consumers each
+#: re-run the tokenize scan — by design: materializing the token table
+#: is what you don't do at 100 TB), not per-row inlining; verified by
+#: the analyzed counts already being multiples. Within ONE projection,
+#: codegen subexpression elimination dedupes repeated subtrees
+#: (measured: quality_score's 11 split references run at single-split
+#: cost) — the blowups that matter are Filter+Project boundaries
+#: (jaccard) and alias inlining across collapsed projections
+#: (contamination, fixed round 6).
 BENIGN = {
     ("pii_redact", "regexp_extract_all"),
     ("dedup_substring", "md5("),
     ("dedup_substring_clean", "md5("),
+    ("dedup_substring", "split("),
+    ("dedup_substring_clean", "split("),
+    ("ngram_lm_score", "split("),
+    ("contamination_check", "split("),
+    ("contamination_filter", "split("),
+    ("corpus_pipeline", "split("),
 }
 
 
