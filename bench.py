@@ -117,6 +117,7 @@ HEADLINE = [
     "pack_sequences",
     "multimodal_metadata",
     "multimodal_decode",
+    "audio_metadata",
     "frame_sample",
     "source_router",
     "cached_fetch",

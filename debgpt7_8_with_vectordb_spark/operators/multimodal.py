@@ -212,6 +212,93 @@ def fake_decode_metadata(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id long, fmt string, channels int, sample_rate int, "
+    "bits int, n_samples long"
+)
+
+
+def parse_wav_header(
+    payload: bytes,
+) -> tuple[str, int, int, int, int] | None:
+    """REAL audio metadata decode, zero dependencies: RIFF/WAVE chunk
+    walk (RIFF spec / RFC 2361). Returns (fmt, channels, sample_rate,
+    bits_per_sample, n_samples) or None. The fmt chunk is pure struct
+    layout; n_samples = data-chunk bytes / block-align. This is the
+    metadata half a curation pipeline filters on (sample rate,
+    channels, duration) before paying codec decode — which stays
+    honestly stubbed (no audio libs in this container)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    channels = rate = bits = block = None
+    data_size = None
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            _fmt, channels, rate, _br, block, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or data_size is None or not block:
+        return None
+    return "wav", int(channels), int(rate), int(bits), data_size // block
+
+
+def decode_audio_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV-header decode stage — the audio twin of
+    ``decode_image_metadata``; unrecognized payloads keep the row with
+    NULL fields."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            parsed = [parse_wav_header(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [t[0] if t else None for t in parsed],
+                    "channels": pd.array(
+                        [t[1] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [t[2] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "bits": pd.array(
+                        [t[3] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [t[4] if t else None for t in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=AUDIO_SCHEMA
+    )
+
+
+def encode_test_wav(
+    channels: int, sample_rate: int, bits: int, n_samples: int
+) -> bytes:
+    """Minimal valid PCM WAV (written forward from the RIFF spec,
+    independent of the parser) — silence payload."""
+    block = channels * (bits // 8)
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def synthesize_test_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fabricate REAL image payloads (valid PNG/GIF/BMP/PPM containers,
     format and dimensions derived from the id by fixed arithmetic) —
@@ -236,6 +323,35 @@ def synthesize_test_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "media_type": [
                         "image/" + fmts[i % 4] for i in ids_int
                     ],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_test_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio twin of ``synthesize_test_media``: real (minimal, silent)
+    PCM WAV containers with parameters derived from the id by fixed
+    arithmetic, for the oracled decode round-trip."""
+    rates = (8000, 16000, 22050, 44100)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_int = [int(i) for i in pdf[id_col]]
+            payloads = [
+                encode_test_wav(
+                    channels=1 + i % 2,
+                    sample_rate=rates[i % 4],
+                    bits=8 * (1 + (i // 2) % 2),
+                    n_samples=1 + i % 50,
+                )
+                for i in ids_int
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": ["audio/wav"] * len(ids_int),
                 }
             )
 

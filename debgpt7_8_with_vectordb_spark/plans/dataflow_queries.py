@@ -18,8 +18,10 @@ from ..operators.chunker import chunk_documents
 from ..operators.mapreduce import mapreduce_echo as mr_echo
 from ..operators.multimodal import (
     attach_binary_payload,
+    decode_audio_metadata,
     decode_image_metadata,
     fake_decode_metadata,
+    synthesize_test_audio,
     synthesize_test_media,
 )
 from ..tables import load_table
@@ -484,6 +486,31 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_metadata(media).select(
         "doc_id", "fmt", "width", "height"
     )
+
+
+@query(
+    "audio_metadata",
+    oracle="""
+SELECT doc_id, 'wav' AS fmt,
+       (1 + doc_id % 2)::INT AS channels,
+       (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END)::INT AS sample_rate,
+       (8 * (1 + (doc_id // 2) % 2))::INT AS bits,
+       (1 + doc_id % 50)::BIGINT AS n_samples
+FROM documents
+""",
+)
+def audio_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-metadata decode round-trip (round 6 — the audio twin
+    of ``multimodal_decode``): per document, fabricate a VALID PCM WAV
+    container (channels/rate/bits/length by doc_id arithmetic) and walk
+    its RIFF chunks back with the zero-dependency header parser
+    (operators/multimodal.py parse_wav_header). The SQL oracle predicts
+    the parsed metadata without touching bytes. Same two-Arrow-stage
+    zero-shuffle scale shape as multimodal_decode; at 100 TB the encode
+    stage is a binaryFile read of actual media."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio_metadata(synthesize_test_audio(docs))
 
 
 @query(

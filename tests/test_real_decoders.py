@@ -128,6 +128,86 @@ def test_synthesize_test_media_payloads_are_valid_containers(spark):
 
 
 # ---------------------------------------------------------------------------
+# WAV (RIFF) audio headers
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        encode_test_wav,
+        parse_wav_header,
+    )
+
+    assert parse_wav_header(encode_test_wav(2, 44100, 16, 100)) == (
+        "wav",
+        2,
+        44100,
+        16,
+        100,
+    )
+    assert parse_wav_header(encode_test_wav(1, 8000, 8, 1)) == (
+        "wav",
+        1,
+        8000,
+        8,
+        1,
+    )
+
+
+def test_wav_spec_fixture_with_extra_chunks():
+    """Hand-built from the RIFF spec, not via encode_test_wav: a LIST
+    chunk before fmt, an ODD-sized chunk (word-alignment padding), fmt
+    with a 2-byte extension — the walk must skip to data correctly."""
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        parse_wav_header,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16) + b"\x00\x00"
+    odd = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    body = (
+        b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + odd
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 20) + b"\x00" * 20
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert parse_wav_header(blob) == ("wav", 1, 16000, 16, 10)  # 20B / block 2
+
+
+def test_wav_garbage_and_truncated():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        parse_wav_header,
+    )
+
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(b"RIFF1234WAVE") is None  # no fmt/data chunks
+    assert parse_wav_header(b"not audio at all......") is None
+
+
+def test_decode_audio_metadata_spark_seam(spark):
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        decode_audio_metadata,
+        encode_test_wav,
+    )
+
+    rows = [
+        (1, bytearray(encode_test_wav(2, 22050, 16, 77)), "audio/wav"),
+        (2, bytearray(b"not audio"), "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["fmt"], r["channels"], r["sample_rate"], r["bits"], r["n_samples"]
+        )
+        for r in decode_audio_metadata(media).collect()
+    }
+    assert got[1] == ("wav", 2, 22050, 16, 77)
+    assert got[2] == (None, None, None, None, None)
+
+
+# ---------------------------------------------------------------------------
 # PDF extraction
 # ---------------------------------------------------------------------------
 
@@ -196,6 +276,41 @@ def test_default_decoder_is_real_without_pypdf():
         import pypdf  # noqa: F401
     except ImportError:
         assert dec is pdf_extract_text
+
+
+def test_pdf_literal_string_roundtrip_property():
+    """Property: ANY text, escaped per the PDF spec by an independent
+    writer (escape \\ ( ) and newlines), survives the extractor
+    byte-exactly — parser bugs in escape/nesting handling can't hide
+    behind hand-picked fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def pdf_escape(s: str) -> bytes:
+        out = []
+        for ch in s:
+            if ch in "\\()":
+                out.append("\\" + ch)
+            elif ch == "\n":
+                out.append("\\n")
+            elif ch == "\r":
+                out.append("\\r")
+            else:
+                out.append(ch)
+        return "".join(out).encode("latin-1")
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=255),
+            max_size=60,
+        )
+    )
+    def roundtrip(s):
+        p = _mkpdf(b"BT (" + pdf_escape(s) + b") Tj ET")
+        assert pdf_extract_text(p) == s
+
+    roundtrip()
 
 
 def test_pdf_source_end_to_end_default_decoder(spark, tmp_path):

@@ -70,6 +70,7 @@ FULL_SCAN_OK = {
     "spec_expansion",
     "multimodal_metadata",
     "multimodal_decode",  # encode+decode round-trip over every doc by definition
+    "audio_metadata",  # same round-trip shape, WAV headers
     "frame_sample",
     "knn_join",
     "topk_retrieval",
