@@ -118,6 +118,7 @@ HEADLINE = [
     "multimodal_metadata",
     "multimodal_decode",
     "audio_metadata",
+    "video_metadata",
     "frame_sample",
     "source_router",
     "cached_fetch",

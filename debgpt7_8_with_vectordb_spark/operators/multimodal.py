@@ -329,6 +329,156 @@ def synthesize_test_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+VIDEO_SCHEMA = (
+    "doc_id long, fmt string, timescale int, duration long, "
+    "width int, height int, n_tracks int"
+)
+
+
+def _iter_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for ISO BMFF boxes in
+    data[pos:end]; tolerates 64-bit largesize boxes and stops on a
+    malformed size."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield tag, body, pos + size
+        pos += size
+
+
+def parse_mp4_header(
+    payload: bytes,
+) -> tuple[str, int, int, int, int, int] | None:
+    """REAL video metadata decode, zero dependencies: ISO BMFF
+    (MP4/MOV) box walk — ftyp to identify, moov/mvhd for timescale +
+    duration (version 0 and 1 layouts), moov/trak/tkhd for the
+    presentation width/height (16.16 fixed point) and track count
+    (ISO/IEC 14496-12 §8.2.2, §8.3.2). Returns (fmt, timescale,
+    duration, width, height, n_tracks) or None. Duration stays in
+    timescale units (integer-exact — seconds are a downstream
+    division). Frame/sample DECODE stays stubbed (no codecs here);
+    this is the filter-by-duration/resolution metadata pass."""
+    n = len(payload)
+    if n < 12 or payload[4:8] != b"ftyp":
+        return None
+    timescale = duration = None
+    width = height = 0
+    n_tracks = 0
+    for tag, b, e in _iter_boxes(payload, 0, n):
+        if tag != b"moov":
+            continue
+        for t2, b2, e2 in _iter_boxes(payload, b, e):
+            if t2 == b"mvhd" and e2 - b2 >= 20:
+                ver = payload[b2]
+                if ver == 1 and e2 - b2 >= 28:
+                    timescale = struct.unpack(">I", payload[b2 + 20 : b2 + 24])[0]
+                    duration = struct.unpack(">Q", payload[b2 + 24 : b2 + 32])[0]
+                else:
+                    timescale = struct.unpack(">I", payload[b2 + 12 : b2 + 16])[0]
+                    duration = struct.unpack(">I", payload[b2 + 16 : b2 + 20])[0]
+            elif t2 == b"trak":
+                n_tracks += 1
+                for t3, b3, e3 in _iter_boxes(payload, b2, e2):
+                    if t3 == b"tkhd":
+                        ver = payload[b3]
+                        # fullbox(4) + v0: times/id/reserved/duration =
+                        # 20; v1: 64-bit times/duration = 32
+                        off = b3 + 4 + (20 if ver == 0 else 32)
+                        # then reserved(8) layer(2) altgroup(2)
+                        # volume(2) reserved(2) matrix(36) w(4) h(4)
+                        wh = off + 8 + 2 + 2 + 2 + 2 + 36
+                        if wh + 8 <= e3:
+                            w169, h169 = struct.unpack(
+                                ">II", payload[wh : wh + 8]
+                            )
+                            width = max(width, w169 >> 16)
+                            height = max(height, h169 >> 16)
+    if timescale is None:
+        return None
+    return "mp4", int(timescale), int(duration), width, height, n_tracks
+
+
+def decode_video_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched MP4-header decode stage — the video third of the
+    metadata trio; unrecognized payloads keep the row with NULLs."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            parsed = [parse_mp4_header(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [t[0] if t else None for t in parsed],
+                    "timescale": pd.array(
+                        [t[1] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "duration": pd.array(
+                        [t[2] if t else None for t in parsed], dtype="Int64"
+                    ),
+                    "width": pd.array(
+                        [t[3] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [t[4] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "n_tracks": pd.array(
+                        [t[5] if t else None for t in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=VIDEO_SCHEMA
+    )
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def encode_test_mp4(
+    timescale: int, duration: int, width: int, height: int, n_tracks: int = 1
+) -> bytes:
+    """Minimal valid ISO BMFF skeleton (written forward from
+    ISO/IEC 14496-12, independent of the parser): ftyp + moov holding a
+    version-0 mvhd and n_tracks tkhd-bearing traks."""
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + b"\x00" * 36  # identity matrix slot (zeros fine for parse)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", n_tracks + 1)  # next_track_ID
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"  # version 0 + flags (enabled)
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime mtime track_id reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer altgroup volume reserved
+        + b"\x00" * 36  # matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    traks = b"".join(_box(b"trak", _box(b"tkhd", tkhd)) for _ in range(n_tracks))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(
+        b"moov", _box(b"mvhd", mvhd) + traks
+    )
+
+
 def synthesize_test_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Audio twin of ``synthesize_test_media``: real (minimal, silent)
     PCM WAV containers with parameters derived from the id by fixed
@@ -352,6 +502,35 @@ def synthesize_test_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "doc_id": pdf[id_col],
                     "payload": payloads,
                     "media_type": ["audio/wav"] * len(ids_int),
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_test_video(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Video third of the synthesize family: minimal valid ISO BMFF
+    skeletons with parameters by id arithmetic."""
+    scales = (600, 1000, 48000, 90000)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_int = [int(i) for i in pdf[id_col]]
+            payloads = [
+                encode_test_mp4(
+                    timescale=scales[i % 4],
+                    duration=1000 + i * 37,
+                    width=320 + (i % 16) * 8,
+                    height=240 + (i % 16) * 8,
+                    n_tracks=1 + i % 3,
+                )
+                for i in ids_int
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": ["video/mp4"] * len(ids_int),
                 }
             )
 

@@ -20,9 +20,11 @@ from ..operators.multimodal import (
     attach_binary_payload,
     decode_audio_metadata,
     decode_image_metadata,
+    decode_video_metadata,
     fake_decode_metadata,
     synthesize_test_audio,
     synthesize_test_media,
+    synthesize_test_video,
 )
 from ..tables import load_table
 from .catalog import query
@@ -511,6 +513,34 @@ def audio_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is a binaryFile read of actual media."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_audio_metadata(synthesize_test_audio(docs))
+
+
+@query(
+    "video_metadata",
+    oracle="""
+SELECT doc_id, 'mp4' AS fmt,
+       (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                        WHEN 2 THEN 48000 ELSE 90000 END)::INT AS timescale,
+       (1000 + doc_id * 37)::BIGINT AS duration,
+       (320 + (doc_id % 16) * 8)::INT AS width,
+       (240 + (doc_id % 16) * 8)::INT AS height,
+       (1 + doc_id % 3)::INT AS n_tracks
+FROM documents
+""",
+)
+def video_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-metadata decode round-trip — the third of the trio
+    (multimodal_decode = images, audio_metadata = WAV): per document,
+    fabricate a minimal VALID ISO BMFF skeleton (ftyp + moov/mvhd +
+    n_tracks tkhd traks, parameters by doc_id arithmetic) and walk the
+    boxes back with the zero-dependency parser
+    (operators/multimodal.py parse_mp4_header — ISO/IEC 14496-12 box
+    layout, version 0/1 mvhd/tkhd). Duration stays in integer timescale
+    units so the oracle is exact. Same zero-shuffle two-Arrow-stage
+    shape; frame DECODE stays stubbed (frame_sample) — this is the
+    filter-by-duration/resolution pass a video corpus runs first."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_video_metadata(synthesize_test_video(docs))
 
 
 @query(

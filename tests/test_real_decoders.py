@@ -208,6 +208,102 @@ def test_decode_audio_metadata_spark_seam(spark):
 
 
 # ---------------------------------------------------------------------------
+# MP4 (ISO BMFF) video headers
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_roundtrip_and_variants():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        encode_test_mp4,
+        parse_mp4_header,
+    )
+
+    assert parse_mp4_header(encode_test_mp4(90000, 1234567, 1920, 1080, 2)) == (
+        "mp4",
+        90000,
+        1234567,
+        1920,
+        1080,
+        2,
+    )
+    assert parse_mp4_header(encode_test_mp4(600, 0, 0, 0, 1)) == (
+        "mp4",
+        600,
+        0,
+        0,
+        0,
+        1,
+    )
+
+
+def test_mp4_version1_mvhd_and_largesize_box():
+    """Spec-built fixture the encoder never produces: a version-1 mvhd
+    (64-bit times/duration) inside a moov preceded by a free box, plus
+    a 64-bit largesize mdat — the walk must handle both layouts."""
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        parse_mp4_header,
+    )
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    mvhd_v1 = (
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)  # 64-bit ctime mtime
+        + struct.pack(">I", 48000)  # timescale
+        + struct.pack(">Q", 10_000_000_000)  # 64-bit duration
+    )
+    moov = box(b"moov", box(b"free", b"x" * 4) + box(b"mvhd", mvhd_v1))
+    mdat_body = b"\x00" * 16
+    largesize_mdat = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat_body))
+        + mdat_body
+    )
+    blob = box(b"ftyp", b"isom\x00\x00\x02\x00") + largesize_mdat + moov
+    assert parse_mp4_header(blob) == ("mp4", 48000, 10_000_000_000, 0, 0, 0)
+
+
+def test_mp4_garbage_truncated_and_malformed_size():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        encode_test_mp4,
+        parse_mp4_header,
+    )
+
+    assert parse_mp4_header(b"") is None
+    assert parse_mp4_header(b"RIFF1234WAVE") is None
+    good = encode_test_mp4(1000, 5000, 640, 480, 1)
+    assert parse_mp4_header(good[:30]) is None  # truncated before moov
+    # corrupt a box size to point past EOF: walk stops, no crash
+    bad = bytearray(good)
+    bad[0:4] = struct.pack(">I", 2**31)
+    assert parse_mp4_header(bytes(bad)) is None
+
+
+def test_decode_video_metadata_spark_seam(spark):
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        decode_video_metadata,
+        encode_test_mp4,
+    )
+
+    rows = [
+        (1, bytearray(encode_test_mp4(90000, 270000, 1280, 720, 1)), "video/mp4"),
+        (2, bytearray(b"not video"), "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["fmt"], r["timescale"], r["duration"],
+            r["width"], r["height"], r["n_tracks"],
+        )
+        for r in decode_video_metadata(media).collect()
+    }
+    assert got[1] == ("mp4", 90000, 270000, 1280, 720, 1)
+    assert got[2] == (None, None, None, None, None, None)
+
+
+# ---------------------------------------------------------------------------
 # PDF extraction
 # ---------------------------------------------------------------------------
 

@@ -71,6 +71,7 @@ FULL_SCAN_OK = {
     "multimodal_metadata",
     "multimodal_decode",  # encode+decode round-trip over every doc by definition
     "audio_metadata",  # same round-trip shape, WAV headers
+    "video_metadata",  # same round-trip shape, ISO BMFF box walk
     "frame_sample",
     "knn_join",
     "topk_retrieval",
