@@ -247,12 +247,13 @@ WITH hist AS (
   SELECT user_id, ts, event_id, event_type, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
            AS rn
-  FROM events WHERE user_id < 5
+  FROM events WHERE user_id < 5 AND ts IS NOT NULL
 ),
 last20 AS (SELECT * FROM hist WHERE rn <= 20),
 prompts AS (
   SELECT user_id,
-         string_agg(event_type || ': ' || round(value, 3)::VARCHAR,
+         string_agg(event_type || ': '
+                      || coalesce(round(value, 3)::VARCHAR, 'null'),
                     chr(10) ORDER BY ts ASC, event_id ASC) AS prompt
   FROM last20 GROUP BY user_id
 )
@@ -282,8 +283,18 @@ def rag_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rag_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared RAG prompt build: last-20 history per conversation,
-    chronological concat."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    chronological concat.
+
+    Two fuzz-gate (seed 101) conventions baked in: NULL event times are
+    filtered on both engines (Spark sorts them FIRST ascending, DuckDB
+    LAST — the prompt line order and the last-20 membership both
+    diverge otherwise), and a NULL value renders as the literal 'null'
+    on both engines (Spark's concat_ws silently skips NULL args while
+    DuckDB's || nulls the line, which string_agg then drops — same
+    multiset of events, different prompt)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 5) & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     last20 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
     prompts = last20.groupBy("user_id").agg(
@@ -294,10 +305,13 @@ def _rag_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.struct(
                             "ts",
                             "event_id",
-                            F.concat_ws(
-                                ": ",
+                            F.concat(
                                 "event_type",
-                                F.round("value", 3).cast("string"),
+                                F.lit(": "),
+                                F.coalesce(
+                                    F.round("value", 3).cast("string"),
+                                    F.lit("null"),
+                                ),
                             ).alias("line"),
                         )
                     )
@@ -319,12 +333,13 @@ WITH hist AS (
   SELECT user_id, ts, event_id, event_type, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
            AS rn
-  FROM events WHERE user_id < 5
+  FROM events WHERE user_id < 5 AND ts IS NOT NULL
 ),
 last20 AS (SELECT * FROM hist WHERE rn <= 20),
 prompts AS (
   SELECT user_id,
-         string_agg(event_type || ': ' || round(value, 3)::VARCHAR,
+         string_agg(event_type || ': '
+                      || coalesce(round(value, 3)::VARCHAR, 'null'),
                     chr(10) ORDER BY ts ASC, event_id ASC) AS prompt
   FROM last20 GROUP BY user_id
 )
@@ -378,10 +393,11 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH purchases AS (
   SELECT user_id, event_id AS purchase_id, ts AS p_ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ),
 clicks AS (
-  SELECT user_id, ts AS c_ts FROM events WHERE event_type <> 'purchase'
+  SELECT user_id, ts AS c_ts FROM events
+  WHERE event_type <> 'purchase' AND ts IS NOT NULL
 )
 SELECT p.user_id, p.purchase_id, p.p_ts, c.c_ts AS last_click_ts,
        CASE WHEN c.c_ts IS NULL THEN NULL
@@ -403,8 +419,15 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost as a plain window — where a naive inequality join would be a
     per-user cross product. Clicks sort before purchases at equal ts so
     a same-instant click matches (ASOF's >= semantics).
+
+    NULL event times are filtered on BOTH engines (the repo-wide
+    event-time convention): a NULL-ts purchase sorts FIRST in Spark's
+    ASC window (no preceding click → NULL match) but LAST in DuckDB's
+    ASOF sort (matches the newest click) — divergence caught by the
+    fuzz gate (seed 101), whose NULL timestamps land on purchases, a
+    combination the curated edge rows didn't cover.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     marked = ev.select(
         "user_id",
         "ts",

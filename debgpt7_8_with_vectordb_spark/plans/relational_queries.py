@@ -109,7 +109,7 @@ def skiplist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "history_limit",
     oracle="""
 SELECT event_id, ts, event_type
-FROM events WHERE user_id = 5
+FROM events WHERE user_id = 5 AND ts IS NOT NULL
 ORDER BY ts ASC, event_id ASC LIMIT 200
 """,
 )
@@ -117,10 +117,13 @@ def history_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 conversation history (reference app.py:280-287: ORDER BY
     timestamp ASC LIMIT 200): filter + global limit plans a
     TakeOrderedAndProject, not a full sort. Explicit event_id tiebreak
-    (the reference relies on implicit SQLite order — SURVEY.md §7.7)."""
+    (the reference relies on implicit SQLite order — SURVEY.md §7.7).
+    NULL ts filtered per the event-time convention: Spark sorts ASC
+    NULLS FIRST, DuckDB NULLS LAST, so the LIMIT cut diverges the
+    moment a conversation exceeds it with NULL-ts rows present."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.filter(F.col("user_id") == 5)
+        ev.filter((F.col("user_id") == 5) & F.col("ts").isNotNull())
         .orderBy(F.asc("ts"), F.asc("event_id"))
         .limit(200)
         .select("event_id", "ts", "event_type")
@@ -133,7 +136,7 @@ def history_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_id, ts, rnk FROM (
   SELECT user_id, event_id, ts,
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)::BIGINT AS rnk
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ) WHERE rnk <= 20
 """,
 )
@@ -141,8 +144,9 @@ def last_n_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 last-20-messages-per-conversation (reference app.py:341-348:
     Python slice `[-20:]` after a full sorted fetch). One shuffle on the
     partition key; Spark's WindowGroupLimit pushes the rank<=20 limit into
-    the sort at scale."""
-    ev = load_table(spark, sf_dir, "events")
+    the sort at scale. NULL ts filtered per the event-time convention
+    (rank membership must not depend on engine null-ordering)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         ev.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -157,14 +161,17 @@ def last_n_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_id, ts FROM (
   SELECT user_id, event_id, ts,
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ) WHERE rn = 1
 """,
 )
 def latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 newest-by-mtime (reference reader.py:210-222 `max(files,
-    key=mtime)`): argmax per group with a deterministic tiebreak."""
-    ev = load_table(spark, sf_dir, "events")
+    key=mtime)`): argmax per group with a deterministic tiebreak.
+    NULL ts filtered per the event-time convention — a group whose
+    events are ALL NULL-ts has no argmax; engine null-ordering would
+    otherwise pick arbitrary (and different) winners."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))
@@ -290,16 +297,26 @@ def cache_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract",
     oracle="""
-SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val
+SELECT event_id,
+       TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS BIGINT)
+         AS k_val
 FROM events WHERE event_id < 100
 """,
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15 JSON decode (reference frontend.py:182-183 session JSON;
-    events.props carries a JSON payload here)."""
+    events.props carries a JSON payload here). Malformed payloads must
+    yield NULL on BOTH engines (fuzz gate, seed 101 — the curated edge
+    corpus's malformed rows all sit outside this id range): Spark's
+    get_json_object returns NULL for unparseable JSON and ANSI-raises
+    on a non-numeric cast, so the Spark side uses try_cast; DuckDB's
+    json_extract_string RAISES on unparseable JSON, so the oracle
+    guards with json_valid and TRY_CASTs the non-numeric case."""
     ev = load_table(spark, sf_dir, "events")
     return ev.filter(F.col("event_id") < 100).select(
-        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_val"),
     )
 
 
