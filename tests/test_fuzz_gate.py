@@ -47,8 +47,12 @@ def test_hazards_present():
         assert len(set(non_null)) < len(non_null)  # exact dups
         assert any(len(t) > 5000 for t in non_null)  # giant docs
         assert any(ord(c) > 0xFFFF for t in non_null for c in t)  # non-BMP
+        langs = docs.column("lang").to_pylist()
+        assert any(lg is None for lg in langs)
         vecs = emb.column("embedding").to_pylist()
         assert any(all(x == 0.0 for x in v) for v in vecs)  # zero vector
+        keyed = [tuple(v) for v in vecs]
+        assert len(set(keyed)) < len(keyed)  # duplicate vectors (ties)
         ts = ev.column("ts").to_pylist()
         assert any(t is None for t in ts)
         seen = [t for t in ts if t is not None]

@@ -5,9 +5,10 @@ corpora; this gate complements it with GENERATED ones. Per seed it
 synthesizes fresh `documents` / `embeddings` / `events` tables — the
 three tables every custom operator reads — mixing the hazards the
 curated corpora plant by hand (NULL/empty/whitespace/multi-byte/giant
-texts, exact+near duplicates, zero vectors, NULL timestamps, timestamp
-ties, malformed JSON, negative values) in random proportions and
-combinations, then runs the FULL 125-query cross-engine comparison
+texts, exact+near duplicates, NULL lang/source, zero AND duplicate
+vectors — exact score ties through every top-k tie-break — NULL
+timestamps, timestamp ties, malformed JSON, negative values) in random
+proportions and combinations, then runs the FULL 125-query cross-engine comparison
 (tools/check_oracle.py) over the result. Different seeds exercise
 different boundary combinations the hand-written corpora can't
 enumerate: duplicate classes of random size and shape, hash/band
@@ -102,9 +103,9 @@ def gen_documents(rng: random.Random, n: int = 300):
             text = _word_salad(rng, 4, 40)
         if text and text.strip():
             texts.append(text)
-        rows.append(
-            (i, text, rng.choice(LANGS), f"src{i}", len(text or ""))
-        )
+        lang = None if rng.random() < 0.02 else rng.choice(LANGS)
+        source = None if rng.random() < 0.02 else f"src{i}"
+        rows.append((i, text, lang, source, len(text or "")))
     return pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -126,6 +127,8 @@ def gen_embeddings(rng: random.Random, n: int = 300):
             v = [rng.uniform(-1e5, 1e5) for _ in range(64)]
         elif r < 0.08:  # tiny magnitudes
             v = [rng.uniform(-1e-6, 1e-6) for _ in range(64)]
+        elif r < 0.14 and vecs:  # exact duplicate vector: score ties
+            v = list(rng.choice(vecs))  # (top-k/ANN id tie-breaks)
         else:
             v = [rng.gauss(0.0, 0.15) for _ in range(64)]
         vecs.append(v)
