@@ -379,7 +379,8 @@ walk AS (
   SELECT o.lang, o.idx, o.doc_id, o.n_tok,
          CASE WHEN w.acc + o.n_tok > {_SEQ_TOKENS} THEN w.gid + 1 ELSE w.gid END,
          CASE WHEN w.acc + o.n_tok > {_SEQ_TOKENS} THEN o.n_tok ELSE w.acc + o.n_tok END
-  FROM walk w JOIN ordered o ON o.lang = w.lang AND o.idx = w.idx + 1
+  FROM walk w JOIN ordered o
+    ON o.lang IS NOT DISTINCT FROM w.lang AND o.idx = w.idx + 1
 )
 SELECT lang, gid::INT AS seq_id, count(*)::BIGINT AS n_docs,
        sum(n_tok)::BIGINT AS seq_tokens,
@@ -404,7 +405,10 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop, same order-preserving-slices argument; operators/mapreduce.py
     _PACK_BLOCK_ROWS). The oracle replays the exact per-lang greedy
     walk with a recursive CTE over doc-index recursion — the composed
-    chunk+pack CTE pattern from ``binpack_chunks``."""
+    chunk+pack CTE pattern from ``binpack_chunks``. The walk's lang
+    join is IS NOT DISTINCT FROM: Spark's groupBy groups NULL langs
+    into one stream, and a plain ``=`` would strand that partition at
+    idx 1 on the oracle side (fuzz gate, NULL-lang hazard)."""
     import pandas as pd
 
     from ..operators.binpack import pack_sizes
