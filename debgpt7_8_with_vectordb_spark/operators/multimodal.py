@@ -71,6 +71,8 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         hdr_size = struct.unpack("<I", payload[14:18])[0]
         if hdr_size >= 40:  # BITMAPINFOHEADER and successors
             w, h = struct.unpack("<ii", payload[18:26])
+            if w <= 0:  # height<0 is legal (top-down rows); width<=0 is corrupt
+                return None
             return "bmp", int(w), abs(int(h))
         if hdr_size == 12 and len(payload) >= 22:  # BITMAPCOREHEADER
             w, h = struct.unpack("<HH", payload[18:22])
@@ -80,6 +82,18 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     if m:
         return m.group(1).decode("ascii").lower(), int(m.group(2)), int(m.group(3))
     return None
+
+
+def _parse_or_none(parser, payload: bytes):
+    """NULL-on-unrecognized contract holds for MALFORMED input too: a
+    truncated/corrupt container must yield a NULL-metadata row, never an
+    exception — an uncaught struct.error in a mapInPandas stage kills the
+    whole task, and at 100 TB of scraped media malformed files are the
+    expected case, not the exception."""
+    try:
+        return parser(payload)
+    except Exception:
+        return None
 
 
 def decode_image_metadata(media: DataFrame) -> DataFrame:
@@ -94,7 +108,7 @@ def decode_image_metadata(media: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
-            parsed = [parse_image_header(p) for p in payloads]
+            parsed = [_parse_or_none(parse_image_header, p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -257,7 +271,7 @@ def decode_audio_metadata(media: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
-            parsed = [parse_wav_header(p) for p in payloads]
+            parsed = [_parse_or_none(parse_wav_header, p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -380,16 +394,24 @@ def parse_mp4_header(
         for t2, b2, e2 in _iter_boxes(payload, b, e):
             if t2 == b"mvhd" and e2 - b2 >= 20:
                 ver = payload[b2]
-                if ver == 1 and e2 - b2 >= 28:
-                    timescale = struct.unpack(">I", payload[b2 + 20 : b2 + 24])[0]
-                    duration = struct.unpack(">Q", payload[b2 + 24 : b2 + 32])[0]
+                if ver == 1:
+                    # v1 body needs 32 bytes (64-bit times); a shorter
+                    # one is malformed — skip rather than misread the
+                    # v0 offsets or run past the box end
+                    if e2 - b2 >= 32:
+                        timescale = struct.unpack(
+                            ">I", payload[b2 + 20 : b2 + 24]
+                        )[0]
+                        duration = struct.unpack(
+                            ">Q", payload[b2 + 24 : b2 + 32]
+                        )[0]
                 else:
                     timescale = struct.unpack(">I", payload[b2 + 12 : b2 + 16])[0]
                     duration = struct.unpack(">I", payload[b2 + 16 : b2 + 20])[0]
             elif t2 == b"trak":
                 n_tracks += 1
                 for t3, b3, e3 in _iter_boxes(payload, b2, e2):
-                    if t3 == b"tkhd":
+                    if t3 == b"tkhd" and e3 - b3 >= 4:
                         ver = payload[b3]
                         # fullbox(4) + v0: times/id/reserved/duration =
                         # 20; v1: 64-bit times/duration = 32
@@ -415,7 +437,7 @@ def decode_video_metadata(media: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
-            parsed = [parse_mp4_header(p) for p in payloads]
+            parsed = [_parse_or_none(parse_mp4_header, p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

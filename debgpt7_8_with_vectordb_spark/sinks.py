@@ -230,6 +230,20 @@ def recover_compaction(path: str) -> list[str]:
         marker = os.path.join(root, COMPACT_MARKER)
         with open(marker) as fh:
             st = json.load(fh)
+        # Safety gate BEFORE any delete: every journaled new shard must be
+        # reachable in tmp or already live. If tmp vanished (tmp-dir
+        # cleanup, corpus relocated — the journal stores an absolute path)
+        # before any new shard moved in, deleting st['old'] would destroy
+        # the only copies. Leave the marker and skip; the caller re-runs
+        # compaction from the still-intact old shards.
+        missing = [
+            name
+            for name in st["new"]
+            if not os.path.exists(os.path.join(st["tmp"], name))
+            and not os.path.exists(os.path.join(root, name))
+        ]
+        if missing:
+            continue
         for name in st["new"]:
             t = os.path.join(st["tmp"], name)
             if os.path.exists(t):

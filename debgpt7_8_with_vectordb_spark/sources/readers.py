@@ -127,9 +127,46 @@ def pdf_decode_stub(payload: bytes) -> str:
     )
 
 
-# dict (non-greedy) immediately followed by its stream body; PDF allows
-# CR, LF or CRLF after the `stream` keyword.
-_PDF_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n?(.*?)endstream", re.DOTALL)
+# dict (non-greedy) immediately followed by the `stream` keyword; PDF
+# allows CR, LF or CRLF after it. Body delimiting happens in
+# _iter_pdf_streams: the dict's direct /Length wins (a compressed body
+# may legally CONTAIN the literal bytes 'endstream' — scanning for the
+# token there truncates the stream, fails the inflate, and silently
+# drops its text); the token scan is the fallback for indirect /Length.
+_PDF_STREAM = re.compile(rb"<<(.*?)>>\s*stream(?:\r\n|\r|\n)?", re.DOTALL)
+_PDF_DIRECT_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
+def _iter_pdf_streams(payload: bytes):
+    """Yield ``(dict_bytes, body_bytes)`` for every stream object.
+    Body bounds come from the dict's direct ``/Length`` when present
+    and consistent (an ``endstream`` keyword follows within spec
+    whitespace); otherwise fall back to scanning for the next
+    ``endstream`` token — correct for filterless bodies, best-effort
+    for indirect-/Length compressed ones."""
+    pos, n = 0, len(payload)
+    while pos < n:
+        m = _PDF_STREAM.search(payload, pos)
+        if not m:
+            return
+        d, body_start = m.group(1), m.end()
+        lm = _PDF_DIRECT_LENGTH.search(d)
+        if lm:
+            end = body_start + int(lm.group(1))
+            if end <= n and re.match(rb"(?:\r\n|\r|\n)?\s*endstream", payload[end : end + 16]):
+                yield d, payload[body_start:end]
+                pos = end
+                continue
+        idx = payload.find(b"endstream", body_start)
+        if idx < 0:
+            return
+        body = payload[body_start:idx]
+        if body.endswith(b"\r\n"):
+            body = body[:-2]
+        elif body.endswith((b"\n", b"\r")):
+            body = body[:-1]
+        yield d, body
+        pos = idx + len(b"endstream")
 _PDF_ESCAPES = {
     ord("n"): 0x0A, ord("r"): 0x0D, ord("t"): 0x09, ord("b"): 0x08,
     ord("f"): 0x0C, ord("("): 0x28, ord(")"): 0x29, ord("\\"): 0x5C,
@@ -271,17 +308,16 @@ def pdf_extract_text(payload: bytes) -> str:
     no font-encoding CMaps (text shown via subset fonts with custom
     encodings comes out garbled), no LZW/ASCII85 filters, no
     cross-reference-stream object walking (streams are found by scan,
-    which also finds them in linearized files). For born-digital PDFs
+    which also finds them in linearized files; bodies are delimited by
+    the dict's direct /Length when present, so compressed bytes that
+    happen to contain the 'endstream' token no longer truncate — the
+    token scan remains only the indirect-/Length fallback). For
+    born-digital PDFs
     with standard encodings — the common curation case — output matches
     pypdf's. Golden-byte tests pin uncompressed, Flate, TJ-kerned,
     escaped and hex-string cases."""
     texts: list[str] = []
-    for m in _PDF_STREAM.finditer(payload):
-        d, data = m.group(1), m.group(2)
-        if data.endswith(b"\r\n"):
-            data = data[:-2]
-        elif data.endswith((b"\n", b"\r")):
-            data = data[:-1]
+    for d, data in _iter_pdf_streams(payload):
         if b"/FlateDecode" in d:
             try:
                 data = zlib.decompress(data)

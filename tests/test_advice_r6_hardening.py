@@ -1,0 +1,246 @@
+"""Round-7 regressions for the r6 ADVICE findings: malformed-media
+hardening (mp4 v1 mvhd bound, empty tkhd, negative BMP width, the
+try/except task fence), compaction-recovery safety when the journaled
+tmp dir vanished, and /Length-delimited PDF stream bodies."""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import pytest
+
+from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+    _parse_or_none,
+    parse_image_header,
+    parse_mp4_header,
+    parse_wav_header,
+)
+from debgpt7_8_with_vectordb_spark.sources.readers import pdf_extract_text
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+# ---------------------------------------------------------------------------
+# mp4: malformed boxes must yield None, never an exception
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_short_v1_mvhd_body_is_skipped_not_misread():
+    """A version-1 mvhd whose body is 28-31 bytes (v1 needs 32) used to
+    pass the >=28 guard and read duration past the box end — struct
+    error at EOF or a silent misread mid-file. Now it is skipped."""
+    for body_len in (20, 28, 30, 31):
+        mvhd = (b"\x01" + b"\x00" * (body_len - 1))
+        blob = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(
+            b"moov", _box(b"mvhd", mvhd)
+        )
+        assert parse_mp4_header(blob) is None  # no timescale recovered
+    # exactly 32 bytes parses fine
+    mvhd32 = (
+        b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 48000) + struct.pack(">Q", 7)
+    )
+    blob = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(
+        b"moov", _box(b"mvhd", mvhd32)
+    )
+    assert parse_mp4_header(blob) == ("mp4", 48000, 7, 0, 0, 0)
+
+
+def test_mp4_empty_tkhd_body_at_eof_no_indexerror():
+    """`ver = payload[b3]` on an EMPTY tkhd body used to IndexError when
+    the box ended the file; now the short body is skipped and the trak
+    still counts."""
+    mvhd = (
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, 5000)
+    )
+    trak = _box(b"trak", _box(b"tkhd", b""))
+    blob = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(
+        b"moov", _box(b"mvhd", mvhd) + trak
+    )
+    assert parse_mp4_header(blob) == ("mp4", 1000, 5000, 0, 0, 1)
+
+
+def test_bmp_negative_width_returns_none():
+    """Negative int32 height is legal (top-down rows, abs()-normalized);
+    negative or zero width is corrupt and must NOT leak into the
+    metadata table where dimension filters would mis-handle it."""
+    def bmp(w: int, h: int) -> bytes:
+        info = struct.pack("<Iii", 40, w, h) + b"\x00" * 28
+        return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+
+    assert parse_image_header(bmp(-3, 2)) is None
+    assert parse_image_header(bmp(0, 2)) is None
+    assert parse_image_header(bmp(3, -2)) == ("bmp", 3, 2)
+
+
+def test_parse_or_none_fences_any_parser_exception():
+    """The decode stages route every per-payload parse through
+    _parse_or_none: one malformed file yields a NULL row instead of a
+    struct.error that kills the whole Spark task."""
+
+    def explode(payload: bytes):
+        raise struct.error("boom")
+
+    assert _parse_or_none(explode, b"x") is None
+    for parser in (parse_image_header, parse_wav_header, parse_mp4_header):
+        # deterministic byte-noise sweep: no exception escapes the fence
+        import random
+
+        rng = random.Random(6)
+        for n in (0, 1, 7, 64, 300):
+            blob = bytes(rng.randrange(256) for _ in range(n))
+            _parse_or_none(parser, blob)  # must not raise
+            # prefix-truncations of valid-ish magic starts
+            _parse_or_none(parser, b"\x89PNG\r\n\x1a\n" + blob)
+            _parse_or_none(parser, b"RIFF" + blob)
+            _parse_or_none(parser, struct.pack(">I", 20) + b"ftyp" + blob)
+
+
+def test_decode_video_metadata_survives_malformed_payload(spark):
+    """End-to-end through the Spark seam: the short-v1-mvhd payload that
+    used to raise now comes back as a NULL-metadata row alongside good
+    rows in the same Arrow batch."""
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        decode_video_metadata,
+        encode_test_mp4,
+    )
+
+    bad = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(
+        b"moov", _box(b"mvhd", b"\x01" + b"\x00" * 29)
+    )
+    rows = [
+        (1, bytearray(encode_test_mp4(90000, 270000, 1280, 720, 1)), "video/mp4"),
+        (2, bytearray(bad), "video/mp4"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {r["doc_id"]: r["fmt"] for r in decode_video_metadata(media).collect()}
+    assert got == {1: "mp4", 2: None}
+
+
+# ---------------------------------------------------------------------------
+# PDF: /Length-delimited bodies
+# ---------------------------------------------------------------------------
+
+
+def _pdf(dict_bytes: bytes, body: bytes, tail: bytes = b"") -> bytes:
+    return (
+        b"%PDF-1.4\n1 0 obj\n<<" + dict_bytes + b">>\nstream\n"
+        + body + b"\nendstream\nendobj\n" + tail + b"trailer\n<<>>\n%%EOF"
+    )
+
+
+def test_pdf_flate_body_containing_endstream_token():
+    """A FlateDecode body whose COMPRESSED bytes contain the literal
+    token 'endstream' (guaranteed here via a stored-block zlib stream)
+    used to be truncated at that token by the non-greedy scan — inflate
+    failed and the text silently vanished. The direct /Length now
+    delimits the body exactly."""
+    content = b"BT (endstream inside compressed bytes) Tj ET"
+    body = zlib.compress(content, 0)  # level 0 = stored blocks, literal bytes
+    assert b"endstream" in body
+    p = _pdf(
+        b"/Length " + str(len(body)).encode() + b" /Filter /FlateDecode", body
+    )
+    assert pdf_extract_text(p) == "endstream inside compressed bytes"
+
+
+def test_pdf_indirect_length_falls_back_to_scan():
+    """/Length given as an indirect reference (`7 0 R`) can't delimit;
+    the token scan still extracts filterless bodies."""
+    p = _pdf(b"/Length 7 0 R", b"BT (indirect ok) Tj ET")
+    assert pdf_extract_text(p) == "indirect ok"
+
+
+def test_pdf_wrong_direct_length_falls_back_to_scan():
+    """A direct /Length that does NOT land on an endstream keyword is
+    treated as unreliable; the scan fallback still finds the body."""
+    p = _pdf(b"/Length 99999", b"BT (bad length) Tj ET")
+    assert pdf_extract_text(p) == "bad length"
+
+
+def test_pdf_two_streams_after_length_delimited_one():
+    """The scan must resume AFTER the /Length-delimited body, not
+    mid-stream: a second text stream after the tricky one is found."""
+    content = b"BT (first endstream-bearing) Tj ET"
+    body = zlib.compress(content, 0)
+    assert b"endstream" in body
+    tail = (
+        b"2 0 obj\n<</Length 21>>\nstream\nBT (second one) Tj ET\nendstream\n"
+        b"endobj\n"
+    )
+    p = _pdf(
+        b"/Length " + str(len(body)).encode() + b" /Filter /FlateDecode",
+        body,
+        tail=tail,
+    )
+    assert pdf_extract_text(p) == "first endstream-bearing\nsecond one"
+
+
+# ---------------------------------------------------------------------------
+# compaction recovery: vanished tmp must not delete the only copies
+# ---------------------------------------------------------------------------
+
+
+def test_recover_compaction_aborts_when_tmp_vanished(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash after the marker commit but before ANY shard move-in, then
+    the journaled tmp dir disappears (tmp-style cleanup / relocation).
+    Recovery must leave the old shards and the marker alone — deleting
+    st['old'] would destroy the only copies of the data."""
+    import shutil
+
+    from debgpt7_8_with_vectordb_spark.sinks import (
+        COMPACT_MARKER,
+        compact_corpus,
+        recover_compaction,
+        write_corpus,
+    )
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, partition_by=("lang",), max_records_per_file=5)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crash_after_marker(a, b):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # 1 = marker commit, 2 = first move-in
+            raise OSError("simulated crash before any move-in")
+        real_replace(a, b)
+
+    monkeypatch.setattr(os, "replace", crash_after_marker)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_corpus(spark, out, target_bytes=1 << 30)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    markers = [
+        os.path.join(r, COMPACT_MARKER)
+        for r, _, fs in os.walk(out)
+        if COMPACT_MARKER in fs
+    ]
+    assert len(markers) == 1
+    import json
+
+    with open(markers[0]) as fh:
+        st = json.load(fh)
+    shutil.rmtree(st["tmp"])  # simulate external tmp cleanup
+
+    assert recover_compaction(out) == []  # aborted, nothing "recovered"
+    assert os.path.exists(markers[0])  # journal left for a re-run
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+    assert after == before  # zero data loss
