@@ -6,14 +6,16 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes cross the JVM↔Python boundary once per
 batch, never per row.
 
-Codec status (round 6): the HEADER-METADATA decode is REAL — a
-zero-dependency parser for the four container formats whose headers
-need no codec library (PNG / GIF / BMP / PPM-PGM), wired as the
-default through ``decode_image_metadata`` and pinned by golden-byte
-tests. Pixel decode (PIL/cv2) and av codecs (ffmpeg/torchaudio) remain
-honestly stubbed — those libraries are absent in this container:
-- ``decode_image_stub``: raises NotImplementedError (the honest stub
-  for PIXEL decode);
+Codec status (round 7): HEADER-METADATA decode is REAL for PNG / GIF /
+BMP / PNM / WAV / MP4 (zero-dependency struct parsers, golden-byte
+pinned), and PIXEL/SAMPLE decode is now REAL for the stdlib-decodable
+subset — PNG 8-bit (zlib inflate + all five scanline filters), BMP
+24/32bpp uncompressed, PNM P2/P3/P5/P6, WAV PCM 8/16-bit
+(``decode_image_pixels`` / ``decode_wav_samples``). Still honestly
+stubbed, because they genuinely need codec libraries absent in this
+container:
+- ``decode_image_stub``: GIF LZW pixels and every lossy codec
+  (JPEG / MP3 / H.264 frame decode — PIL/cv2/ffmpeg territory);
 - ``fake_decode_metadata``: the deterministic md5-derived fake kept
   for the oracled plumbing query (testdata payloads are text bytes,
   not image files).
@@ -190,9 +192,16 @@ def attach_binary_payload(
 
 
 def decode_image_stub(payload: bytes) -> object:
-    """Real decoder entry point — image libs absent in this container."""
+    """Compressed-codec decoder entry point. Since round 7 the
+    stdlib-decodable subset (PNG 8-bit, BMP 24/32bpp, PNM, WAV PCM) has
+    a REAL default in ``decode_image_pixels`` / ``decode_wav_samples``;
+    this stub now covers only formats that genuinely require codec
+    libraries absent in this container: GIF (LZW), JPEG, and all lossy
+    audio/video frame decode."""
     raise NotImplementedError(
-        "image decode requires PIL/cv2; wire the real codec here in production"
+        "compressed-codec decode (GIF/JPEG/lossy AV) requires PIL/cv2/ffmpeg; "
+        "wire the real codec here in production — uncompressed formats are "
+        "handled by decode_image_pixels/decode_wav_samples"
     )
 
 
@@ -573,3 +582,395 @@ def frame_sample_stub(media: DataFrame, every_nth: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PIXEL / PCM decode — round 7: the content half of the codec seam.
+#
+# The r6 header codecs answered "what is this file" (format, dims, rate)
+# with zero dependencies; these decoders answer "what are the bytes" for
+# every format whose PIXEL/SAMPLE layout is pure stdlib territory:
+#   - PNG 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced (zlib inflate
+#     + the five scanline filters incl. Paeth, PNG spec §9);
+#   - BMP 24/32bpp uncompressed BI_RGB (bottom-up padded rows, BGR(A)
+#     order normalized to RGB(A));
+#   - PNM P5/P6 binary and P2/P3 ASCII, maxval <= 255;
+#   - WAV PCM 8-bit unsigned / 16-bit signed LE samples.
+# GIF pixels (LZW) and every lossy codec (JPEG/MP3/H.264) stay behind
+# ``decode_image_stub`` — those genuinely need codec libraries.
+#
+# Perf note for 100 TB: the per-byte unfilter loops below are the
+# stdlib-only fallback; in production the decoder slot is the same
+# injectable seam as pypdf (readers.default_pdf_decoder) — swap in
+# PIL/numpy when present. Payload sizes in the oracled path stay <= 32x32
+# so the Arrow batches carry a few KB per row either way.
+# ---------------------------------------------------------------------------
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes | None:
+    """Reverse the PNG scanline filters (types 0-4, spec §9.2) over the
+    inflated IDAT byte stream; returns raw pixel bytes or None on a
+    malformed filter byte / short stream."""
+    stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out += line
+        prev = bytes(line)
+    return bytes(out)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _decode_png_pixels(payload: bytes):
+    import zlib
+
+    w, h = struct.unpack(">II", payload[16:24])
+    depth, ctype, comp, filt, interlace = payload[24:29]
+    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or interlace:
+        return None  # supported subset: 8-bit, non-interlaced
+    channels = _PNG_CHANNELS[ctype]
+    idat = bytearray()
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + size]
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    pixels = _png_unfilter(raw, int(w), int(h), channels)
+    if pixels is None:
+        return None
+    return "png", int(w), int(h), channels, pixels
+
+
+def _decode_bmp_pixels(payload: bytes):
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if w <= 0 or compression != 0 or bpp not in (24, 32):
+        return None
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) // 4 * 4
+    if len(payload) < data_off + row_bytes * h:
+        return None
+    out = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for y in rows:
+        base = data_off + y * row_bytes
+        for x in range(w):
+            px = payload[base + x * nch : base + (x + 1) * nch]
+            out += bytes((px[2], px[1], px[0]))  # BGR -> RGB
+            if nch == 4:
+                out.append(px[3])
+    return "bmp", int(w), int(h), nch, bytes(out)
+
+
+def _decode_pnm_pixels(payload: bytes):
+    m = _PNM_HEADER.match(payload)
+    if not m:
+        return None
+    magic = m.group(1).decode("ascii")
+    w, h = int(m.group(2)), int(m.group(3))
+    if magic in ("P2", "P3", "P5", "P6"):
+        # one more header token: maxval
+        mv = re.match(
+            rb"\s*(?:#[^\n]*\s+)*(\d+)\s", payload[m.end() - 1 :]
+        )
+        if not mv or int(mv.group(1)) > 255:
+            return None
+        body_at = m.end() - 1 + mv.end()
+        channels = 3 if magic in ("P3", "P6") else 1
+        n_vals = w * h * channels
+        if magic in ("P5", "P6"):
+            body = payload[body_at : body_at + n_vals]
+            if len(body) < n_vals:
+                return None
+            return magic.lower(), w, h, channels, bytes(body)
+        vals = payload[body_at:].split()
+        if len(vals) < n_vals:
+            return None
+        return (
+            magic.lower(), w, h, channels,
+            bytes(min(int(v), 255) for v in vals[:n_vals]),
+        )
+    return None  # P1/P4 bitmaps: out of the supported subset
+
+
+def decode_image_pixels(
+    payload: bytes,
+) -> tuple[str, int, int, int, bytes] | None:
+    """REAL pixel decode, zero dependencies, for the stdlib-decodable
+    subset (see section comment). Returns ``(fmt, width, height,
+    channels, pixels)`` with pixels row-major TOP-DOWN, channel-
+    interleaved RGB(A)/gray order — BMP's bottom-up BGR rows and PNG's
+    filtered scanlines are both normalized — or None for formats
+    outside the subset (GIF/JPEG/...) or malformed bytes."""
+    try:
+        if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            return _decode_png_pixels(payload)
+        if len(payload) >= 54 and payload[:2] == b"BM":
+            return _decode_bmp_pixels(payload)
+        if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            return _decode_pnm_pixels(payload)
+    except Exception:
+        return None
+    return None
+
+
+def decode_wav_samples(
+    payload: bytes,
+) -> tuple[int, int, int, list[int]] | None:
+    """REAL PCM sample decode, zero dependencies: returns
+    ``(channels, sample_rate, bits, samples)`` with samples channel-
+    interleaved in frame order — 16-bit signed little-endian or 8-bit
+    unsigned per the WAV spec — or None for non-PCM/compressed audio."""
+    hdr = _parse_or_none(parse_wav_header, payload)
+    if hdr is None:
+        return None
+    _fmt, channels, rate, bits, _n = hdr
+    if bits not in (8, 16):
+        return None
+    # locate the data chunk body (same walk as parse_wav_header)
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"data":
+            body = payload[pos + 8 : pos + 8 + size]
+            if bits == 16:
+                usable = len(body) - len(body) % 2
+                samples = list(
+                    struct.unpack(f"<{usable // 2}h", body[:usable])
+                )
+            else:
+                samples = list(body)
+            return channels, rate, bits, samples
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def _pattern_px(x: int, y: int, c: int, seed: int) -> int:
+    """The deterministic test-pixel pattern shared by the patterned
+    writers AND the SQL oracle: arithmetic on (x, y, channel, seed) that
+    makes pixel sums, corners and orientation all oracle-predictable."""
+    return (x + 7 * y + 11 * c + seed) % 256
+
+
+def encode_test_image_patterned(
+    fmt: str, width: int, height: int, seed: int
+) -> bytes:
+    """Patterned RGB writer for the pixel-decode round-trip: same
+    containers as ``encode_test_image`` but with ``_pattern_px`` pixel
+    data instead of zero filler. The PNG variant cycles the row filter
+    type through 0-4 (y % 5) so the oracled query exercises EVERY
+    unfilter path, not just the trivial one; writers apply the forward
+    filter transforms independently of the decoder's reverse ones."""
+    import zlib
+
+    if fmt == "png":
+        ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        bpp, stride = 3, width * 3
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            line = bytes(
+                _pattern_px(x, y, c, seed)
+                for x in range(width)
+                for c in range(3)
+            )
+            ftype = y % 5
+            raw.append(ftype)
+            if ftype == 0:
+                raw += line
+            elif ftype == 1:  # Sub
+                raw += bytes(
+                    (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                    for i in range(stride)
+                )
+            elif ftype == 2:  # Up
+                raw += bytes(
+                    (line[i] - prev[i]) & 0xFF for i in range(stride)
+                )
+            elif ftype == 3:  # Average
+                raw += bytes(
+                    (
+                        line[i]
+                        - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)
+                    )
+                    & 0xFF
+                    for i in range(stride)
+                )
+            else:  # Paeth
+                flt = bytearray()
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    cc = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                    flt.append((line[i] - pred) & 0xFF)
+                raw += flt
+            prev = line
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+    if fmt == "bmp":
+        # bottom-up BGR rows with 4-byte padding — exercises the
+        # orientation + channel-order normalization
+        row_pad = (width * 3 + 3) // 4 * 4 - width * 3
+        pix = bytearray()
+        for y in range(height - 1, -1, -1):
+            for x in range(width):
+                r, g, b = (_pattern_px(x, y, c, seed) for c in range(3))
+                pix += bytes((b, g, r))
+            pix += b"\x00" * row_pad
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+        )
+        off = 14 + 40
+        hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+        return hdr + info + bytes(pix)
+    if fmt == "ppm":
+        hdr = f"P6 {width} {height} 255\n".encode("ascii")
+        return hdr + bytes(
+            _pattern_px(x, y, c, seed)
+            for y in range(height)
+            for x in range(width)
+            for c in range(3)
+        )
+    raise ValueError(f"unknown patterned-image format: {fmt}")
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, channels int, "
+    "n_values long, pixel_sum long, first_px int, last_px int"
+)
+
+
+def decode_image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched PIXEL decode stage: binary payload → integer pixel
+    statistics (count / sum / first / last of the normalized top-down
+    RGB byte stream). Integer outputs keep the cross-engine oracle
+    hash exact; first_px/last_px pin orientation and channel order —
+    a decoder that forgets BMP's bottom-up rows or BGR swap fails the
+    hash even though the sum survives. NULL row on unsupported or
+    malformed payloads (same quarantine contract as the header trio)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            parsed = [decode_image_pixels(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [t[0] if t else None for t in parsed],
+                    "width": pd.array(
+                        [t[1] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [t[2] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [t[3] if t else None for t in parsed], dtype="Int32"
+                    ),
+                    "n_values": pd.array(
+                        [len(t[4]) if t else None for t in parsed], dtype="Int64"
+                    ),
+                    "pixel_sum": pd.array(
+                        [sum(t[4]) if t else None for t in parsed], dtype="Int64"
+                    ),
+                    "first_px": pd.array(
+                        [t[4][0] if t and t[4] else None for t in parsed],
+                        dtype="Int32",
+                    ),
+                    "last_px": pd.array(
+                        [t[4][-1] if t and t[4] else None for t in parsed],
+                        dtype="Int32",
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=PIXEL_STATS_SCHEMA
+    )
+
+
+def synthesize_test_media_patterned(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Patterned-pixel writer half of the pixel round-trip: rotates
+    png/bmp/ppm on the id (GIF sits out — LZW pixels stay stubbed) with
+    dimensions and pattern seed by fixed arithmetic the oracle replays."""
+    fmts = ("png", "bmp", "ppm")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_int = [int(i) for i in pdf[id_col]]
+            payloads = [
+                encode_test_image_patterned(
+                    fmts[i % 3], 1 + i % 32, 1 + (i * 7) % 32, i % 251
+                )
+                for i in ids_int
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_type": ["image/" + fmts[i % 3] for i in ids_int],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -507,6 +507,43 @@ def stream_neardup_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ingest_messages",
+    oracle="""
+SELECT count(*)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_unique_ids,
+       true AS all_uuid4,
+       true AS ts_sane
+FROM documents
+""",
+)
+def ingest_messages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 uuid ingestion ids + F12 epoch-seconds default (SURVEY §2.8;
+    reference vector_service/app.py:199-200 mints both per saved
+    message). Stamps every document row via ``stamp_ingestion_ids``
+    (Catalyst ``uuid()`` + ``unix_timestamp()``, JVM-side, zero
+    shuffle until this validation agg) and validates the
+    nondeterministic output STRUCTURALLY — the deterministic contract a
+    SQL oracle can check: one id per row, all ids distinct (countDistinct
+    == count proves per-row evaluation, not a constant-folded single
+    uuid), every id RFC-4122 v4 formatted (version nibble 4, variant
+    in [89ab]), and the stamped epoch seconds in a sane range (after
+    2020-01-01, not in the future beyond clock skew)."""
+    from ..operators.ingestion import UUID4_RE, stamp_ingestion_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stamped = stamp_ingestion_ids(docs)
+    return stamped.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("msg_id").alias("n_unique_ids"),
+        F.min(F.col("msg_id").rlike(UUID4_RE)).alias("all_uuid4"),
+        F.min(
+            (F.col("created_ts") > F.lit(1577836800))
+            & (F.col("created_ts") < F.unix_timestamp() + F.lit(3600))
+        ).alias("ts_sane"),
+    )
+
+
 @query("stream_event_funnel", oracle=None)
 def stream_event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of event_funnel (applyInPandasWithState — see
