@@ -386,26 +386,63 @@ def read_pdf(spark: SparkSession, path: str, decoder=None) -> DataFrame:
     return decode_binary_documents(df, decoder or default_pdf_decoder())
 
 
+_HTML_EXTRACTOR = None
+
+
+def default_html_extractor(payload: bytes) -> str:
+    """bs4 when importable (reference reader.py:462-463 parity), else
+    the zero-dependency stdlib-tokenizer extractor — same fallback
+    policy as ``default_pdf_decoder``. The backend is resolved once per
+    Python worker (module-level cache), not per payload."""
+    global _HTML_EXTRACTOR
+    if _HTML_EXTRACTOR is None:
+        try:
+            from bs4 import BeautifulSoup
+
+            from ..functions.htmltext import normalize_extracted
+
+            def _bs4(p: bytes) -> str:
+                soup = BeautifulSoup(
+                    p.decode("utf-8", "replace"), features="html.parser"
+                )
+                return normalize_extracted(soup.get_text())
+
+            _HTML_EXTRACTOR = _bs4
+        except ImportError:
+            from ..functions.htmltext import html_to_text
+
+            _HTML_EXTRACTOR = lambda p: html_to_text(  # noqa: E731
+                p.decode("utf-8", "replace")
+            )
+    return _HTML_EXTRACTOR(payload)
+
+
 @register_source("html")
-def read_html(spark: SparkSession, path: str, extractor=None) -> DataFrame:
-    """HTML → text source (reference reader.py:462-463 bs4.get_text).
-    Default path is the JVM regexp strip chain (whole-stage codegen, no
-    Python hop); pass ``extractor(bytes) -> str`` (e.g. real bs4) to run
-    full-fidelity extraction through the same Arrow seam as PDFs."""
+def read_html(spark: SparkSession, path: str, extractor=None, fast: bool = False) -> DataFrame:
+    """HTML → text source (reference reader.py:462-466: bs4 ``get_text``
+    → strip → collapse blank runs → rstrip lines). DEFAULT since round 7
+    is the bs4-grade extractor (``functions/htmltext.html_to_text``:
+    real stdlib tokenizer — entity decoding, comment/script/style
+    stripping, quoted-attr '>' handling, block-element newlines — with
+    bs4 itself taking over when importable) through the same Arrow seam
+    as PDFs. ``fast=True`` keeps the old JVM regexp strip chain
+    (whole-stage codegen, zero Python hop) for throughput-first passes
+    that tolerate tag-regexp fidelity; ``extractor(bytes) -> str``
+    overrides either."""
     df = (
         spark.read.text(path, wholetext=True)
         .withColumn("path", F.input_file_name())
         .withColumnRenamed("value", "content")
     )
-    if extractor is not None:
-        return decode_binary_documents(
-            df.select("path", F.col("content").cast("binary").alias("payload")),
-            extractor,
+    if fast and extractor is None:
+        stripped = F.trim(
+            F.regexp_replace(F.regexp_replace("content", "<[^>]+>", " "), r"\s+", " ")
         )
-    stripped = F.trim(
-        F.regexp_replace(F.regexp_replace("content", "<[^>]+>", " "), r"\s+", " ")
+        return df.select("path", stripped.alias("content"))
+    return decode_binary_documents(
+        df.select("path", F.col("content").cast("binary").alias("payload")),
+        extractor or default_html_extractor,
     )
-    return df.select("path", stripped.alias("content"))
 
 
 @register_source("path")

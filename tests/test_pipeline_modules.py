@@ -91,15 +91,22 @@ def test_injected_pdf_decoder_through_arrow_seam(spark, tmp_path):
 
 
 def test_injected_html_extractor_and_default_strip(spark, tmp_path):
-    """HTML source: default = JVM regexp strip (no Python hop); a real
-    bs4-grade extractor injects through the identical Arrow seam."""
+    """HTML source: default since round 7 = the bs4-grade tokenizer
+    (block-element newlines, interior spacing preserved); fast=True
+    keeps the JVM regexp strip; a custom extractor injects through the
+    identical Arrow seam."""
     from debgpt7_8_with_vectordb_spark.sources.readers import read_html
 
     f = tmp_path / "page.html"
     f.write_text("<html><body><h1>Title</h1><p>Hello   world</p></body></html>")
 
     assert (
-        read_html(spark, str(f)).collect()[0]["content"] == "Title Hello world"
+        read_html(spark, str(f)).collect()[0]["content"]
+        == "Title\n\nHello   world"
+    )
+    assert (
+        read_html(spark, str(f), fast=True).collect()[0]["content"]
+        == "Title Hello world"
     )
 
     def fake_bs4(payload: bytes) -> str:
