@@ -1,0 +1,180 @@
+"""Real embedding-provider clients behind the ``provider_embed`` seam
+(round 7; VERDICT r6 #6 — closes E1/E2's last gap).
+
+The reference ships live OpenAI / Google embedding backends
+(embeddings.py:155-258: batch ``embeddings.create`` /
+``embed_content`` calls, L2-normalized, dimension-truncated). This
+module provides the same two providers as thin stdlib-HTTP clients
+shaped for Spark executors:
+
+- **No SDK dependency**: both public REST surfaces are a single JSON
+  POST; ``urllib.request`` covers it, and the ``transport`` seam makes
+  the client fully unit-testable offline (CI injects a fake transport;
+  the live path is env-gated and skipped without keys, the reference's
+  own test policy — test_retrieval.py:30-36).
+- **Per-executor singleton** (M5): ``provider_embed_fn`` returns a
+  picklable closure holding only the config tuple; the HTTP client is
+  built lazily on first call inside the executor and cached in a
+  module-global, so N tasks share one client and keys are read from the
+  executor's environment, never shipped through the closure.
+- **Bounded retry stays upstream**: these clients raise on transport /
+  HTTP errors and let ``provider_embed``'s bounded-backoff wrapper
+  (operators/embedding.py) own the retry policy — one retry loop, not
+  two nested ones (the reference's retry_ratelimit retries FOREVER;
+  SURVEY flagged that as a hung-stage hazard in Spark tasks).
+
+Normalization/truncation deliberately do NOT happen here: the engine's
+insert invariant applies them JVM-side after the UDF (provider_embed),
+so every backend — fake, OpenAI, Google — flows through the identical
+contract and the E1 oracle stays one expression.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+
+def _http_post_json(url: str, body: dict, headers: dict) -> dict:
+    """Minimal JSON POST; raises on non-2xx (urllib raises HTTPError)."""
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode("utf-8"),
+        headers={"Content-Type": "application/json", **headers},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+class OpenAIEmbeddingClient:
+    """POST {base}/embeddings with {input, model, dimensions} → data[i].
+    embedding (the public /v1/embeddings contract). ``transport`` is the
+    test seam."""
+
+    def __init__(
+        self,
+        model: str,
+        dim: int,
+        api_key: str | None = None,
+        base_url: str | None = None,
+        transport=None,
+    ) -> None:
+        self.model = model
+        self.dim = dim
+        self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
+        self.base_url = (
+            base_url
+            or os.environ.get("OPENAI_BASE_URL", "https://api.openai.com/v1")
+        ).rstrip("/")
+        self.transport = transport or _http_post_json
+        if not self.api_key:
+            raise ValueError(
+                "OpenAIEmbeddingClient needs an api key "
+                "(OPENAI_API_KEY or api_key=)"
+            )
+
+    def batch_embed(self, texts: list[str]) -> list[list[float]]:
+        resp = self.transport(
+            f"{self.base_url}/embeddings",
+            {"input": texts, "model": self.model, "dimensions": self.dim},
+            {"Authorization": f"Bearer {self.api_key}"},
+        )
+        rows = sorted(resp["data"], key=lambda d: d["index"])
+        if len(rows) != len(texts):
+            raise ValueError(
+                f"provider returned {len(rows)} embeddings for {len(texts)} inputs"
+            )
+        return [list(map(float, d["embedding"])) for d in rows]
+
+
+class GoogleEmbeddingClient:
+    """POST {base}/models/{model}:batchEmbedContents with one request
+    per text → embeddings[i].values (the public Generative Language
+    REST contract)."""
+
+    def __init__(
+        self,
+        model: str,
+        dim: int,
+        api_key: str | None = None,
+        base_url: str | None = None,
+        transport=None,
+    ) -> None:
+        self.model = model
+        self.dim = dim
+        self.api_key = api_key or os.environ.get("GOOGLE_API_KEY", "")
+        self.base_url = (
+            base_url
+            or os.environ.get(
+                "GOOGLE_API_BASE_URL",
+                "https://generativelanguage.googleapis.com/v1beta",
+            )
+        ).rstrip("/")
+        self.transport = transport or _http_post_json
+        if not self.api_key:
+            raise ValueError(
+                "GoogleEmbeddingClient needs an api key "
+                "(GOOGLE_API_KEY or api_key=)"
+            )
+
+    def batch_embed(self, texts: list[str]) -> list[list[float]]:
+        resp = self.transport(
+            f"{self.base_url}/models/{self.model}:batchEmbedContents"
+            f"?key={self.api_key}",
+            {
+                "requests": [
+                    {
+                        "model": f"models/{self.model}",
+                        "content": {"parts": [{"text": t}]},
+                        "outputDimensionality": self.dim,
+                    }
+                    for t in texts
+                ]
+            },
+            {},
+        )
+        rows = resp["embeddings"]
+        if len(rows) != len(texts):
+            raise ValueError(
+                f"provider returned {len(rows)} embeddings for {len(texts)} inputs"
+            )
+        return [list(map(float, e["values"])) for e in rows]
+
+
+_PROVIDERS = {
+    "openai": OpenAIEmbeddingClient,
+    "google": GoogleEmbeddingClient,
+}
+
+# per-executor client cache: one client per (provider, model, dim),
+# shared by every task on the executor (M5 singleton hygiene)
+_CLIENTS: dict[tuple, object] = {}
+
+
+def provider_embed_fn(provider: str, model: str, dim: int):
+    """Factory for the ``embed_fn`` slot of ``provider_embed``: returns
+    a picklable closure over the CONFIG ONLY — the client (and its api
+    key, read from the executor environment) materializes lazily on the
+    first batch inside each executor and is cached module-globally.
+
+    Usage::
+
+        fn = provider_embed_fn("openai", "text-embedding-3-small", 256)
+        vectors = provider_embed(docs, fn, dim=256)
+    """
+    if provider not in _PROVIDERS:
+        raise ValueError(
+            f"unknown provider {provider!r}; known: {sorted(_PROVIDERS)}"
+        )
+    cfg = (provider, model, dim)
+
+    def embed(texts: list[str]) -> list[list[float]]:
+        client = _CLIENTS.get(cfg)
+        if client is None:
+            client = _PROVIDERS[cfg[0]](model=cfg[1], dim=cfg[2])
+            _CLIENTS[cfg] = client
+        return client.batch_embed(texts)
+
+    return embed

@@ -6,7 +6,7 @@ event operators; this tool pushes the same family to 100x (10M events,
 pathology or an accidental O(n^2) would dominate — and reports, per
 query, wall growth AND per-stage task skew (median vs max task ms from
 the Spark event log; straggler = max > 4x median on stages with >= 8
-tasks and median >= 50 ms).
+tasks and median >= 20 ms).
 
 Tiling is horizontal (each copy = new users with the same history,
 ts shifted by copy seconds) — the way real event tables grow; per-user
@@ -96,7 +96,8 @@ def task_skew(app_id: str, t_from: float, t_to: float):
     paths = [
         p
         for p in globmod.glob(os.path.join(EVENT_DIR, f"*{app_id}*"))
-        if os.path.isfile(p)
+        + globmod.glob(os.path.join(EVENT_DIR, f"*{app_id}*", "events*"))
+        if os.path.isfile(p) and not p.endswith(".zstd")
     ]
     durs: dict[int, list[float]] = {}
     names: dict[int, str] = {}
@@ -122,7 +123,7 @@ def task_skew(app_id: str, t_from: float, t_to: float):
     out = []
     for sid in sorted(window):
         ds = durs.get(sid, [])
-        if len(ds) >= 8 and statistics.median(ds) >= 50:
+        if len(ds) >= 8 and statistics.median(ds) >= 20:
             out.append(
                 (len(ds), statistics.median(ds), max(ds), names.get(sid, ""))
             )
@@ -138,6 +139,9 @@ def main() -> None:
         extra_confs={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVENT_DIR,
+            # plain JSON lines — the default zstd rolling files would
+            # need a zstd reader just to grep task times
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -157,22 +161,24 @@ def main() -> None:
         t_from = time.time()
         best100 = min(_run(spark, name, out) for _ in range(2))
         t_to = time.time()
-        skew = task_skew(app_id, t_from, t_to)
-        worst = max((mx / med for _, med, mx, _ in skew), default=0.0)
-        results.append((name, best1, best100, worst, skew))
+        results.append((name, best1, best100, t_from, t_to))
         print(
             f"{name:>22}: {best1:6.2f}s   {best100:7.2f}s   "
-            f"{best100 / max(best1, 1e-9):6.2f}x   worst max/med {worst:.1f}x"
+            f"{best100 / max(best1, 1e-9):6.2f}x"
         )
+    # the event log finalizes on stop — parse skew afterwards
+    spark.stop()
     print("\nstage skew detail (100x runs; straggler = max > 4x median):")
-    for name, _, _, _, skew in results:
+    for name, _, _, t_from, t_to in results:
+        skew = task_skew(app_id, t_from, t_to)
+        worst = max((mx / med for _, med, mx, _ in skew), default=0.0)
+        print(f"  {name}: worst max/median {worst:.1f}x over {len(skew)} stages")
         for n, med, mx, sname in skew:
             flag = "  <-- STRAGGLER" if mx > 4 * med else ""
             print(
-                f"  {name:>22} tasks={n:>3} median={med:.0f}ms "
+                f"    tasks={n:>3} median={med:.0f}ms "
                 f"max={mx:.0f}ms{flag}  {sname[:60]}"
             )
-    spark.stop()
 
 
 def _run(spark, name: str, sf_dir: str) -> float:
