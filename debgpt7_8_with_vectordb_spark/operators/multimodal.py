@@ -10,11 +10,11 @@ Codec status (round 7): HEADER-METADATA decode is REAL for PNG / GIF /
 BMP / PNM / WAV / MP4 (zero-dependency struct parsers, golden-byte
 pinned), and PIXEL/SAMPLE decode is now REAL for the stdlib-decodable
 subset — PNG 8-bit (zlib inflate + all five scanline filters), BMP
-24/32bpp uncompressed, PNM P2/P3/P5/P6, WAV PCM 8/16-bit
-(``decode_image_pixels`` / ``decode_wav_samples``). Still honestly
-stubbed, because they genuinely need codec libraries absent in this
-container:
-- ``decode_image_stub``: GIF LZW pixels and every lossy codec
+24/32bpp uncompressed, PNM P2/P3/P5/P6, GIF (from-scratch LZW +
+palette + interlace), WAV PCM 8/16-bit (``decode_image_pixels`` /
+``decode_wav_samples``). Still honestly stubbed, because they
+genuinely need codec libraries absent in this container:
+- ``decode_image_stub``: lossy codecs only
   (JPEG / MP3 / H.264 frame decode — PIL/cv2/ffmpeg territory);
 - ``fake_decode_metadata``: the deterministic md5-derived fake kept
   for the oracled plumbing query (testdata payloads are text bytes,
@@ -192,16 +192,16 @@ def attach_binary_payload(
 
 
 def decode_image_stub(payload: bytes) -> object:
-    """Compressed-codec decoder entry point. Since round 7 the
-    stdlib-decodable subset (PNG 8-bit, BMP 24/32bpp, PNM, WAV PCM) has
-    a REAL default in ``decode_image_pixels`` / ``decode_wav_samples``;
-    this stub now covers only formats that genuinely require codec
-    libraries absent in this container: GIF (LZW), JPEG, and all lossy
-    audio/video frame decode."""
+    """Lossy-codec decoder entry point. Since round 7 the
+    stdlib-decodable subset (PNG 8-bit, BMP 24/32bpp, PNM, GIF incl.
+    LZW+interlace, WAV PCM) has a REAL default in
+    ``decode_image_pixels`` / ``decode_wav_samples``; this stub now
+    covers only formats that genuinely require codec libraries absent
+    in this container: JPEG and all lossy audio/video frame decode."""
     raise NotImplementedError(
-        "compressed-codec decode (GIF/JPEG/lossy AV) requires PIL/cv2/ffmpeg; "
-        "wire the real codec here in production — uncompressed formats are "
-        "handled by decode_image_pixels/decode_wav_samples"
+        "lossy-codec decode (JPEG/MP3/H.264) requires PIL/cv2/ffmpeg; wire "
+        "the real codec here in production — lossless formats are handled "
+        "by decode_image_pixels/decode_wav_samples"
     )
 
 
@@ -754,6 +754,8 @@ def decode_image_pixels(
             return _decode_bmp_pixels(payload)
         if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
             return _decode_pnm_pixels(payload)
+        if len(payload) >= 14 and payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif_pixels(payload)
     except Exception:
         return None
     return None
@@ -952,25 +954,188 @@ def synthesize_test_media_patterned(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Patterned-pixel writer half of the pixel round-trip: rotates
-    png/bmp/ppm on the id (GIF sits out — LZW pixels stay stubbed) with
-    dimensions and pattern seed by fixed arithmetic the oracle replays."""
-    fmts = ("png", "bmp", "ppm")
+    png/bmp/ppm/gif on the id with dimensions and pattern seed by fixed
+    arithmetic the oracle replays. The GIF palette is constructed so
+    pal[(x+7y+seed)%256][c] == _pattern_px(x,y,c,seed) — one pattern
+    formula covers all four containers, LZW and all."""
+    fmts = ("png", "bmp", "ppm", "gif")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids_int = [int(i) for i in pdf[id_col]]
-            payloads = [
-                encode_test_image_patterned(
-                    fmts[i % 3], 1 + i % 32, 1 + (i * 7) % 32, i % 251
+            payloads = []
+            for i in ids_int:
+                fmt, w, h, seed = fmts[i % 4], 1 + i % 32, 1 + (i * 7) % 32, i % 251
+                payloads.append(
+                    encode_test_gif(w, h, seed)
+                    if fmt == "gif"
+                    else encode_test_image_patterned(fmt, w, h, seed)
                 )
-                for i in ids_int
-            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "payload": payloads,
-                    "media_type": ["image/" + fmts[i % 3] for i in ids_int],
+                    "media_type": ["image/" + fmts[i % 4] for i in ids_int],
                 }
             )
 
     return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _lzw_decode(data: bytes, min_code: int, expected: int) -> bytes | None:
+    """GIF-variant LZW (GIF89a spec appendix F): LSB-first variable-width
+    codes, clear/EOI codes, 12-bit cap. Returns ``expected`` index bytes
+    or None on a malformed stream."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    code_size = min_code + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos // 8
+        window = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (window >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            return None
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_pixels(payload: bytes):
+    """GIF87a/89a first-frame pixel decode: logical-screen + palette
+    parse, extension-block skip, image descriptor, LZW index stream,
+    palette mapping to RGB, interlace reorder. Pure stdlib — round 7
+    removes GIF from the compressed-codec stub list."""
+    w, h = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1) * 3
+        gct = payload[pos : pos + n]
+        pos += n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            return None
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:  # not an image descriptor: corrupt
+            return None
+        ix, iy, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table wins
+            n = 2 ** ((iflags & 0x07) + 1) * 3
+            pal = payload[pos : pos + n]
+            pos += n
+        if pal is None or iw == 0 or ih == 0:
+            return None
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos]:
+            size = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
+        if idx is None:
+            return None
+        if iflags & 0x40:  # interlaced: reassemble the four passes
+            rows = [b""] * ih
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, ih, step):
+                    rows[y] = idx[src * iw : (src + 1) * iw]
+                    src += 1
+            idx = b"".join(rows)
+        n_colors = len(pal) // 3
+        rgb = bytearray()
+        for i in idx:
+            if i >= n_colors:
+                return None
+            rgb += pal[3 * i : 3 * i + 3]
+        # first frame only; report the FRAME's dims (a sub-frame GIF is
+        # an animation optimization — the curation-relevant pixels)
+        return "gif", int(iw), int(ih), 3, bytes(rgb)
+    return None
+
+
+def encode_test_gif(width: int, height: int, seed: int) -> bytes:
+    """Patterned GIF writer (spec-forward, independent of the decoder):
+    256-entry palette with pal[i] = the pattern channels for gray level
+    i, image indices = (x + 7*y + seed) % 256, LZW-coded with the
+    classic 'uncompressed GIF' technique — a clear code before every
+    run of literal codes so the 9-bit code width never grows. Exercises
+    the decoder's clear-code reset path by construction."""
+    lsd = struct.pack("<HH", width, height) + bytes((0xF7, 0, 0))  # 256-color GCT
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes((i, (i + 11) % 256, (i + 22) % 256))
+    idesc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    indices = [
+        (x + 7 * y + seed) % 256 for y in range(height) for x in range(width)
+    ]
+    # 9-bit codes, LSB-first: clear(256) then <=254 literals, ..., eoi(257)
+    bits = bitpos = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal bits, bitpos
+        bits |= code << bitpos
+        bitpos += 9
+        while bitpos >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            bitpos -= 8
+
+    emit(256)
+    for j, i in enumerate(indices):
+        if j and j % 254 == 0:
+            emit(256)  # keep the table empty enough to stay at 9 bits
+        emit(i)
+    emit(257)
+    if bitpos:
+        out.append(bits & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks += bytes((len(chunk),)) + chunk
+    return (
+        b"GIF89a" + lsd + bytes(pal) + idesc + b"\x08" + bytes(blocks)
+        + b"\x00" + b"\x3b"
+    )

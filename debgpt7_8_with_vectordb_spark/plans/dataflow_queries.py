@@ -501,7 +501,8 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH p AS (
   SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'p6' END AS fmt,
+         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                         WHEN 2 THEN 'p6' ELSE 'gif' END AS fmt,
          (1 + doc_id % 32) AS w, (1 + (doc_id * 7) % 32) AS h,
          (doc_id % 251) AS seed
   FROM documents
@@ -528,7 +529,9 @@ def image_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode the actual pixel bytes back through the zero-dependency
     decoder (operators/multimodal.py decode_image_pixels: zlib inflate
     + Sub/Up/Average/Paeth unfilter for PNG, orientation + channel-
-    order normalization for BMP). The SQL oracle predicts count / sum /
+    order normalization for BMP, from-scratch LZW + palette mapping
+    for GIF — the palette is constructed so the mapped channels equal
+    the one shared pattern formula). The SQL oracle predicts count / sum /
     first / last of the normalized RGB stream from the shared pattern
     arithmetic without touching bytes — first_px/last_px pin top-down
     RGB order, so a decoder that skips BMP's row flip or BGR swap

@@ -183,7 +183,7 @@ def test_pnm_ascii_variants():
 
 def test_pixel_decode_malformed_returns_none():
     assert decode_image_pixels(b"") is None
-    assert decode_image_pixels(b"GIF89a" + b"\x00" * 20) is None  # LZW: stubbed
+    assert decode_image_pixels(b"GIF89a" + b"\x00" * 20) is None  # no image block
     # truncated PNG IDAT
     blob = encode_test_image_patterned("png", 4, 4, seed=1)
     assert decode_image_pixels(blob[: len(blob) - 20]) is None
@@ -230,11 +230,11 @@ def test_pixel_stats_spark_seam(spark):
     media = synthesize_test_media_patterned(ids)
     rows = {r["doc_id"]: r for r in decode_image_pixel_stats(media).collect()}
     assert len(rows) == 12
-    fmts = ("png", "bmp", "ppm")
+    fmts = ("png", "bmp", "ppm", "gif")
     for i in range(12):
         w, h, seed = 1 + i % 32, 1 + (i * 7) % 32, i % 251
         r = rows[i]
-        assert r["fmt"] == ("p6" if fmts[i % 3] == "ppm" else fmts[i % 3])
+        assert r["fmt"] == ("p6" if fmts[i % 4] == "ppm" else fmts[i % 4])
         assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
         expect_sum = sum(
             _pattern_px(x, y, c, seed)
@@ -252,3 +252,116 @@ def test_pixel_stats_null_row_for_unsupported(spark):
     )
     r = decode_image_pixel_stats(media).collect()[0]
     assert r["fmt"] is None and r["pixel_sum"] is None
+
+
+# ---------------------------------------------------------------------------
+# GIF pixels (round 7 follow-up: LZW implemented from the spec, GIF
+# leaves the stub list — only lossy codecs remain stubbed)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_gif_1x1_pixels():
+    import base64
+
+    golden = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert decode_image_pixels(golden) == ("gif", 1, 1, 3, b"\x00\x00\x00")
+
+
+@pytest.mark.parametrize("wh_seed", [(1, 1, 0), (3, 2, 5), (32, 17, 100), (300, 3, 7)])
+def test_gif_patterned_roundtrip(wh_seed):
+    """Writer emits clear-code-reset 9-bit LZW (the 'uncompressed GIF'
+    technique) — decoding it exercises the table-reset path; indices map
+    through a 256-entry patterned palette."""
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        encode_test_gif,
+    )
+
+    w, h, seed = wh_seed
+    got = decode_image_pixels(encode_test_gif(w, h, seed))
+    assert got is not None
+    fmt, gw, gh, ch, px = got
+    assert (fmt, gw, gh, ch) == ("gif", w, h, 3)
+    expect = bytearray()
+    for y in range(h):
+        for x in range(w):
+            i = (x + 7 * y + seed) % 256
+            expect += bytes((i, (i + 11) % 256, (i + 22) % 256))
+    assert px == bytes(expect)
+
+
+def test_gif_interlaced_and_lzw_growth():
+    """Spec-built fixtures for the paths the simple writer skips: a
+    real growing-dictionary LZW stream (written by a from-spec ENCODER
+    with dictionary growth, independent of the decoder) and the Adam-
+    style 4-pass interlace reorder."""
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        _GIF_INTERLACE_PASSES,
+        _lzw_decode,
+    )
+
+    # forward LZW encoder (textbook, dictionary grows; 2-bit min code)
+    def lzw_encode(indices, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, code_size = eoi + 1, min_code + 1
+        codes = [(clear, min_code + 1)]
+        cur_size = min_code + 1
+        w = b""
+        for k in indices:
+            wk = w + bytes([k])
+            if wk in table:
+                w = wk
+                continue
+            codes.append((table[w], cur_size))
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << cur_size) and cur_size < 12:
+                # GIF writers bump width when next emitted code would
+                # overflow; mirror the decoder's growth rule
+                pass
+            if next_code > (1 << cur_size) and cur_size < 12:
+                cur_size += 1
+            w = bytes([k])
+        if w:
+            codes.append((table[w], cur_size))
+        codes.append((eoi, cur_size))
+        bits = bitpos = 0
+        out = bytearray()
+        for code, size in codes:
+            bits |= code << bitpos
+            bitpos += size
+            while bitpos >= 8:
+                out.append(bits & 0xFF)
+                bits >>= 8
+                bitpos -= 8
+        if bitpos:
+            out.append(bits & 0xFF)
+        return bytes(out)
+
+    indices = [0, 1, 0, 1, 0, 1, 2, 3, 2, 3, 2, 3, 0, 0, 1, 1] * 4
+    data = lzw_encode(indices, 2)
+    assert _lzw_decode(data, 2, len(indices)) == bytes(indices)
+
+    # interlace pass order covers every row exactly once
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, 16, step))
+    assert sorted(rows) == list(range(16)) and len(set(rows)) == 16
+
+
+def test_gif_malformed_returns_none():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        encode_test_gif,
+    )
+
+    good = encode_test_gif(8, 8, 3)
+    assert decode_image_pixels(good[:20]) is None  # truncated mid-palette
+    assert decode_image_pixels(good[:-30]) is None  # truncated LZW
+    # pixel-less GIF (the metadata-only writer) has no image descriptor
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        encode_test_image,
+    )
+
+    assert decode_image_pixels(encode_test_image("gif", 2, 2)) is None
