@@ -647,7 +647,7 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes | None
     return bytes(out)
 
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
 def _decode_png_pixels(payload: bytes):
@@ -659,6 +659,7 @@ def _decode_png_pixels(payload: bytes):
         return None  # supported subset: 8-bit, non-interlaced
     channels = _PNG_CHANNELS[ctype]
     idat = bytearray()
+    plte = None
     pos = 8
     n = len(payload)
     while pos + 8 <= n:
@@ -666,6 +667,8 @@ def _decode_png_pixels(payload: bytes):
         tag = payload[pos + 4 : pos + 8]
         if tag == b"IDAT":
             idat += payload[pos + 8 : pos + 8 + size]
+        elif tag == b"PLTE":
+            plte = payload[pos + 8 : pos + 8 + size]
         elif tag == b"IEND":
             break
         pos += 12 + size  # len + tag + body + crc
@@ -676,6 +679,14 @@ def _decode_png_pixels(payload: bytes):
     pixels = _png_unfilter(raw, int(w), int(h), channels)
     if pixels is None:
         return None
+    if ctype == 3:  # paletted: indices -> PLTE RGB triples (spec §11.2.3)
+        if plte is None or len(plte) % 3:
+            return None
+        n_colors = len(plte) // 3
+        if any(i >= n_colors for i in pixels):
+            return None
+        pixels = b"".join(plte[3 * i : 3 * i + 3] for i in pixels)
+        return "png", int(w), int(h), 3, pixels
     return "png", int(w), int(h), channels, pixels
 
 
@@ -1138,4 +1149,165 @@ def encode_test_gif(width: int, height: int, seed: int) -> bytes:
     return (
         b"GIF89a" + lsd + bytes(pal) + idesc + b"\x08" + bytes(blocks)
         + b"\x00" + b"\x3b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction & resize — the remaining verbs of the multimodal
+# mandate (decode / feature-extract / resize / frame-sample), now running
+# on REAL decoded pixels/samples instead of payload hashes.
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(
+    pixels: bytes, w: int, h: int, ch: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a row-major interleaved pixel
+    buffer. src index = floor(dst * src_dim / dst_dim) — the standard
+    half-open mapping, exactly reproducible in SQL (integer division),
+    which is what makes a resize stage oracle-able."""
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("resize target must be positive")
+    out = bytearray()
+    for y in range(new_h):
+        sy = y * h // new_h
+        row = sy * w * ch
+        for x in range(new_w):
+            sx = x * w // new_w
+            out += pixels[row + sx * ch : row + (sx + 1) * ch]
+    return bytes(out)
+
+
+def image_features(
+    pixels: bytes, w: int, h: int, ch: int
+) -> tuple[float, float, int, int]:
+    """Curation-grade pixel statistics: mean brightness, contrast
+    (population std of the byte stream), min, max. Cheap signals a
+    filter pass runs BEFORE any model sees the image (all-black /
+    all-white / low-contrast screening)."""
+    n = len(pixels)
+    if n == 0:
+        return 0.0, 0.0, 0, 0
+    s = sum(pixels)
+    mean = s / n
+    var = sum((b - mean) ** 2 for b in pixels) / n
+    return mean, var**0.5, min(pixels), max(pixels)
+
+
+def audio_features(
+    samples: list[int], channels: int, rate: int, bits: int
+) -> tuple[float, float, int]:
+    """PCM statistics: duration seconds, RMS amplitude (normalized to
+    full scale), peak absolute sample — the clipping / silence
+    screening signals."""
+    if not samples or channels <= 0 or rate <= 0:
+        return 0.0, 0.0, 0
+    n_frames = len(samples) // channels
+    full = float((1 << (bits - 1)) if bits == 16 else 128)
+    if bits == 8:  # unsigned: center first
+        centered = [s - 128 for s in samples]
+    else:
+        centered = samples
+    rms = (sum(s * s for s in centered) / len(centered)) ** 0.5 / full
+    return n_frames / rate, rms, max(abs(s) for s in centered)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, channels int, "
+    "brightness double, contrast double, px_min int, px_max int"
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode→feature stage: real pixel decode feeding
+    ``image_features``; NULL row for undecodable payloads. numpy
+    vectorizes the per-image math (the Python loop is per image, not
+    per pixel)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                t = decode_image_pixels(
+                    bytes(payload) if payload is not None else b""
+                )
+                if t is None:
+                    rows.append((doc_id, None, None, None, None, None, None, None, None))
+                    continue
+                fmt, w, h, ch, px = t
+                arr = np.frombuffer(px, dtype=np.uint8)
+                rows.append(
+                    (
+                        doc_id, fmt, w, h, ch,
+                        float(arr.mean()) if arr.size else 0.0,
+                        float(arr.std()) if arr.size else 0.0,
+                        int(arr.min()) if arr.size else 0,
+                        int(arr.max()) if arr.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height", "channels",
+                    "brightness", "contrast", "px_min", "px_max",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32", "channels": "Int32",
+                    "px_min": "Int32", "px_max": "Int32",
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "n_values long, pixel_sum long, first_px int, last_px int"
+)
+
+
+def resize_image_stats(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """decode → nearest-neighbor resize → integer stats, one Arrow
+    stage. The thumbnail pass of a vision-data pipeline: every image
+    lands at (new_w, new_h) regardless of source dims; stats instead of
+    raw bytes keep the stage oracle-able and the shuffle tiny."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                t = decode_image_pixels(
+                    bytes(payload) if payload is not None else b""
+                )
+                if t is None:
+                    rows.append((doc_id, None, None, None, None, None, None, None))
+                    continue
+                fmt, w, h, ch, px = t
+                rz = resize_nearest(px, w, h, ch, new_w, new_h)
+                rows.append(
+                    (
+                        doc_id, fmt, new_w, new_h,
+                        len(rz), sum(rz), rz[0], rz[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height",
+                    "n_values", "pixel_sum", "first_px", "last_px",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "n_values": "Int64", "pixel_sum": "Int64",
+                    "first_px": "Int32", "last_px": "Int32",
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
     )

@@ -130,8 +130,9 @@ def test_png_gray_and_alpha_color_types():
 
 
 def test_png_unsupported_subsets_return_none():
-    """16-bit depth, paletted, interlaced: outside the stdlib subset —
-    NULL, not garbage, not an exception."""
+    """16-bit depth and interlaced: outside the stdlib subset — NULL,
+    not garbage, not an exception. (Paletted ctype 3 is supported when
+    a PLTE chunk exists; header-only is malformed.)"""
     def png_hdr(depth, ctype, interlace):
         ihdr = struct.pack(">II", 2, 2) + bytes((depth, ctype, 0, 0, interlace))
         return (
@@ -140,7 +141,7 @@ def test_png_unsupported_subsets_return_none():
         )
 
     assert decode_image_pixels(png_hdr(16, 2, 0)) is None
-    assert decode_image_pixels(png_hdr(8, 3, 0)) is None  # paletted
+    assert decode_image_pixels(png_hdr(8, 3, 0)) is None  # paletted, no PLTE
     assert decode_image_pixels(png_hdr(8, 2, 1)) is None  # Adam7
 
 
@@ -365,3 +366,99 @@ def test_gif_malformed_returns_none():
     )
 
     assert decode_image_pixels(encode_test_image("gif", 2, 2)) is None
+
+
+# ---------------------------------------------------------------------------
+# PNG paletted (ctype 3), feature extraction, resize
+# ---------------------------------------------------------------------------
+
+
+def test_png_paletted_decode():
+    """Spec-built ctype-3 PNG: 8-bit indices through a PLTE chunk."""
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II", 2, 2) + bytes((8, 3, 0, 0, 0))
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))  # R, G, B palette
+    raw = b"\x00\x00\x01" + b"\x00\x02\x00"  # rows: [R,G], [B,R]
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert decode_image_pixels(blob) == (
+        "png", 2, 2, 3,
+        bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0)),
+    )
+    # index past the palette end -> malformed, None
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x07\x00" * 2)) + chunk(b"IEND", b"")
+    )
+    assert decode_image_pixels(bad) is None
+
+
+def test_resize_nearest_mapping():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import resize_nearest
+
+    # 4x1 gray -> 2x1: picks src x = 0,2
+    assert resize_nearest(bytes((10, 20, 30, 40)), 4, 1, 1, 2, 1) == bytes((10, 30))
+    # 1x1 -> 3x3 upsample replicates
+    assert resize_nearest(b"\x07", 1, 1, 1, 3, 3) == b"\x07" * 9
+    # RGB pixels move as units
+    px = bytes((1, 2, 3, 4, 5, 6))  # 2x1 RGB
+    assert resize_nearest(px, 2, 1, 3, 1, 1) == bytes((1, 2, 3))
+
+
+def test_image_and_audio_features():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+    )
+
+    mean, std, lo, hi = image_features(bytes((0, 255)), 2, 1, 1)
+    assert (round(mean, 1), lo, hi) == (127.5, 0, 255)
+    assert round(std, 1) == 127.5
+
+    dur, rms, peak = audio_features([0, 16384, -16384, 0], 2, 8000, 16)
+    assert dur == 2 / 8000
+    assert round(rms, 4) == round((2 * 16384**2 / 4) ** 0.5 / 32768, 4)
+    assert peak == 16384
+    # 8-bit unsigned centers at 128
+    dur8, rms8, peak8 = audio_features([128, 128], 1, 100, 8)
+    assert (rms8, peak8) == (0.0, 0)
+
+
+def test_feature_and_resize_spark_stages(spark):
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        extract_image_features,
+        resize_image_stats,
+    )
+
+    ids = spark.range(8).selectExpr("id AS doc_id")
+    media = synthesize_test_media_patterned(ids)
+    feats = {r["doc_id"]: r for r in extract_image_features(media).collect()}
+    assert len(feats) == 8
+    for i in range(8):
+        r = feats[i]
+        assert r["fmt"] in ("png", "bmp", "p6", "gif")
+        assert 0 <= r["brightness"] <= 255
+        assert r["px_min"] <= r["px_max"]
+
+    rz = {r["doc_id"]: r for r in resize_image_stats(media, 4, 4).collect()}
+    for i in range(8):
+        r = rz[i]
+        assert (r["width"], r["height"], r["n_values"]) == (4, 4, 48)
+        # corner pixels survive any resize: first_px is always the
+        # source (0,0) channel 0 = seed
+        assert r["first_px"] == i % 251
+
+    # undecodable payload -> NULL feature row, task alive
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"not an image"), "application/octet-stream")],
+        "doc_id long, payload binary, media_type string",
+    )
+    assert extract_image_features(junk).collect()[0]["fmt"] is None
+    assert resize_image_stats(junk, 2, 2).collect()[0]["pixel_sum"] is None
