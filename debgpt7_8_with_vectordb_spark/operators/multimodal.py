@@ -60,7 +60,7 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
 
     This is the metadata half a curation pipeline actually runs at
     scale (filter by dimensions / aspect ratio BEFORE paying pixel
-    decode); pixel decode stays behind ``decode_image_stub``."""
+    decode); the pixel half lives in ``decode_image_pixels``."""
     if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         if payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
@@ -755,9 +755,10 @@ def decode_image_pixels(
     """REAL pixel decode, zero dependencies, for the stdlib-decodable
     subset (see section comment). Returns ``(fmt, width, height,
     channels, pixels)`` with pixels row-major TOP-DOWN, channel-
-    interleaved RGB(A)/gray order — BMP's bottom-up BGR rows and PNG's
-    filtered scanlines are both normalized — or None for formats
-    outside the subset (GIF/JPEG/...) or malformed bytes."""
+    interleaved RGB(A)/gray order — BMP's bottom-up BGR rows, PNG's
+    filtered scanlines, GIF's LZW+palette+interlace and paletted PNG
+    are all normalized — or None for formats outside the subset
+    (lossy codecs: JPEG/...) or malformed bytes."""
     try:
         if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
             return _decode_png_pixels(payload)
