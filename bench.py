@@ -120,6 +120,8 @@ HEADLINE = [
     "audio_metadata",
     "video_metadata",
     "frame_sample",
+    "image_pixels",
+    "ingest_messages",
     "source_router",
     "cached_fetch",
     "paginated_fetch",

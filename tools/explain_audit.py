@@ -32,6 +32,8 @@ FULL_SCAN_OK = {
     "vector_normalize",
     "hash_embedding",
     "provider_embedding",
+    "image_pixels",  # stamps/decodes EVERY row by design
+    "ingest_messages",
     "text_stats",
     "quality_score",
     "lang_id",
