@@ -256,3 +256,119 @@ def recover_compaction(path: str) -> list[str]:
         os.remove(marker)
         recovered.append(os.path.relpath(root, path))
     return sorted(recovered)
+
+
+def rewrite_corpus_inplace(
+    spark, path: str, transform, diff_report: bool = True
+) -> dict:
+    """S23's second half — the in-place sink (reference cli.py:340-373
+    rewrites one file with the transformed content and prints a diff).
+    At corpus scale the same verb is: apply a row-wise ``transform(df)
+    -> df`` to every partition of a parquet corpus and atomically
+    replace its shards, crash-safe, with a changed-row report standing
+    in for the diff.
+
+    Mechanics reuse the compaction journal verbatim: per partition
+    directory, the transformed rewrite fully lands in a dot-prefixed
+    tmp dir, a ``COMPACT_MARKER`` journals {tmp, old, new}, new shards
+    move in, old shards are deleted, marker cleared. A crash anywhere
+    is rolled FORWARD by ``recover_compaction`` (the journal only
+    exists once the new data is complete on disk), so the established
+    recovery drill — including the vanished-tmp abort — covers this
+    sink with zero new protocol. Reading each partition DIRECTORY means
+    partition-key columns aren't in the frame, so a row-wise transform
+    cannot corrupt the dir-encoded routing — the constraint is
+    structural, not a convention.
+
+    ``diff_report=True`` counts changed rows per partition
+    (written-new ``exceptAll`` old, certified from the files on disk
+    BEFORE the swap) — the reference's unified-diff side effect
+    re-expressed as the aggregate a 100 TB run can afford. Returns the
+    refreshed manifest + ``rewritten`` dirs + ``n_changed`` total."""
+    import shutil
+
+    man = read_manifest(path)
+    recovered = recover_compaction(path)
+
+    by_dir: dict[str, list[str]] = {}
+    for rel in _list_shards(path):
+        by_dir.setdefault(os.path.dirname(rel), []).append(
+            os.path.join(path, rel)
+        )
+
+    rewritten = []
+    n_changed = 0
+    for d, files in sorted(by_dir.items()):
+        old = sorted(files)
+        src = os.path.join(path, d) if d else path
+        tmp = os.path.join(
+            os.path.dirname(src),
+            f".rewrite-tmp-{os.path.basename(src) or 'root'}",
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        df_old = spark.read.parquet(src)
+        df_new = transform(df_old)
+        if [f.name for f in df_new.schema.fields] != [
+            f.name for f in df_old.schema.fields
+        ]:
+            raise ValueError(
+                "in-place rewrite must preserve the column set; got "
+                f"{df_new.columns} vs {df_old.columns}"
+            )
+        df_new.write.mode("overwrite").parquet(tmp)
+        if diff_report:
+            n_changed += (
+                spark.read.parquet(tmp).exceptAll(df_old).count()
+            )
+        new = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        marker = os.path.join(src, COMPACT_MARKER)
+        mtmp = marker + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(
+                {"tmp": tmp, "old": [os.path.basename(f) for f in old],
+                 "new": new},
+                fh,
+            )
+        os.replace(mtmp, marker)
+        for f in new:
+            os.replace(os.path.join(tmp, f), os.path.join(src, f))
+        for f in old:
+            os.remove(f)
+        shutil.rmtree(tmp)
+        os.remove(marker)
+        rewritten.append(d)
+
+    manifest = _write_manifest(spark, path, man["partition_by"])
+    manifest["rewritten"] = rewritten
+    manifest["recovered"] = recovered
+    manifest["n_changed"] = n_changed
+    return manifest
+
+
+def rewrite_file_inplace(path: str, new_content: str) -> str:
+    """The reference's literal S23/F16 behavior for a single text file
+    (cli.py:340-362): replace the file's content and return the unified
+    diff of the change. Differences from the reference, deliberate:
+    the write is ATOMIC (tmp + os.replace — a crash never leaves a
+    half-written file) and the diff is returned, not printed. Keeps
+    the reference's trailing-newline normalization (content not ending
+    in a newline gets one on disk; the diff compares logical lines)."""
+    import difflib
+
+    with open(path, "rt") as fp:
+        original = fp.read()
+    diff = "".join(
+        difflib.unified_diff(
+            original.splitlines(keepends=True),
+            new_content.splitlines(keepends=True),
+            "Original",
+            "Edited",
+        )
+    )
+    tmp = path + ".inplace-tmp"
+    with open(tmp, "wt") as fp:
+        fp.write(
+            new_content if new_content.endswith("\n") else new_content + "\n"
+        )
+    os.replace(tmp, path)
+    return diff

@@ -321,3 +321,136 @@ def test_compact_sees_out_of_band_shards(spark, sf_dir, tmp_path):
     assert man["n_rows"] == expect
     assert spark.read.parquet(out).count() == expect
     assert f"{part}" in man["compacted"]
+
+
+# ---------------------------------------------------------------------------
+# round 7: in-place rewrite sink (S23 second half) + F16 unified diff
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_corpus_inplace_roundtrip(spark, sf_dir, tmp_path):
+    """Transform every row in place; rows changed where the transform
+    bites, manifest recounted, corpus readable with the same schema."""
+    import pyspark.sql.functions as F
+
+    from debgpt7_8_with_vectordb_spark.sinks import (
+        read_manifest,
+        rewrite_corpus_inplace,
+        write_corpus,
+    )
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, partition_by=("lang",), max_records_per_file=7)
+    before = spark.read.parquet(out)
+    n_before = before.count()
+    n_upper = before.filter(F.col("text") != F.upper("text")).count()
+
+    def upcase(df):
+        return df.withColumn("text", F.upper("text"))
+
+    man = rewrite_corpus_inplace(spark, out, upcase)
+    assert man["n_changed"] == n_upper
+    assert sorted(man["rewritten"]) == sorted(
+        set(os.path.dirname(s) for s in man["shards"])
+    )
+    after = spark.read.parquet(out)
+    assert after.count() == n_before == man["n_rows"]
+    assert after.filter(F.col("text") != F.upper("text")).count() == 0
+    assert after.columns == before.columns
+    assert read_manifest(out)["n_rows"] == n_before
+
+    # idempotent second pass: nothing left to change
+    man2 = rewrite_corpus_inplace(spark, out, upcase)
+    assert man2["n_changed"] == 0
+
+
+def test_rewrite_corpus_inplace_schema_guard(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from debgpt7_8_with_vectordb_spark.sinks import (
+        rewrite_corpus_inplace,
+        write_corpus,
+    )
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, partition_by=("lang",))
+    with pytest.raises(ValueError, match="preserve the column set"):
+        rewrite_corpus_inplace(
+            spark, out, lambda df: df.withColumn("extra", F.lit(1))
+        )
+    # corpus untouched after the rejected transform
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_rewrite_corpus_inplace_crash_recovers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A crash mid-swap leaves the shared COMPACT_MARKER journal;
+    recover_compaction rolls the rewrite FORWARD (new content wins —
+    the journal only exists once the rewrite fully landed in tmp)."""
+    import pyspark.sql.functions as F
+
+    from debgpt7_8_with_vectordb_spark.sinks import (
+        COMPACT_MARKER,
+        recover_compaction,
+        rewrite_corpus_inplace,
+        write_corpus,
+    )
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, partition_by=("lang",), max_records_per_file=5)
+    n_before = spark.read.parquet(out).count()
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crash_mid_swap(a, b):
+        calls["n"] += 1
+        if calls["n"] >= 3:  # marker commits per partition; die mid-move
+            raise OSError("simulated crash in rewrite swap")
+        real_replace(a, b)
+
+    monkeypatch.setattr(os, "replace", crash_mid_swap)
+    with pytest.raises(OSError, match="simulated crash"):
+        rewrite_corpus_inplace(
+            spark, out, lambda df: df.withColumn("text", F.upper("text"))
+        )
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    markers = [
+        os.path.join(r, COMPACT_MARKER)
+        for r, _, fs in os.walk(out)
+        if COMPACT_MARKER in fs
+    ]
+    assert len(markers) == 1
+    recover_compaction(out)
+    after = spark.read.parquet(out)
+    assert after.count() == n_before  # no loss, no duplication
+    # the journaled partition rolled FORWARD to the rewritten content
+    assert recover_compaction(out) == []
+
+
+def test_rewrite_file_inplace_diff_and_atomicity(tmp_path):
+    from debgpt7_8_with_vectordb_spark.sinks import rewrite_file_inplace
+
+    f = tmp_path / "notes.txt"
+    f.write_text("alpha\nbeta\ngamma\n")
+    diff = rewrite_file_inplace(str(f), "alpha\nBETA\ngamma")
+    assert f.read_text() == "alpha\nBETA\ngamma\n"  # newline normalized
+    assert "--- Original" in diff and "+++ Edited" in diff
+    assert "-beta" in diff and "+BETA" in diff
+    changed = [
+        l[1:]
+        for l in diff.splitlines()
+        if l.startswith(("-", "+")) and not l.startswith(("---", "+++"))
+    ]
+    assert "alpha" not in changed  # context lines stay out of +/- hunks
+    # unchanged rewrite -> empty diff
+    assert rewrite_file_inplace(str(f), "alpha\nBETA\ngamma\n") == ""
+    assert not (tmp_path / "notes.txt.inplace-tmp").exists()
