@@ -294,40 +294,161 @@ def _content_stream_text(data: bytes) -> list[str]:
     return [t for t in out if t]
 
 
+def _pdf_lzw_decode(data: bytes) -> bytes | None:
+    """PDF/TIFF LZW (PDF 1.7 §7.4.4): MSB-first variable-width codes,
+    256=clear, 257=EOD, earlyChange=1 (the default: the code width
+    bumps ONE CODE EARLY, at table sizes 511/1023/2047)."""
+    clear, eod = 256, 257
+    code_size = 9
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i = bitpos // 8
+        window = int.from_bytes(
+            data[byte_i : byte_i + 4].ljust(4, b"\x00"), "big"
+        )
+        code = (window >> (32 - (bitpos % 8) - code_size)) & (
+            (1 << code_size) - 1
+        )
+        bitpos += code_size
+        if code == clear:
+            code_size = 9
+            table = {i: bytes([i]) for i in range(256)}
+            next_code = 258
+            prev = None
+            continue
+        if code == eod:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            return None
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # earlyChange=1 decoder rule: the DECODER lags the encoder
+            # by one table entry (it adds for the previous code), so it
+            # widens at 510/1022/2046 — one below the encoder's
+            # 511/1023/2047 early-change points (§7.4.4.2; same splits
+            # the mainstream PDF readers use)
+            if next_code >= (1 << code_size) - 2 and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _pdf_apply_filter(name: bytes, data: bytes) -> bytes | None:
+    """One PDF stream filter; None = undecodable (corrupt or outside
+    the stdlib-decodable set, e.g. DCTDecode images)."""
+    import base64
+
+    if name == b"FlateDecode":
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return None
+    if name == b"LZWDecode":
+        return _pdf_lzw_decode(data)
+    if name == b"ASCII85Decode":
+        body = re.sub(rb"\s", b"", data)
+        if body.startswith(b"<~"):
+            body = body[2:]
+        if body.endswith(b"~>"):
+            body = body[:-2]
+        try:
+            return base64.a85decode(body)
+        except ValueError:
+            return None
+    if name == b"ASCIIHexDecode":
+        body = re.sub(rb"\s", b"", data)
+        end = body.find(b">")
+        if end >= 0:
+            body = body[:end]
+        if len(body) % 2:
+            body += b"0"  # spec: odd final digit implies trailing 0
+        try:
+            return bytes.fromhex(body.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            return None
+    if name == b"RunLengthDecode":
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            length = data[i]
+            if length == 128:  # EOD
+                break
+            if length < 128:
+                out += data[i + 1 : i + 2 + length]
+                i += 2 + length
+            else:
+                if i + 1 >= n:
+                    return None
+                out += data[i + 1 : i + 2] * (257 - length)
+                i += 2
+        return bytes(out)
+    return None  # DCTDecode / JPXDecode / JBIG2Decode / Crypt: genuinely not text
+
+
+_PDF_FILTER_NAMES = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_PDF_NAME = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _pdf_filters(d: bytes) -> list[bytes]:
+    """The stream dict's filter chain in application order (a bare name
+    or an array of names, PDF 1.7 §7.3.8)."""
+    m = _PDF_FILTER_NAMES.search(d)
+    if not m:
+        return []
+    return [n.group(1) for n in _PDF_NAME.finditer(m.group(1))]
+
+
 def pdf_extract_text(payload: bytes) -> str:
-    """REAL zero-dependency PDF text extraction (round 6): locate every
-    dict+stream object, inflate /FlateDecode bodies (zlib is stdlib —
-    this covers what the vast majority of text-bearing PDFs ship),
-    pass filterless bodies through as-is, skip unsupported filters
-    (DCTDecode images etc.), and pull shown text out of the content
-    streams' BT..ET text objects (Tj / TJ / ' / " operators, literal
-    and hex strings, escapes and UTF-16BE per the PDF 1.7 spec §7.3.4,
-    §9.4.3). Joined with newlines in stream order.
+    """REAL zero-dependency PDF text extraction: locate every
+    dict+stream object, decode its filter CHAIN — FlateDecode (zlib),
+    LZWDecode (from-spec MSB-first earlyChange decoder), ASCII85Decode
+    / ASCIIHexDecode (stdlib), RunLengthDecode, chained in order per
+    §7.3.8 — pass filterless bodies through as-is, skip streams with
+    genuinely-image filters (DCTDecode etc.) or a non-default
+    /Predictor, and pull shown text out of the content streams' BT..ET
+    text objects (Tj / TJ / ' / " operators, literal and hex strings,
+    escapes and UTF-16BE per the PDF 1.7 spec §7.3.4, §9.4.3). Joined
+    with newlines in stream order.
 
     Honest limits vs pypdf (the reference's decoder, reader.py:310-333):
     no font-encoding CMaps (text shown via subset fonts with custom
-    encodings comes out garbled), no LZW/ASCII85 filters, no
-    cross-reference-stream object walking (streams are found by scan,
-    which also finds them in linearized files; bodies are delimited by
-    the dict's direct /Length when present, so compressed bytes that
-    happen to contain the 'endstream' token no longer truncate — the
-    token scan remains only the indirect-/Length fallback). For
-    born-digital PDFs
-    with standard encodings — the common curation case — output matches
-    pypdf's. Golden-byte tests pin uncompressed, Flate, TJ-kerned,
-    escaped and hex-string cases."""
+    encodings comes out garbled), no PNG/TIFF predictors (rare on
+    content streams; used by xref/image streams), no cross-reference-
+    stream object walking (streams are found by scan, which also finds
+    them in linearized files; bodies are delimited by the dict's direct
+    /Length when present, so compressed bytes that happen to contain
+    the 'endstream' token no longer truncate — the token scan remains
+    only the indirect-/Length fallback). For born-digital PDFs with
+    standard encodings — the common curation case — output matches
+    pypdf's. Golden-byte tests pin uncompressed, Flate, LZW, A85, hex,
+    RunLength, chained-filter, TJ-kerned, escaped and hex-string
+    cases."""
     texts: list[str] = []
     for d, data in _iter_pdf_streams(payload):
-        if b"/FlateDecode" in d:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue
-        elif b"/Filter" in d:
-            continue  # unsupported filter — not a text stream we can read
-        if b"BT" not in data:
+        if b"/Predictor" in d:
+            continue  # PNG/TIFF predictor post-pass not implemented
+        decoded: bytes | None = data
+        for name in _pdf_filters(d):
+            decoded = _pdf_apply_filter(name, decoded)
+            if decoded is None:
+                break
+        if decoded is None or b"BT" not in decoded:
             continue
-        texts.extend(_content_stream_text(data))
+        texts.extend(_content_stream_text(decoded))
     return "\n".join(texts)
 
 

@@ -244,3 +244,119 @@ def test_recover_compaction_aborts_when_tmp_vanished(
         tuple(r) for r in spark.read.parquet(out).select("doc_id", "lang").collect()
     )
     assert after == before  # zero data loss
+
+
+# ---------------------------------------------------------------------------
+# round 7 follow-up: full PDF filter-chain coverage (LZW / ASCII85 /
+# ASCIIHex / RunLength / chains) — the honest-limits list shrinks to
+# CMaps + predictors + image codecs
+# ---------------------------------------------------------------------------
+
+
+def _pdf_lzw_encode(data: bytes) -> bytes:
+    """Forward PDF/TIFF LZW encoder written from §7.4.4 (earlyChange=1),
+    independent of the decoder, for round-trip tests."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, code_size = 258, 9
+    codes = [(256, 9)]
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], code_size))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code >= (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        w = bytes([b])
+    if w:
+        codes.append((table[w], code_size))
+    codes.append((257, code_size))
+    bits = bitpos = 0
+    out = bytearray()
+    for code, size in codes:
+        bits = (bits << size) | code
+        bitpos += size
+        while bitpos >= 8:
+            out.append((bits >> (bitpos - 8)) & 0xFF)
+            bitpos -= 8
+    if bitpos:
+        out.append((bits << (8 - bitpos)) & 0xFF)
+    return bytes(out)
+
+
+def test_pdf_lzw_known_vector_and_roundtrip():
+    from debgpt7_8_with_vectordb_spark.sources.readers import _pdf_lzw_decode
+
+    # hand-packed: clear, 'A', 258 ('AA'), 'A', EOD -> AAAA
+    assert _pdf_lzw_decode(bytes((0x80, 0x10, 0x60, 0x44, 0x18, 0x08))) == b"AAAA"
+    for blob in (
+        b"BT (lzw text) Tj ET",
+        b"AB" * 400,  # forces dictionary growth past 9 bits
+        bytes(range(256)) * 5,
+        b"",
+    ):
+        assert _pdf_lzw_decode(_pdf_lzw_encode(blob)) == blob
+
+
+@pytest.mark.parametrize(
+    "filt,encode",
+    [
+        (b"/LZWDecode", lambda s: _pdf_lzw_encode(s)),
+        (
+            b"/ASCII85Decode",
+            lambda s: __import__("base64").a85encode(s) + b"~>",
+        ),
+        (b"/ASCIIHexDecode", lambda s: s.hex().encode() + b">"),
+        (
+            b"/RunLengthDecode",
+            lambda s: b"".join(
+                bytes((len(c) - 1,)) + c
+                for c in (s[i : i + 128] for i in range(0, len(s), 128))
+            )
+            + bytes((128,)),
+        ),
+    ],
+)
+def test_pdf_single_filter_streams(filt, encode):
+    content = b"BT (filter " + filt.strip(b"/") + b" ok) Tj ET"
+    body = encode(content)
+    p = _pdf(
+        b"/Length " + str(len(body)).encode() + b" /Filter " + filt, body
+    )
+    assert pdf_extract_text(p) == f"filter {filt[1:].decode()} ok"
+
+
+def test_pdf_chained_filters_in_order():
+    """[/ASCII85Decode /FlateDecode]: undo A85 first, then inflate —
+    array order is application order (§7.3.8)."""
+    import base64
+
+    content = b"BT (chained) Tj ET"
+    body = base64.a85encode(zlib.compress(content)) + b"~>"
+    p = _pdf(
+        b"/Length " + str(len(body)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode]",
+        body,
+    )
+    assert pdf_extract_text(p) == "chained"
+
+
+def test_pdf_image_filter_and_predictor_still_skipped():
+    jpeg = (
+        b"2 0 obj\n<</Length 4 /Filter /DCTDecode>>\nstream\n"
+        b"\xff\xd8\xff\xe0\nendstream\nendobj\n"
+    )
+    p = _pdf(b"/Length 17", b"BT (real) Tj ET\r\n", tail=jpeg)
+    assert pdf_extract_text(p) == "real"
+    # a predictor'd flate stream is skipped, not garbled
+    body = zlib.compress(b"BT (pred) Tj ET")
+    p2 = _pdf(
+        b"/Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode /DecodeParms <</Predictor 12>>",
+        body,
+    )
+    assert pdf_extract_text(p2) == ""
