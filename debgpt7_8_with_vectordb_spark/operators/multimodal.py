@@ -607,16 +607,19 @@ def frame_sample_stub(media: DataFrame, every_nth: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes | None:
-    """Reverse the PNG scanline filters (types 0-4, spec §9.2) over the
-    inflated IDAT byte stream; returns raw pixel bytes or None on a
-    malformed filter byte / short stream."""
+def _png_unfilter(
+    raw: bytes, width: int, height: int, bpp: int, pos: int = 0
+) -> tuple[bytes, int] | None:
+    """Reverse the PNG scanline filters (types 0-4, spec §9.2) over
+    ``height`` scanlines starting at ``raw[pos]``; returns
+    ``(pixel_bytes, next_pos)`` or None on a malformed filter byte /
+    short stream. The offset form lets Adam7 interlacing unfilter each
+    reduced-pass image from the same inflated stream."""
     stride = width * bpp
-    if len(raw) < height * (stride + 1):
+    if len(raw) - pos < height * (stride + 1):
         return None
     out = bytearray()
     prev = bytes(stride)
-    pos = 0
     for _y in range(height):
         ftype = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
@@ -644,6 +647,36 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes | None
             return None
         out += line
         prev = bytes(line)
+    return bytes(out), pos
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) — spec §4.5.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: bytes, w: int, h: int, bpp: int) -> bytes | None:
+    """Adam7: seven reduced images, each independently filtered, in one
+    inflated stream; unfilter each pass and scatter its pixels to the
+    full-image grid positions."""
+    out = bytearray(w * h * bpp)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        res = _png_unfilter(raw, pw, ph, bpp, pos)
+        if res is None:
+            return None
+        sub, pos = res
+        for py in range(ph):
+            for px in range(pw):
+                src = (py * pw + px) * bpp
+                dst = ((y0 + py * dy) * w + (x0 + px * dx)) * bpp
+                out[dst : dst + bpp] = sub[src : src + bpp]
     return bytes(out)
 
 
@@ -655,8 +688,8 @@ def _decode_png_pixels(payload: bytes):
 
     w, h = struct.unpack(">II", payload[16:24])
     depth, ctype, comp, filt, interlace = payload[24:29]
-    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or interlace:
-        return None  # supported subset: 8-bit, non-interlaced
+    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or interlace > 1:
+        return None  # supported subset: 8-bit, ordered or Adam7
     channels = _PNG_CHANNELS[ctype]
     idat = bytearray()
     plte = None
@@ -676,7 +709,11 @@ def _decode_png_pixels(payload: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    pixels = _png_unfilter(raw, int(w), int(h), channels)
+    if interlace == 1:
+        pixels = _png_deinterlace(raw, int(w), int(h), channels)
+    else:
+        res = _png_unfilter(raw, int(w), int(h), channels)
+        pixels = res[0] if res else None
     if pixels is None:
         return None
     if ctype == 3:  # paletted: indices -> PLTE RGB triples (spec §11.2.3)

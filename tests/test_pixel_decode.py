@@ -130,9 +130,10 @@ def test_png_gray_and_alpha_color_types():
 
 
 def test_png_unsupported_subsets_return_none():
-    """16-bit depth and interlaced: outside the stdlib subset — NULL,
-    not garbage, not an exception. (Paletted ctype 3 is supported when
-    a PLTE chunk exists; header-only is malformed.)"""
+    """16-bit depth: outside the stdlib subset — NULL, not garbage,
+    not an exception. (Paletted ctype 3 and Adam7 interlace ARE
+    supported now; these header-only fixtures are malformed — no
+    PLTE/IDAT — and must still yield None.)"""
     def png_hdr(depth, ctype, interlace):
         ihdr = struct.pack(">II", 2, 2) + bytes((depth, ctype, 0, 0, interlace))
         return (
@@ -140,9 +141,10 @@ def test_png_unsupported_subsets_return_none():
             + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
         )
 
-    assert decode_image_pixels(png_hdr(16, 2, 0)) is None
+    assert decode_image_pixels(png_hdr(16, 2, 0)) is None  # 16-bit depth
     assert decode_image_pixels(png_hdr(8, 3, 0)) is None  # paletted, no PLTE
-    assert decode_image_pixels(png_hdr(8, 2, 1)) is None  # Adam7
+    assert decode_image_pixels(png_hdr(8, 2, 1)) is None  # Adam7, no IDAT
+    assert decode_image_pixels(png_hdr(8, 2, 2)) is None  # unknown interlace
 
 
 def test_bmp_topdown_and_32bpp():
@@ -462,3 +464,56 @@ def test_feature_and_resize_spark_stages(spark):
     )
     assert extract_image_features(junk).collect()[0]["fmt"] is None
     assert resize_image_stats(junk, 2, 2).collect()[0]["pixel_sum"] is None
+
+
+def test_png_adam7_interlaced_decode():
+    """Forward-built Adam7 fixture (passes extracted from the reference
+    pattern image, each pass filtered independently — filter 0 and
+    filter 2 variants) decodes to the same pixels as the ordered
+    layout."""
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import _ADAM7
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    for w, h, ch, ftype in [(8, 8, 3, 0), (5, 3, 1, 0), (13, 9, 3, 2), (1, 1, 3, 0), (2, 2, 1, 0)]:
+        full = [
+            [(x * ch + c + 3 * y) % 256 for c in range(ch)]
+            for y in range(h)
+            for x in range(w)
+        ]
+
+        def px(x, y):
+            return bytes(full[y * w + x])
+
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            prev = bytes(pw * ch)
+            for py in range(ph):
+                line = b"".join(
+                    px(x0 + px_i * dx, y0 + py * dy) for px_i in range(pw)
+                )
+                if ftype == 2:  # Up-filter each pass row
+                    raw.append(2)
+                    raw += bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+                else:
+                    raw.append(0)
+                    raw += line
+                prev = line
+        ihdr = struct.pack(">II", w, h) + bytes((8, 2 if ch == 3 else 0, 0, 0, 1))
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+        got = decode_image_pixels(blob)
+        assert got is not None, (w, h, ch, ftype)
+        assert got[:4] == ("png", w, h, ch)
+        expect = b"".join(bytes(p) for p in full)
+        assert got[4] == expect, (w, h, ch, ftype)
