@@ -241,17 +241,45 @@ def _pdf_str(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
-def _content_stream_text(data: bytes) -> list[str]:
+def _map_codes(raw: bytes, cmap: "tuple[int, dict[int, str]]") -> str:
+    """Map string bytes through a font's ToUnicode CMap: consume
+    fixed-width codes (1 or 2 bytes per the codespace range) and look
+    each up; unmapped 1-byte codes fall back to latin-1 (the
+    PDFDocEncoding overlap), unmapped wide codes to U+FFFD."""
+    width, table = cmap
+    out: list[str] = []
+    for i in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[i : i + width], "big")
+        mapped = table.get(code)
+        if mapped is None:
+            mapped = chr(code) if width == 1 and code < 256 else "�"
+        out.append(mapped)
+    return "".join(out)
+
+
+def _content_stream_text(
+    data: bytes, fonts: "dict[bytes, tuple[int, dict[int, str]]] | None" = None
+) -> list[str]:
     """Extract shown text from one decoded content stream: walk BT..ET
     blocks, collect strings consumed by the text-showing operators
     (Tj, ', ", TJ arrays), and break lines on the operators that move
     to the next line (T*, ', ", and Td/TD with a vertical step —
-    simplified: every Td/TD breaks)."""
+    simplified: every Td/TD breaks). ``fonts`` maps resource names
+    (b"F1") to ToUnicode CMaps; the active font is tracked through the
+    Tf operator and its CMap decodes the shown strings — the subset-
+    font case where byte values are glyph codes, not characters."""
     out: list[str] = []
+    fonts = fonts or {}
+    current: tuple[int, dict[int, str]] | None = None
+
+    def decode(s: bytes) -> str:
+        return _map_codes(s, current) if current else _pdf_str(s)
+
     for m in re.finditer(rb"\bBT\b(.*?)\bET\b", data, re.DOTALL):
         seg, i, n = m.group(1), 0, len(m.group(1))
         line: list[str] = []
         strings: list[bytes] = []  # pending, not yet consumed by an op
+        last_name: bytes | None = None
 
         def flush_line() -> None:
             if line:
@@ -273,19 +301,23 @@ def _content_stream_text(data: bytes) -> list[str]:
             elif c == 0x25:  # % comment to EOL
                 j = seg.find(b"\n", i)
                 i = n if j < 0 else j + 1
+            elif c == 0x2F:  # /Name token (font resource selectors)
+                nm = re.match(rb"/([^\s<>\[\]()/%]*)", seg[i:])
+                last_name = nm.group(1)
+                i += nm.end()
             else:
                 om = re.match(rb"[A-Za-z'\"*]+", seg[i:])
                 if om:
                     op = om.group(0)
-                    if op == b"Tj":
-                        line.extend(_pdf_str(s) for s in strings)
-                    elif op == b"TJ":
-                        line.extend(_pdf_str(s) for s in strings)
+                    if op in (b"Tj", b"TJ"):
+                        line.extend(decode(s) for s in strings)
                     elif op in (b"'", b'"'):
                         flush_line()
-                        line.extend(_pdf_str(s) for s in strings)
+                        line.extend(decode(s) for s in strings)
                     elif op in (b"T*", b"Td", b"TD"):
                         flush_line()
+                    elif op == b"Tf" and last_name is not None:
+                        current = fonts.get(last_name)
                     strings.clear()
                     i += len(op)
                 else:
@@ -401,6 +433,47 @@ def _pdf_apply_filter(name: bytes, data: bytes) -> bytes | None:
 
 _PDF_FILTER_NAMES = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _PDF_NAME = re.compile(rb"/([A-Za-z0-9]+)")
+_PDF_INT_KEY = {
+    k: re.compile(rb"/" + k.encode() + rb"\s+(\d+)")
+    for k in ("Predictor", "Columns", "Colors", "BitsPerComponent")
+}
+
+
+def _pdf_int(d: bytes, key: str, default: int) -> int:
+    m = _PDF_INT_KEY[key].search(d)
+    return int(m.group(1)) if m else default
+
+
+def _pdf_unpredict(d: bytes, data: bytes) -> bytes | None:
+    """Undo a /Predictor post-pass on a decoded stream (§7.4.4.4).
+    Predictor 1 = none; 2 = TIFF horizontal differencing; >= 10 = the
+    PNG filter set, one tag byte per row — which is exactly the PNG
+    scanline unfilter the multimodal codec already implements, applied
+    with width=/Columns and bpp=/Colors*/BitsPerComponent/8."""
+    pred = _pdf_int(d, "Predictor", 1)
+    if pred == 1:
+        return data
+    columns = _pdf_int(d, "Columns", 1)
+    colors = _pdf_int(d, "Colors", 1)
+    bpc = _pdf_int(d, "BitsPerComponent", 8)
+    if bpc != 8 or columns <= 0 or colors <= 0:
+        return None  # sub-byte components: outside the subset
+    bpp = colors
+    if pred == 2:  # TIFF: each byte += byte one pixel to the left
+        row_len = columns * bpp
+        out = bytearray(data)
+        for r in range(0, len(out) - row_len + 1, row_len):
+            for i in range(bpp, row_len):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    if pred >= 10:
+        from ..operators.multimodal import _png_unfilter
+
+        stride = columns * bpp
+        rows = len(data) // (stride + 1)
+        res = _png_unfilter(data, columns, rows, bpp)
+        return res[0] if res else None
+    return None
 
 
 def _pdf_filters(d: bytes) -> list[bytes]:
@@ -410,6 +483,129 @@ def _pdf_filters(d: bytes) -> list[bytes]:
     if not m:
         return []
     return [n.group(1) for n in _PDF_NAME.finditer(m.group(1))]
+
+
+_PDF_OBJ = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_PDF_HEXSTR = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _pdf_object_index(payload: bytes) -> dict[int, bytes]:
+    """obj number → object bytes (between `N G obj` and `endobj`), by
+    scan — the same linearization-tolerant approach as the stream walk
+    (no xref table needed)."""
+    objs: dict[int, bytes] = {}
+    for m in _PDF_OBJ.finditer(payload):
+        end = payload.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        objs.setdefault(int(m.group(1)), payload[m.end() : end])
+    return objs
+
+
+def _decode_object_stream(obj: bytes) -> bytes | None:
+    """Decode the (single) stream inside an object slice through its
+    filter chain + predictor."""
+    for d, data in _iter_pdf_streams(obj):
+        decoded: bytes | None = data
+        for name in _pdf_filters(d):
+            decoded = _pdf_apply_filter(name, decoded)
+            if decoded is None:
+                break
+        if decoded is not None and b"/Predictor" in d:
+            decoded = _pdf_unpredict(d, decoded)
+        return decoded
+    return None
+
+
+def _hexbytes(tok: bytes) -> bytes:
+    h = re.sub(rb"\s", b"", tok)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
+    """ToUnicode CMap → (code byte-width, {code: unicode string}).
+    Handles begincodespacerange (code width), beginbfchar pairs and
+    beginbfrange (incrementing-destination and array forms) per the
+    Adobe CMap spec §5.9."""
+    width = 2  # Identity-H-style default
+    m = re.search(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.DOTALL
+    )
+    if m:
+        toks = _PDF_HEXSTR.findall(m.group(1))
+        if toks:
+            width = max(1, len(_hexbytes(toks[0])))
+    table: dict[int, str] = {}
+
+    def uni(tok: bytes) -> str:
+        b = _hexbytes(tok)
+        return b.decode("utf-16-be", errors="replace") if b else ""
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        toks = _PDF_HEXSTR.findall(m.group(1))
+        for src, dst in zip(toks[::2], toks[1::2]):
+            table[int.from_bytes(_hexbytes(src), "big")] = uni(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        body, i = m.group(1), 0
+        while True:
+            t = re.compile(
+                rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*"
+                rb"(?:<([0-9A-Fa-f\s]*)>|\[((?:\s*<[0-9A-Fa-f\s]*>)*)\s*\])"
+            ).search(body, i)
+            if not t:
+                break
+            i = t.end()
+            lo = int.from_bytes(_hexbytes(t.group(1)), "big")
+            hi = int.from_bytes(_hexbytes(t.group(2)), "big")
+            if hi - lo > 1 << 16:  # malformed range bound
+                continue
+            if t.group(3) is not None:  # incrementing destination
+                base = _hexbytes(t.group(3))
+                base_code = int.from_bytes(base, "big") if base else 0
+                for k in range(hi - lo + 1):
+                    table[lo + k] = (
+                        (base_code + k).to_bytes(max(2, len(base)), "big")
+                        .decode("utf-16-be", errors="replace")
+                    )
+            else:  # explicit array, one destination per code
+                dsts = _PDF_HEXSTR.findall(t.group(4))
+                for k, dst in enumerate(dsts[: hi - lo + 1]):
+                    table[lo + k] = uni(dst)
+    return width, table
+
+
+def _pdf_font_cmaps(
+    payload: bytes,
+) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """Resource name (b"F1") → ToUnicode CMap, resolved through the
+    scanned object index: /Font <</F1 5 0 R>> → object 5's /ToUnicode
+    N 0 R → object N's decoded stream → parsed CMap."""
+    if b"/ToUnicode" not in payload:
+        return {}
+    objs = _pdf_object_index(payload)
+    fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
+    for fm in re.finditer(rb"/Font\s*<<(.*?)>>", payload, re.DOTALL):
+        for rm in re.finditer(rb"/([^\s<>\[\]()/%]+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+            name, objnum = rm.group(1), int(rm.group(2))
+            font_obj = objs.get(objnum)
+            if font_obj is None or name in fonts:
+                continue
+            tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_obj)
+            if not tm:
+                continue
+            cm_obj = objs.get(int(tm.group(1)))
+            if cm_obj is None:
+                continue
+            cmap_data = _decode_object_stream(cm_obj)
+            if cmap_data is None:
+                continue
+            try:
+                fonts[name] = _parse_tounicode_cmap(cmap_data)
+            except Exception:
+                continue
+    return fonts
 
 
 def pdf_extract_text(payload: bytes) -> str:
@@ -424,10 +620,19 @@ def pdf_extract_text(payload: bytes) -> str:
     escapes and UTF-16BE per the PDF 1.7 spec §7.3.4, §9.4.3). Joined
     with newlines in stream order.
 
+    /Predictor post-passes are undone too (TIFF differencing and the
+    PNG filter set at 8 bits/component — the PNG case reuses the
+    multimodal codec's scanline unfilter). ToUnicode CMaps are applied:
+    the scanned object index resolves /Font resources to their
+    /ToUnicode streams, bfchar/bfrange (incrementing and array forms)
+    build per-font glyph-code→unicode tables, and the content walk
+    tracks the active font through Tf — so subset-font text (the
+    "glyph codes, not characters" case) comes out readable.
+
     Honest limits vs pypdf (the reference's decoder, reader.py:310-333):
-    no font-encoding CMaps (text shown via subset fonts with custom
-    encodings comes out garbled), no PNG/TIFF predictors (rare on
-    content streams; used by xref/image streams), no cross-reference-
+    fonts with a custom /Encoding//Differences but NO /ToUnicode still
+    decode as raw bytes, no sub-byte predictor components,
+    no cross-reference-
     stream object walking (streams are found by scan, which also finds
     them in linearized files; bodies are delimited by the dict's direct
     /Length when present, so compressed bytes that happen to contain
@@ -438,17 +643,18 @@ def pdf_extract_text(payload: bytes) -> str:
     RunLength, chained-filter, TJ-kerned, escaped and hex-string
     cases."""
     texts: list[str] = []
+    fonts = _pdf_font_cmaps(payload)
     for d, data in _iter_pdf_streams(payload):
-        if b"/Predictor" in d:
-            continue  # PNG/TIFF predictor post-pass not implemented
         decoded: bytes | None = data
         for name in _pdf_filters(d):
             decoded = _pdf_apply_filter(name, decoded)
             if decoded is None:
                 break
+        if decoded is not None and b"/Predictor" in d:
+            decoded = _pdf_unpredict(d, decoded)
         if decoded is None or b"BT" not in decoded:
             continue
-        texts.extend(_content_stream_text(decoded))
+        texts.extend(_content_stream_text(decoded, fonts))
     return "\n".join(texts)
 
 

@@ -345,18 +345,125 @@ def test_pdf_chained_filters_in_order():
     assert pdf_extract_text(p) == "chained"
 
 
-def test_pdf_image_filter_and_predictor_still_skipped():
+def test_pdf_image_filter_skipped_and_predictors_undone():
     jpeg = (
         b"2 0 obj\n<</Length 4 /Filter /DCTDecode>>\nstream\n"
         b"\xff\xd8\xff\xe0\nendstream\nendobj\n"
     )
     p = _pdf(b"/Length 17", b"BT (real) Tj ET\r\n", tail=jpeg)
     assert pdf_extract_text(p) == "real"
-    # a predictor'd flate stream is skipped, not garbled
-    body = zlib.compress(b"BT (pred) Tj ET")
+
+    # PNG Up-predictor (12), correctly applied forward: row r stores
+    # filter tag 2 + (row - prev_row); unpredict must reverse it
+    content = b"BT (png-pred) Tj ET!!"  # len 21 = 3 rows of 7
+    cols = 7
+    rows = [content[i : i + cols] for i in range(0, len(content), cols)]
+    prev = bytes(cols)
+    predicted = bytearray()
+    for row in rows:
+        predicted.append(2)
+        predicted += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = row
+    body = zlib.compress(bytes(predicted))
     p2 = _pdf(
         b"/Length " + str(len(body)).encode()
-        + b" /Filter /FlateDecode /DecodeParms <</Predictor 12>>",
+        + b" /Filter /FlateDecode /DecodeParms <</Predictor 12 /Columns 7>>",
         body,
     )
-    assert pdf_extract_text(p2) == ""
+    assert pdf_extract_text(p2) == "png-pred"
+
+    # TIFF horizontal differencing (predictor 2)
+    content = b"BT (tiff) Tj ET."  # len 16 = 2 rows of 8
+    cols = 8
+    out = bytearray()
+    for r in range(0, len(content), cols):
+        row = content[r : r + cols]
+        out += bytes(
+            (row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(cols)
+        )
+    body = zlib.compress(bytes(out))
+    p3 = _pdf(
+        b"/Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode /DecodeParms <</Predictor 2 /Columns 8>>",
+        body,
+    )
+    assert pdf_extract_text(p3) == "tiff"
+
+    # a stream whose predictor'd data is NOT valid (garbage tag byte)
+    # is skipped, not garbled
+    body = zlib.compress(b"BT (pred) Tj ET")
+    p4 = _pdf(
+        b"/Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode /DecodeParms <</Predictor 12 /Columns 4>>",
+        body,
+    )
+    assert pdf_extract_text(p4) == ""
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps: subset-font glyph codes mapped to real characters
+# ---------------------------------------------------------------------------
+
+
+def _font_pdf(cmap: bytes, content: bytes, font_name: bytes = b"F1") -> bytes:
+    """Minimal PDF with a page-resource font carrying a ToUnicode CMap
+    (object graph resolved by scan, no xref needed)."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Page /Resources <</Font <</" + font_name
+        + b" 5 0 R>>>>>>\nendobj\n"
+        b"5 0 obj\n<</Type /Font /Subtype /Type0 /ToUnicode 7 0 R>>\nendobj\n"
+        b"7 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<</Length " + str(len(content)).encode() + b">>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"trailer\n<<>>\n%%EOF"
+    )
+
+
+CMAP_2BYTE = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"begincmap\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"2 beginbfchar\n<0003> <0048>\n<0004> <0069>\nendbfchar\n"
+    b"1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n"
+    b"1 beginbfrange\n<0020> <0021> [<0058> <00590021>]\nendbfrange\n"
+    b"endcmap\nend\n"
+)
+
+
+def test_pdf_tounicode_bfchar_and_bfrange():
+    """Glyph codes 0003/0004 -> 'H'/'i'; range 0010-0012 -> 'a','b','c';
+    array range 0020/0021 -> 'X' and a two-char mapping 'Y!'."""
+    content = b"BT /F1 12 Tf <0003 0004 0010 0011 0012 0020 0021> Tj ET"
+    p = _font_pdf(CMAP_2BYTE, content)
+    assert pdf_extract_text(p) == "HiabcXY!"
+
+
+def test_pdf_tounicode_one_byte_codespace():
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <0051>\nendbfchar\n"  # 'A' glyph -> 'Q'
+        b"endcmap\n"
+    )
+    # literal string: byte 0x41 maps to Q, byte 0x42 unmapped -> latin-1 'B'
+    p = _font_pdf(cmap, b"BT /F1 10 Tf (AB) Tj ET")
+    assert pdf_extract_text(p) == "QB"
+
+
+def test_pdf_font_switch_mid_stream():
+    """Only the ACTIVE font's CMap applies; switching to an unmapped
+    font restores the default string decode."""
+    content = (
+        b"BT /F1 12 Tf <0003> Tj /F9 12 Tf (plain) Tj ET"
+    )
+    p = _font_pdf(CMAP_2BYTE, content)
+    assert pdf_extract_text(p) == "Hplain"
+
+
+def test_pdf_without_tounicode_unchanged():
+    """No /ToUnicode anywhere: the fast path (no object indexing) and
+    the old string decode are untouched."""
+    p = _pdf(b"/Length 32", b"BT /F1 9 Tf (unchanged text) Tj ET")
+    assert pdf_extract_text(p) == "unchanged text"
