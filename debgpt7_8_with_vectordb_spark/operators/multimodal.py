@@ -1349,3 +1349,88 @@ def resize_image_stats(media: DataFrame, new_w: int, new_h: int) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, schema=RESIZED_SCHEMA
     )
+
+
+PCM_STATS_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, bits int, "
+    "n_samples long, sample_sum long, sample_min int, sample_max int, "
+    "duration_ms long"
+)
+
+
+def decode_audio_pcm_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched PCM SAMPLE decode stage — the audio twin of
+    ``decode_image_pixel_stats``: integer statistics over the decoded
+    sample stream (sum / min / max pin the actual waveform bytes, not
+    just the header), duration in integer milliseconds. NULL row for
+    non-PCM / malformed payloads."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                t = decode_wav_samples(
+                    bytes(payload) if payload is not None else b""
+                )
+                if t is None:
+                    rows.append((doc_id,) + (None,) * 8)
+                    continue
+                ch, rate, bits, samples = t
+                n_frames = len(samples) // ch if ch else 0
+                rows.append(
+                    (
+                        doc_id, ch, rate, bits, len(samples),
+                        sum(samples),
+                        min(samples) if samples else None,
+                        max(samples) if samples else None,
+                        (n_frames * 1000) // rate if rate else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "sample_rate", "bits",
+                    "n_samples", "sample_sum", "sample_min", "sample_max",
+                    "duration_ms",
+                ],
+            ).astype(
+                {
+                    "channels": "Int32", "sample_rate": "Int32",
+                    "bits": "Int32", "n_samples": "Int64",
+                    "sample_sum": "Int64", "sample_min": "Int32",
+                    "sample_max": "Int32", "duration_ms": "Int64",
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=PCM_STATS_SCHEMA
+    )
+
+
+def encode_test_wav_patterned(
+    channels: int, sample_rate: int, bits: int, n_frames: int, seed: int
+) -> bytes:
+    """Patterned PCM writer: sample for frame f, channel c is
+    ``((f * 13 + c * 5 + seed) % 97) - 48`` (16-bit signed) or the same
+    shifted to 80..176 (8-bit unsigned) — closed-form arithmetic an
+    oracle replays without touching bytes."""
+    vals = [
+        ((f * 13 + c * 5 + seed) % 97) - 48
+        for f in range(n_frames)
+        for c in range(channels)
+    ]
+    if bits == 16:
+        data = struct.pack(f"<{len(vals)}h", *vals)
+    elif bits == 8:
+        data = bytes(v + 128 for v in vals)
+    else:
+        raise ValueError("patterned writer supports 8/16-bit PCM")
+    block = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

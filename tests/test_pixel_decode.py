@@ -517,3 +517,40 @@ def test_png_adam7_interlaced_decode():
         assert got[:4] == ("png", w, h, ch)
         expect = b"".join(bytes(p) for p in full)
         assert got[4] == expect, (w, h, ch, ftype)
+
+
+def test_audio_pcm_stats_spark_stage(spark):
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        decode_audio_pcm_stats,
+        encode_test_wav_patterned,
+    )
+
+    rows = []
+    for i in range(10):
+        ch, rate, bits = 1 + i % 2, (8000, 16000)[i % 2], (8, 16)[(i // 2) % 2]
+        frames, seed = 5 + i * 3, i * 11
+        rows.append(
+            (i, bytearray(encode_test_wav_patterned(ch, rate, bits, frames, seed)), "audio/wav")
+        )
+    rows.append((99, bytearray(b"not audio"), "application/octet-stream"))
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {r["doc_id"]: r for r in decode_audio_pcm_stats(media).collect()}
+    for i in range(10):
+        ch, rate, bits = 1 + i % 2, (8000, 16000)[i % 2], (8, 16)[(i // 2) % 2]
+        frames, seed = 5 + i * 3, i * 11
+        vals = [
+            ((f * 13 + c * 5 + seed) % 97) - 48
+            for f in range(frames)
+            for c in range(ch)
+        ]
+        if bits == 8:
+            vals = [v + 128 for v in vals]
+        r = got[i]
+        assert (r["channels"], r["sample_rate"], r["bits"]) == (ch, rate, bits)
+        assert r["n_samples"] == len(vals)
+        assert r["sample_sum"] == sum(vals)
+        assert (r["sample_min"], r["sample_max"]) == (min(vals), max(vals))
+        assert r["duration_ms"] == frames * 1000 // rate
+    assert got[99]["channels"] is None and got[99]["sample_sum"] is None
