@@ -9,11 +9,13 @@ batch, never per row.
 Codec status (round 7): HEADER-METADATA decode is REAL for PNG / GIF /
 BMP / PNM / WAV / MP4 (zero-dependency struct parsers, golden-byte
 pinned), and PIXEL/SAMPLE decode is now REAL for the stdlib-decodable
-subset — PNG 8-bit (zlib inflate + all five scanline filters), BMP
-24/32bpp uncompressed, PNM P2/P3/P5/P6, GIF (from-scratch LZW +
-palette + interlace), WAV PCM 8/16-bit (``decode_image_pixels`` /
-``decode_wav_samples``). Still honestly stubbed, because they
-genuinely need codec libraries absent in this container:
+subset — PNG 8-bit (zlib inflate + all five scanline filters, paletted
+PLTE mapping, Adam7 interlace), BMP 24/32bpp uncompressed, PNM
+P2/P3/P5/P6, GIF (from-scratch LZW + palette + interlace), WAV PCM
+8/16-bit (``decode_image_pixels`` / ``decode_wav_samples``), with
+feature-extract / resize / PCM-stats stages running on the decoded
+content. Still honestly stubbed, because they genuinely need codec
+libraries absent in this container:
 - ``decode_image_stub``: lossy codecs only
   (JPEG / MP3 / H.264 frame decode — PIL/cv2/ffmpeg territory);
 - ``fake_decode_metadata``: the deterministic md5-derived fake kept
