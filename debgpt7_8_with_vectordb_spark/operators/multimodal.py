@@ -745,16 +745,16 @@ def _decode_bmp_pixels(payload: bytes):
     row_bytes = (w * nch + 3) // 4 * 4
     if len(payload) < data_off + row_bytes * h:
         return None
-    out = bytearray()
-    rows = range(h) if top_down else range(h - 1, -1, -1)
-    for y in rows:
-        base = data_off + y * row_bytes
-        for x in range(w):
-            px = payload[base + x * nch : base + (x + 1) * nch]
-            out += bytes((px[2], px[1], px[0]))  # BGR -> RGB
-            if nch == 4:
-                out.append(px[3])
-    return "bmp", int(w), int(h), nch, bytes(out)
+    import numpy as np
+
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    out = rows.copy()
+    out[..., 0], out[..., 2] = rows[..., 2], rows[..., 0]  # BGR(A) -> RGB(A)
+    return "bmp", int(w), int(h), nch, out.tobytes()
 
 
 def _decode_pnm_pixels(payload: bytes):
@@ -851,6 +851,18 @@ def _pattern_px(x: int, y: int, c: int, seed: int) -> int:
     return (x + 7 * y + 11 * c + seed) % 256
 
 
+def _pattern_rgb_array(width: int, height: int, seed: int):
+    """(h, w, 3) uint8 array of ``_pattern_px`` via numpy broadcasting —
+    the vectorized form of the shared pattern formula (per-pixel Python
+    loops were the writers' hot path in the bench)."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int32)[None, :, None]
+    y = np.arange(height, dtype=np.int32)[:, None, None]
+    c = np.arange(3, dtype=np.int32)[None, None, :]
+    return ((x + 7 * y + 11 * c + seed) % 256).astype(np.uint8)
+
+
 def encode_test_image_patterned(
     fmt: str, width: int, height: int, seed: int
 ) -> bytes:
@@ -859,9 +871,15 @@ def encode_test_image_patterned(
     data instead of zero filler. The PNG variant cycles the row filter
     type through 0-4 (y % 5) so the oracled query exercises EVERY
     unfilter path, not just the trivial one; writers apply the forward
-    filter transforms independently of the decoder's reverse ones."""
+    filter transforms independently of the decoder's reverse ones
+    (vectorized — forward filtering reads only ORIGINAL neighbor
+    values, so every filter incl. Paeth is an elementwise expression
+    over shifted arrays, unlike the inherently sequential reverse)."""
     import zlib
 
+    import numpy as np
+
+    arr = _pattern_rgb_array(width, height, seed)
     if fmt == "png":
         ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
 
@@ -872,48 +890,31 @@ def encode_test_image_patterned(
             )
 
         bpp, stride = 3, width * 3
+        lines = arr.reshape(height, stride).astype(np.int16)
+        # shifted views: left neighbor (by one pixel), up, up-left
+        left = np.zeros_like(lines)
+        left[:, bpp:] = lines[:, :-bpp]
+        up = np.zeros_like(lines)
+        up[1:] = lines[:-1]
+        upleft = np.zeros_like(lines)
+        upleft[1:, bpp:] = lines[:-1, :-bpp]
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        filtered_by_type = (
+            lines,
+            lines - left,
+            lines - up,
+            lines - ((left + up) >> 1),
+            lines - paeth,
+        )
         raw = bytearray()
-        prev = bytes(stride)
         for y in range(height):
-            line = bytes(
-                _pattern_px(x, y, c, seed)
-                for x in range(width)
-                for c in range(3)
-            )
             ftype = y % 5
             raw.append(ftype)
-            if ftype == 0:
-                raw += line
-            elif ftype == 1:  # Sub
-                raw += bytes(
-                    (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
-                    for i in range(stride)
-                )
-            elif ftype == 2:  # Up
-                raw += bytes(
-                    (line[i] - prev[i]) & 0xFF for i in range(stride)
-                )
-            elif ftype == 3:  # Average
-                raw += bytes(
-                    (
-                        line[i]
-                        - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)
-                    )
-                    & 0xFF
-                    for i in range(stride)
-                )
-            else:  # Paeth
-                flt = bytearray()
-                for i in range(stride):
-                    a = line[i - bpp] if i >= bpp else 0
-                    b = prev[i]
-                    cc = prev[i - bpp] if i >= bpp else 0
-                    p = a + b - cc
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
-                    flt.append((line[i] - pred) & 0xFF)
-                raw += flt
-            prev = line
+            raw += (filtered_by_type[ftype][y] & 0xFF).astype(np.uint8).tobytes()
         return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
@@ -923,27 +924,19 @@ def encode_test_image_patterned(
     if fmt == "bmp":
         # bottom-up BGR rows with 4-byte padding — exercises the
         # orientation + channel-order normalization
-        row_pad = (width * 3 + 3) // 4 * 4 - width * 3
-        pix = bytearray()
-        for y in range(height - 1, -1, -1):
-            for x in range(width):
-                r, g, b = (_pattern_px(x, y, c, seed) for c in range(3))
-                pix += bytes((b, g, r))
-            pix += b"\x00" * row_pad
+        row_bytes = (width * 3 + 3) // 4 * 4
+        rows = np.zeros((height, row_bytes), dtype=np.uint8)
+        rows[:, : width * 3] = arr[::-1, :, ::-1].reshape(height, width * 3)
+        pix = rows.tobytes()
         info = struct.pack(
             "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
         )
         off = 14 + 40
         hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
-        return hdr + info + bytes(pix)
+        return hdr + info + pix
     if fmt == "ppm":
         hdr = f"P6 {width} {height} 255\n".encode("ascii")
-        return hdr + bytes(
-            _pattern_px(x, y, c, seed)
-            for y in range(height)
-            for x in range(width)
-            for c in range(3)
-        )
+        return hdr + arr.tobytes()
     raise ValueError(f"unknown patterned-image format: {fmt}")
 
 
@@ -1036,42 +1029,44 @@ def synthesize_test_media_patterned(
 def _lzw_decode(data: bytes, min_code: int, expected: int) -> bytes | None:
     """GIF-variant LZW (GIF89a spec appendix F): LSB-first variable-width
     codes, clear/EOI codes, 12-bit cap. Returns ``expected`` index bytes
-    or None on a malformed stream."""
+    or None on a malformed stream. Streaming bit buffer + list table —
+    the per-code dict version was the pixel bench's hot spot."""
     clear = 1 << min_code
     eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]  # clear/eoi slots
     code_size = min_code + 1
-    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
-    next_code = eoi + 1
+    table = list(base)
     out = bytearray()
     prev: bytes | None = None
-    bitpos, total_bits = 0, len(data) * 8
-    while bitpos + code_size <= total_bits and len(out) < expected:
-        byte_i = bitpos // 8
-        window = int.from_bytes(data[byte_i : byte_i + 4], "little")
-        code = (window >> (bitpos % 8)) & ((1 << code_size) - 1)
-        bitpos += code_size
+    bitbuf = nbits = 0
+    pos, n = 0, len(data)
+    while len(out) < expected:
+        while nbits < code_size:
+            if pos >= n:
+                return None  # stream exhausted before expected pixels
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        nbits -= code_size
         if code == clear:
             code_size = min_code + 1
-            table = {i: bytes([i]) for i in range(clear)}
-            next_code = eoi + 1
+            table = list(base)
             prev = None
             continue
         if code == eoi:
             break
-        if prev is None:
-            entry = table.get(code)
-            if entry is None:
-                return None
-        elif code in table:
+        ln = len(table)
+        if code < ln and code != eoi and code != clear:
             entry = table[code]
-        elif code == next_code:
+        elif code == ln and prev is not None:
             entry = prev + prev[:1]
         else:
             return None
-        if prev is not None and next_code < 4096:
-            table[next_code] = prev + entry[:1]
-            next_code += 1
-            if next_code == (1 << code_size) and code_size < 12:
+        if prev is not None and ln < 4096:
+            table.append(prev + entry[:1])
+            if ln + 1 == (1 << code_size) and code_size < 12:
                 code_size += 1
         out += entry
         prev = entry
@@ -1134,15 +1129,19 @@ def _decode_gif_pixels(payload: bytes):
                     rows[y] = idx[src * iw : (src + 1) * iw]
                     src += 1
             idx = b"".join(rows)
+        import numpy as np
+
         n_colors = len(pal) // 3
-        rgb = bytearray()
-        for i in idx:
-            if i >= n_colors:
-                return None
-            rgb += pal[3 * i : 3 * i + 3]
+        idx_arr = np.frombuffer(idx, dtype=np.uint8)
+        if idx_arr.size and int(idx_arr.max()) >= n_colors:
+            return None
+        pal_arr = np.frombuffer(pal[: n_colors * 3], dtype=np.uint8).reshape(
+            n_colors, 3
+        )
+        rgb = pal_arr[idx_arr].tobytes()
         # first frame only; report the FRAME's dims (a sub-frame GIF is
         # an animation optimization — the curation-relevant pixels)
-        return "gif", int(iw), int(ih), 3, bytes(rgb)
+        return "gif", int(iw), int(ih), 3, rgb
     return None
 
 
