@@ -223,6 +223,13 @@ def main() -> None:
         "agg": "min",
         "n_queries": len(times),
         "detail": "BENCH_DETAIL.json",
+        # queries whose SEMANTICS changed, with the round the perf
+        # anchor re-bases at — a ratio vs an older round compares
+        # different computations (html_strip r7: JVM tag-regexp strip
+        # -> real HTML tokenizer with entity/comment/script handling,
+        # VERDICT r6 #2; the regexp chain survives as
+        # read_html(fast=True))
+        "rebased": {"html_strip": "r7"},
         # per-run samples land only in BENCH_DETAIL.json (stdout line is
         # byte-budgeted); the judge reads the spread to separate noise
         # from drift
