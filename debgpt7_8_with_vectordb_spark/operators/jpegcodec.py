@@ -1,0 +1,642 @@
+"""Baseline JPEG codec (ITU-T T.81), zero dependencies beyond numpy.
+
+Round-7 follow-through on the "lossy codecs stay stubbed" list: baseline
+sequential JPEG is struct + Huffman + an 8x8 DCT — all stdlib/numpy
+expressible — so it graduates from ``decode_image_stub`` to a real
+default, the same way PNG/GIF/BMP/PNM did. The container still has no
+image libraries, so the forward encoder here is the test oracle: the
+suite round-trips encoder->decoder and pins the exactly-representable
+cases (constant blocks at quality 100) byte-for-byte.
+
+Decoder (``decode_jpeg_pixels``): baseline sequential DCT frames
+(SOF0/SOF1) — marker walk, DQT (8- and 16-bit precision), DHT canonical
+Huffman built from the BITS/HUFFVAL lists (spec Annex C), DRI restart
+intervals with RSTn alignment + DC-predictor reset, arbitrary Hi x Vi
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), zigzag + dequantize,
+vectorized 2-D IDCT over all blocks of a component at once, pixel-
+replication chroma upsample, JFIF YCbCr->RGB. Progressive (SOF2),
+lossless, hierarchical and arithmetic-coded frames return None from the
+pixel decoder; ``parse_jpeg_header`` still reads their dimensions (the
+metadata half a curation filter needs never requires entropy decode).
+
+Encoder (``encode_jpeg_baseline``): RGB->YCbCr (JFIF), optional 2x2
+box-filter chroma subsample, FDCT, Annex-K quantization tables scaled by
+the libjpeg quality formula, zigzag, DC-differential + run-length AC
+Huffman coding, 0xFF byte stuffing, optional restart markers. The
+Huffman tables are canonical two-length tables built HERE rather than
+the Annex-K defaults — valid per spec, deliberately non-standard so the
+decoder's canonical code-builder is exercised on tables it has never
+seen (files are larger; compression ratio is not what fixtures are for).
+
+Reference analog: reference reader.py:310-333 decodes real media content
+via libraries (pypdf pages); this module keeps the engine's decode
+surface real with zero dependencies.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# zigzag index -> natural (row-major) index, spec Figure 5
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K.1 quantization tables, natural (row-major) order
+QUANT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+QUANT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# Encoder-side canonical Huffman tables (NOT Annex K — see module doc).
+# DC: 12 category symbols split over lengths 3/4/5; AC: all 256 RRRRSSSS
+# symbols over lengths 8/9. Both satisfy the canonical-code constraint
+# (never reach the all-ones code of the longest length).
+_ENC_DC_BITS = (0, 0, 4, 7, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_ENC_DC_VALS = tuple(range(12))
+_ENC_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0)
+_ENC_AC_VALS = tuple(range(256))
+# distinct shapes for table-id 1 so multi-table routing is exercised
+# (a BITS count is one byte, so 256 symbols must span >= two lengths)
+_ENC_DC1_BITS = (0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_ENC_AC1_BITS = (0, 0, 0, 0, 0, 0, 0, 1, 255, 0, 0, 0, 0, 0, 0, 0)
+
+
+class _JpegError(Exception):
+    """Internal: any structural/entropy inconsistency; the public
+    decoder converts it to the NULL-on-malformed contract."""
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II basis C with C[u, x] = a(u)/2 *
+    cos((2x+1)u*pi/16): forward F = C f C^T, inverse f = C^T F C."""
+    import numpy as np
+
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+def _scaled_quant(base, quality: int):
+    """libjpeg quality scaling: 1..100 -> per-entry clamp to [1, 255]."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    return [min(255, max(1, (b * scale + 50) // 100)) for b in base]
+
+
+def _canonical_codes(bits, vals):
+    """symbol -> (length, code) from the BITS/HUFFVAL lists (Annex C)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits, vals):
+    """(length, code) -> symbol for the bit-serial decoder (F.16)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise _JpegError("DHT symbol list shorter than BITS")
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        if code > (1 << length):
+            raise _JpegError("DHT code overflow")
+        code <<= 1
+    return table
+
+
+def _extend(v: int, t: int) -> int:
+    """Spec F.12 EXTEND: map t received magnitude bits to a signed value."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # stuff so entropy data never forms a marker
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+    def marker(self, m: int) -> None:
+        self.pad_to_byte()
+        self.buf += bytes((0xFF, m))
+
+
+def _encode_block(bw, zz, pred, dctab, actab) -> int:
+    """Huffman-encode one quantized zigzag block; returns its DC value."""
+    diff = zz[0] - pred
+    t = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+    length, code = dctab[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = actab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        length, code = actab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        length, code = actab[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _box2(plane):
+    """2x2 box-filter downsample with edge replication to even dims."""
+    import numpy as np
+
+    h, w = plane.shape
+    if h % 2:
+        plane = np.vstack([plane, plane[-1:]])
+    if w % 2:
+        plane = np.hstack([plane, plane[:, -1:]])
+    return (
+        plane[0::2, 0::2] + plane[0::2, 1::2]
+        + plane[1::2, 0::2] + plane[1::2, 1::2]
+    ) / 4.0
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode interleaved top-down RGB (channels=3) or grayscale
+    (channels=1) bytes as a baseline sequential JFIF file. ``subsample``
+    emits 4:2:0 (Y at 2x2, chroma at 1x1); otherwise 4:4:4."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg_baseline supports 1 or 3 channels")
+    arr = (
+        np.frombuffer(pixels, dtype=np.uint8, count=width * height * channels)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    qluma = _scaled_quant(QUANT_LUMA, quality)
+    qchroma = _scaled_quant(QUANT_CHROMA, quality)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            comps = [(y, 2, 2, 0), (_box2(cb), 1, 1, 1), (_box2(cr), 1, 1, 1)]
+        else:
+            comps = [(y, 1, 1, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+    else:
+        comps = [(arr[..., 0], 1, 1, 0)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    cmat = _dct_matrix()
+    qtabs = (
+        np.asarray(qluma, dtype=np.float64).reshape(8, 8),
+        np.asarray(qchroma, dtype=np.float64).reshape(8, 8),
+    )
+    zz = np.asarray(ZIGZAG)
+    quantized = []  # per comp: (by, bx, 64) int32 zigzag blocks
+    for plane, hi, vi, tq in comps:
+        pw, ph = 8 * mcux * hi, 8 * mcuy * vi
+        plane = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coefs = np.einsum("ux,ijxy,vy->ijuv", cmat, blocks, cmat)
+        q = np.rint(coefs / qtabs[tq]).astype(np.int32)
+        quantized.append(q.reshape(ph // 8, pw // 8, 64)[:, :, zz])
+
+    out = bytearray(b"\xff\xd8")
+    out += (  # APP0 JFIF v1.1, no thumbnail
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+
+    def dqt(tq: int, table) -> bytes:
+        body = bytes([tq]) + bytes(table[ZIGZAG[i]] for i in range(64))
+        return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits, vals) -> bytes:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    out += dqt(0, qluma)
+    sof = b"\x08" + struct.pack(">HH", height, width) + bytes([len(comps)])
+    for idx, (_, hi, vi, tq) in enumerate(comps):
+        sof += bytes([idx + 1, (hi << 4) | vi, tq])
+    enc_dc = (_canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS),)
+    enc_ac = (_canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS),)
+    if channels == 3:
+        out += dqt(1, qchroma)
+        enc_dc += (_canonical_codes(_ENC_DC1_BITS, _ENC_DC_VALS),)
+        enc_ac += (_canonical_codes(_ENC_AC1_BITS, _ENC_AC_VALS),)
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += dht(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
+    out += dht(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
+    if channels == 3:
+        out += dht(0, 1, _ENC_DC1_BITS, _ENC_DC_VALS)
+        out += dht(1, 1, _ENC_AC1_BITS, _ENC_AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([len(comps)])
+    for idx, (_, _, _, tq) in enumerate(comps):
+        sos += bytes([idx + 1, (tq << 4) | tq])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.marker(0xD0 + rst % 8)
+            rst += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (_, hi, vi, tq) in enumerate(comps):
+            for v in range(vi):
+                for hh in range(hi):
+                    blk = quantized[ci][my * vi + v, mx * hi + hh]
+                    preds[ci] = _encode_block(
+                        bw, blk, preds[ci], enc_dc[tq], enc_ac[tq]
+                    )
+    bw.pad_to_byte()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def parse_jpeg_header(payload: bytes):
+    """Marker-walk to the first SOFn and read the frame header. Returns
+    ``(width, height, n_components, sof_marker)`` or None. Works for
+    every DCT frame type (incl. progressive) — dimensions live in the
+    frame header, no entropy decode needed."""
+    n = len(payload)
+    if n < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            return None
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > n:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seglen < 8:
+                return None
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            ncomp = payload[pos + 9]
+            if not w or not h:
+                return None
+            return int(w), int(h), int(ncomp), int(marker)
+        if marker == 0xDA:  # scan before frame header: corrupt
+            return None
+        pos += 2 + seglen
+    return None
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while True:
+            if self.pos >= len(d):
+                raise _JpegError("entropy data truncated")
+            b = d[self.pos]
+            if b != 0xFF:
+                self.pos += 1
+                break
+            if self.pos + 1 >= len(d):
+                raise _JpegError("entropy data truncated at 0xFF")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed data byte
+                self.pos += 2
+                break
+            if nxt == 0xFF:  # fill byte, keep scanning
+                self.pos += 1
+                continue
+            raise _JpegError("marker inside entropy segment")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, nbits: int) -> int:
+        while self.nbits < nbits:
+            self._fill()
+        self.nbits -= nbits
+        v = (self.acc >> self.nbits) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_restart(self, expected: int) -> None:
+        """Drop pad bits and consume the RSTn marker (n must match)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.pos + 2 > len(d) or d[self.pos] != 0xFF:
+            raise _JpegError("expected restart marker")
+        m = d[self.pos + 1]
+        if m != 0xD0 + expected:
+            raise _JpegError("restart marker out of sequence")
+        self.pos += 2
+
+
+def _decode_huff(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise _JpegError("invalid Huffman code")
+
+
+def _decode_block(br, dctab, actab, pred: int):
+    """Decode one block; returns (dc, coef64-natural-order list)."""
+    coef = [0] * 64
+    t = _decode_huff(br, dctab)
+    if t > 15:
+        raise _JpegError("DC category out of range")
+    dc = pred + (_extend(br.read(t), t) if t else 0)
+    coef[0] = dc
+    k = 1
+    while k < 64:
+        rs = _decode_huff(br, actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise _JpegError("AC run past block end")
+        coef[ZIGZAG[k]] = _extend(br.read(s), s)
+        k += 1
+    return dc, coef
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG pixel decode. Returns ``("jpeg", width,
+    height, channels, pixels)`` with pixels row-major top-down,
+    channel-interleaved RGB/gray — the ``decode_image_pixels``
+    contract — or None for non-baseline frames (progressive/lossless/
+    arithmetic) and malformed bytes."""
+    try:
+        return _decode_jpeg(payload)
+    except Exception:
+        return None
+
+
+def _decode_jpeg(payload: bytes):
+    import numpy as np
+
+    n = len(payload)
+    if n < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qt = {}
+    huff = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            return None  # EOI before any scan
+        if pos + 2 > n:
+            return None
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2 or pos + seglen > n:
+            return None
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    vals = body[i : i + 64]
+                    i += 64
+                elif pq == 1:
+                    if i + 128 > len(body):
+                        return None
+                    vals = struct.unpack(">64H", body[i : i + 128])
+                    i += 128
+                else:
+                    return None
+                if len(vals) < 64:
+                    return None
+                tbl = np.zeros(64, dtype=np.float64)
+                for z in range(64):
+                    tbl[ZIGZAG[z]] = vals[z]
+                qt[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = body[i + 1 : i + 17]
+                total = sum(bits)
+                vals = body[i + 17 : i + 17 + total]
+                if len(vals) < total:
+                    return None
+                i += 17 + total
+                huff[(tc, th)] = _decode_table(bits, vals)
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6 or body[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if not w or not h or nc not in (1, 3) or len(body) < 6 + 3 * nc:
+                return None
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (int(w), int(h), comps)
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive / lossless / arithmetic: not baseline
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            return _decode_scan(payload, pos, body, frame, qt, huff, restart_interval)
+        # APPn / COM / others: skipped
+    return None
+
+
+def _decode_scan(payload, pos, body, frame, qt, huff, restart_interval):
+    import numpy as np
+
+    w, h, comps = frame
+    if not body or body[0] != len(comps):
+        return None  # baseline interleaved single-scan only
+    sel = {}
+    for i in range(len(comps)):
+        cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+        sel[cs] = (tt >> 4, tt & 15)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not hmax or not vmax:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    per_comp = []
+    for cid, hi, vi, tq in comps:
+        if (
+            not hi or not vi or hmax % hi or vmax % vi
+            or tq not in qt or cid not in sel
+        ):
+            return None
+        td, ta = sel[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            return None
+        per_comp.append(
+            (
+                hi,
+                vi,
+                qt[tq].reshape(64),
+                huff[(0, td)],
+                huff[(1, ta)],
+                np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.float64),
+            )
+        )
+    br = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_restart(rst % 8)
+            rst += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (hi, vi, _, dctab, actab, coefs) in enumerate(per_comp):
+            for v in range(vi):
+                for hh in range(hi):
+                    preds[ci], blk = _decode_block(br, dctab, actab, preds[ci])
+                    bw = mcux * hi
+                    coefs[(my * vi + v) * bw + mx * hi + hh] = blk
+    cmat = _dct_matrix()
+    planes = []
+    for hi, vi, qflat, _, _, coefs in per_comp:
+        by, bx = mcuy * vi, mcux * hi
+        blocks = (coefs * qflat).reshape(by, bx, 8, 8)
+        spatial = np.einsum("ux,ijuv,vy->ijxy", cmat, blocks, cmat) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return "jpeg", w, h, 1, gray.tobytes()
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return "jpeg", w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()

@@ -11,13 +11,15 @@ BMP / PNM / WAV / MP4 (zero-dependency struct parsers, golden-byte
 pinned), and PIXEL/SAMPLE decode is now REAL for the stdlib-decodable
 subset — PNG 8-bit (zlib inflate + all five scanline filters, paletted
 PLTE mapping, Adam7 interlace), BMP 24/32bpp uncompressed, PNM
-P2/P3/P5/P6, GIF (from-scratch LZW + palette + interlace), WAV PCM
-8/16-bit (``decode_image_pixels`` / ``decode_wav_samples``), with
-feature-extract / resize / PCM-stats stages running on the decoded
+P2/P3/P5/P6, GIF (from-scratch LZW + palette + interlace), baseline
+JPEG (from-scratch Huffman + IDCT + chroma upsample, jpegcodec.py),
+WAV PCM 8/16-bit (``decode_image_pixels`` / ``decode_wav_samples``),
+with feature-extract / resize / PCM-stats stages running on the decoded
 content. Still honestly stubbed, because they genuinely need codec
 libraries absent in this container:
-- ``decode_image_stub``: lossy codecs only
-  (JPEG / MP3 / H.264 frame decode — PIL/cv2/ffmpeg territory);
+- ``decode_image_stub``: progressive/arithmetic JPEG and lossy
+  audio/video codecs (MP3 / H.264 frame decode — PIL/cv2/ffmpeg
+  territory);
 - ``fake_decode_metadata``: the deterministic md5-derived fake kept
   for the oracled plumbing query (testdata payloads are text bytes,
   not image files).
@@ -82,6 +84,13 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
             w, h = struct.unpack("<HH", payload[18:22])
             return "bmp", int(w), int(h)
         return None
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        from .jpegcodec import parse_jpeg_header
+
+        j = parse_jpeg_header(payload)
+        if j is None:
+            return None
+        return "jpeg", j[0], j[1]
     m = _PNM_HEADER.match(payload)
     if m:
         return m.group(1).decode("ascii").lower(), int(m.group(2)), int(m.group(3))
@@ -194,16 +203,18 @@ def attach_binary_payload(
 
 
 def decode_image_stub(payload: bytes) -> object:
-    """Lossy-codec decoder entry point. Since round 7 the
-    stdlib-decodable subset (PNG 8-bit, BMP 24/32bpp, PNM, GIF incl.
-    LZW+interlace, WAV PCM) has a REAL default in
-    ``decode_image_pixels`` / ``decode_wav_samples``; this stub now
-    covers only formats that genuinely require codec libraries absent
-    in this container: JPEG and all lossy audio/video frame decode."""
+    """Codec-library decoder entry point. Since round 7 the
+    zero-dependency subset has a REAL default: PNG 8-bit, BMP 24/32bpp,
+    PNM, GIF incl. LZW+interlace and baseline JPEG (from-scratch
+    Huffman + IDCT, ``operators/jpegcodec.py``) in
+    ``decode_image_pixels``; WAV PCM in ``decode_wav_samples``. This
+    stub now covers only formats that genuinely require codec libraries
+    absent in this container: progressive/arithmetic JPEG and lossy
+    audio/video frame decode (MP3 / H.264 / ...)."""
     raise NotImplementedError(
-        "lossy-codec decode (JPEG/MP3/H.264) requires PIL/cv2/ffmpeg; wire "
-        "the real codec here in production — lossless formats are handled "
-        "by decode_image_pixels/decode_wav_samples"
+        "progressive-JPEG/MP3/H.264 decode requires PIL/cv2/ffmpeg; wire "
+        "the real codec here in production — baseline JPEG and lossless "
+        "formats are handled by decode_image_pixels/decode_wav_samples"
     )
 
 
@@ -598,8 +609,9 @@ def frame_sample_stub(media: DataFrame, every_nth: int = 10) -> DataFrame:
 #     order normalized to RGB(A));
 #   - PNM P5/P6 binary and P2/P3 ASCII, maxval <= 255;
 #   - WAV PCM 8-bit unsigned / 16-bit signed LE samples.
-# GIF pixels (LZW) and every lossy codec (JPEG/MP3/H.264) stay behind
-# ``decode_image_stub`` — those genuinely need codec libraries.
+# GIF pixels (LZW + palette + interlace) and baseline JPEG (jpegcodec.py)
+# decode for real too; only progressive/arithmetic JPEG and lossy
+# audio/video codecs (MP3/H.264) stay behind ``decode_image_stub``.
 #
 # Perf note for 100 TB: the per-byte unfilter loops below are the
 # stdlib-only fallback; in production the decoder slot is the same
@@ -795,9 +807,10 @@ def decode_image_pixels(
     subset (see section comment). Returns ``(fmt, width, height,
     channels, pixels)`` with pixels row-major TOP-DOWN, channel-
     interleaved RGB(A)/gray order — BMP's bottom-up BGR rows, PNG's
-    filtered scanlines, GIF's LZW+palette+interlace and paletted PNG
-    are all normalized — or None for formats outside the subset
-    (lossy codecs: JPEG/...) or malformed bytes."""
+    filtered scanlines, GIF's LZW+palette+interlace, paletted PNG and
+    baseline JPEG (Huffman + IDCT + YCbCr, jpegcodec.py) are all
+    normalized — or None for formats outside the subset
+    (progressive JPEG, lossy audio/video) or malformed bytes."""
     try:
         if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
             return _decode_png_pixels(payload)
@@ -807,6 +820,10 @@ def decode_image_pixels(
             return _decode_pnm_pixels(payload)
         if len(payload) >= 14 and payload[:6] in (b"GIF87a", b"GIF89a"):
             return _decode_gif_pixels(payload)
+        if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+            from .jpegcodec import decode_jpeg_pixels
+
+            return decode_jpeg_pixels(payload)
     except Exception:
         return None
     return None
