@@ -1,0 +1,326 @@
+"""Zero-dependency audio METADATA decode beyond WAV: MP3, FLAC, Ogg.
+
+The curation pattern is the same as the image side: filter a 100 TB
+media corpus by (sample rate, channels, duration) BEFORE paying sample
+decode. These containers' metadata is pure struct/bit layout:
+
+- MP3 (MPEG-1/2/2.5 Layer I-III): ID3v2 tag skip (syncsafe size), frame
+  sync walk with the spec bitrate/sample-rate tables; n_samples =
+  samples-per-frame x frame count (exact for CBR and VBR alike since we
+  walk every frame header — linear in payload size, same cost class as
+  any decode pass).
+- FLAC: "fLaC" magic + STREAMINFO block (bit-packed sample rate /
+  channels / bits / total samples).
+- Ogg: page header + first-packet codec id (Vorbis "\\x01vorbis" or
+  Opus "OpusHead"); duration from the LAST page's granule position
+  (PCM samples for Vorbis, 48 kHz ticks for Opus).
+
+All parsers return the ``AUDIO_SCHEMA`` tuple shape
+``(fmt, channels, sample_rate, bits, n_samples)`` with None for fields
+the container does not carry (bits for lossy codecs), or None for
+unrecognized/truncated bytes. SAMPLE decode for these codecs stays
+honestly stubbed — MDCT/subband synthesis is codec-library territory;
+see ``multimodal.decode_image_stub``'s contract.
+
+The ``encode_test_*`` writers build valid fixtures forward from the
+specs, independent of the parsers, so round-trip tests are two
+implementations agreeing — same discipline as the image writers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# MPEG audio bitrate tables, kbps; index 0 = "free", 15 = invalid.
+_MP3_BITRATES = {
+    # (version_group, layer): 14 usable entries
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {
+    3: (44100, 48000, 32000),  # MPEG-1
+    2: (22050, 24000, 16000),  # MPEG-2
+    0: (11025, 12000, 8000),  # MPEG-2.5
+}
+
+
+def _mp3_frame(payload: bytes, pos: int):
+    """Parse one MPEG audio frame header at pos. Returns
+    (frame_bytes, channels, sample_rate, samples_per_frame) or None."""
+    if pos + 4 > len(payload):
+        return None
+    b1, b2, b3, b4 = payload[pos : pos + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    version_id = (b2 >> 3) & 3  # 0=2.5, 1=reserved, 2=MPEG-2, 3=MPEG-1
+    layer_id = (b2 >> 1) & 3  # 1=III, 2=II, 3=I
+    if version_id == 1 or layer_id == 0:
+        return None
+    layer = 4 - layer_id  # 1, 2, 3
+    vgroup = 1 if version_id == 3 else 2
+    br_idx = (b3 >> 4) & 15
+    sr_idx = (b3 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format unsupported / invalid
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[version_id][sr_idx]
+    padding = (b3 >> 1) & 1
+    channels = 1 if ((b4 >> 6) & 3) == 3 else 2
+    if layer == 1:
+        spf = 384
+        size = (12 * bitrate // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576  # MPEG-2 L3
+        size = spf // 8 * bitrate // rate + padding
+    if size < 4:
+        return None
+    return size, channels, rate, spf
+
+
+def parse_mp3_header(payload: bytes):
+    """Walk every MPEG audio frame. Returns ("mp3", channels,
+    sample_rate, None, n_samples) or None. Requires >= 2 coherent
+    frames (or 1 frame filling the remainder) so random bytes that
+    happen to contain a sync pattern don't classify as audio; a
+    truncated FINAL frame is tolerated (routine in scraped corpora)
+    with its samples dropped, but desync at a frame boundary is
+    corrupt."""
+    pos = 0
+    n = len(payload)
+    if n >= 10 and payload[:3] == b"ID3":
+        size = 0  # ID3v2 syncsafe 28-bit length
+        for b in payload[6:10]:
+            if b & 0x80:
+                return None
+            size = (size << 7) | b
+        pos = 10 + size
+    first = _mp3_frame(payload, pos)
+    if first is None:
+        return None
+    channels, rate = first[1], first[2]
+    frames = 0
+    samples = 0
+    while pos < n:
+        f = _mp3_frame(payload, pos)
+        if f is None:
+            return None  # desync at a frame boundary: corrupt
+        if (f[1], f[2]) != (channels, rate):
+            return None  # CBR/VBR streams keep rate+mode constant
+        if pos + f[0] > n:
+            break  # truncated FINAL frame: tolerated, samples dropped
+        frames += 1
+        samples += f[3]
+        pos += f[0]
+    if frames == 0 or (frames == 1 and pos != n):
+        return None  # a lone sync pattern in random bytes is not audio
+    return "mp3", channels, rate, None, samples
+
+
+def parse_flac_header(payload: bytes):
+    """"fLaC" + STREAMINFO (mandatory first metadata block): returns
+    ("flac", channels, sample_rate, bits, total_samples) or None."""
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        return None
+    btype = payload[4] & 0x7F
+    (blen,) = struct.unpack(">I", b"\x00" + payload[5:8])
+    if btype != 0 or blen < 34 or len(payload) < 8 + 34:
+        return None
+    body = payload[8 : 8 + 34]
+    # bytes 10..17: 20-bit rate | 3-bit channels-1 | 5-bit bits-1 | 36-bit samples
+    packed = int.from_bytes(body[10:18], "big")
+    total = packed & ((1 << 36) - 1)
+    bits = ((packed >> 36) & 0x1F) + 1
+    channels = ((packed >> 41) & 0x07) + 1
+    rate = (packed >> 44) & ((1 << 20) - 1)
+    if not rate:
+        return None
+    return "flac", channels, rate, bits, total
+
+
+def _ogg_page(payload: bytes, pos: int):
+    """Returns (page_total_bytes, granule, body_start, body_len) or None."""
+    if pos + 27 > len(payload) or payload[pos : pos + 4] != b"OggS":
+        return None
+    if payload[pos + 4] != 0:
+        return None  # stream structure version
+    (granule,) = struct.unpack("<q", payload[pos + 6 : pos + 14])
+    nseg = payload[pos + 26]
+    if pos + 27 + nseg > len(payload):
+        return None
+    body_len = sum(payload[pos + 27 : pos + 27 + nseg])
+    total = 27 + nseg + body_len
+    if pos + total > len(payload):
+        return None
+    return total, granule, pos + 27 + nseg, body_len
+
+
+def parse_ogg_header(payload: bytes):
+    """Ogg container with a Vorbis or Opus stream: identification
+    header gives channels + sample rate; the final page's granule
+    position gives n_samples (Vorbis: PCM samples at the stream rate;
+    Opus: 48 kHz ticks regardless of input rate — reported as-is with
+    fmt "opus" so downstream duration math divides by the right rate).
+    Returns (fmt, channels, sample_rate, None, n_samples) or None."""
+    first = _ogg_page(payload, 0)
+    if first is None:
+        return None
+    _, _, body_start, body_len = first
+    body = payload[body_start : body_start + body_len]
+    if body[:7] == b"\x01vorbis" and body_len >= 30:
+        if struct.unpack("<I", body[7:11])[0] != 0:
+            return None  # vorbis_version must be 0
+        channels = body[11]
+        (rate,) = struct.unpack("<I", body[12:16])
+        fmt = "vorbis"
+    elif body[:8] == b"OpusHead" and body_len >= 19:
+        channels = body[9]
+        rate = 48000  # Opus granules and output clock are always 48 kHz
+        fmt = "opus"
+    else:
+        return None
+    if not channels or not rate:
+        return None
+    # walk pages to the last granule (linear, like the MP3 frame walk)
+    pos = 0
+    granule = 0
+    while pos < len(payload):
+        page = _ogg_page(payload, pos)
+        if page is None:
+            return None
+        if page[1] >= 0:  # -1 marks a page with no completed packet
+            granule = page[1]
+        pos += page[0]
+    return fmt, channels, rate, None, granule
+
+
+def parse_audio_header(payload: bytes):
+    """Container dispatch for the audio metadata stage: WAV (RIFF walk
+    in ``multimodal.parse_wav_header``), MP3, FLAC, Ogg Vorbis/Opus.
+    Returns the AUDIO_SCHEMA tuple or None."""
+    if payload[:4] == b"RIFF":
+        from .multimodal import parse_wav_header
+
+        w = parse_wav_header(payload)
+        return w if w is None else (w[0], w[1], w[2], w[3], w[4])
+    if payload[:4] == b"fLaC":
+        return parse_flac_header(payload)
+    if payload[:4] == b"OggS":
+        return parse_ogg_header(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return parse_mp3_header(payload)
+    return None
+
+
+# ------------------------------------------------------------- writers
+
+
+def encode_test_mp3(
+    channels: int,
+    sample_rate: int,
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    with_id3: bool = False,
+    pad_every: int = 0,
+) -> bytes:
+    """Valid MPEG-1/2 Layer III CBR stream with zeroed frame payloads,
+    written forward from the spec tables (independent of the parser)."""
+    version_id = {True: 3, False: 2}[sample_rate >= 32000]
+    rates = _MP3_RATES[version_id]
+    sr_idx = rates.index(sample_rate)
+    vgroup = 1 if version_id == 3 else 2
+    br_idx = _MP3_BITRATES[(vgroup, 3)].index(bitrate_kbps) + 1
+    spf = 1152 if vgroup == 1 else 576
+    out = bytearray()
+    if with_id3:
+        tag = b"TAG-BODY" * 4  # 32 bytes, syncsafe-encoded length
+        out += b"ID3\x04\x00\x00" + bytes(
+            (len(tag) >> s) & 0x7F for s in (21, 14, 7, 0)
+        ) + tag
+    mode = 0xC0 if channels == 1 else 0x00
+    for i in range(n_frames):
+        padding = 1 if pad_every and i % pad_every == 0 else 0
+        size = spf // 8 * (bitrate_kbps * 1000) // sample_rate + padding
+        hdr = bytes(
+            (
+                0xFF,
+                0xE0 | (version_id << 3) | (1 << 1) | 1,  # layer III, no CRC
+                (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+                mode,
+            )
+        )
+        out += hdr + b"\x00" * (size - 4)
+    return bytes(out)
+
+
+def encode_test_flac(
+    channels: int, sample_rate: int, bits: int, total_samples: int
+) -> bytes:
+    """"fLaC" + last-metadata STREAMINFO block (no audio frames —
+    header-only fixture, the parser never reads past STREAMINFO)."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    )
+    # 16+16 blocksize, 24+24 framesize, then the packed 64-bit field
+    body = (
+        struct.pack(">HH", 4096, 4096)
+        + b"\x00\x00\x00" * 2  # min/max framesize unknown
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of unencoded audio
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _ogg_wrap(serial: int, seq: int, granule: int, htype: int, packet: bytes) -> bytes:
+    segs = []
+    rest = len(packet)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    hdr = (
+        b"OggS\x00"
+        + bytes([htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<III", serial, seq, 0)  # checksum left 0 (parser ignores)
+        + bytes([len(segs)])
+        + bytes(segs)
+    )
+    return hdr + packet
+
+
+def encode_test_ogg(
+    codec: str, channels: int, sample_rate: int, total_granule: int
+) -> bytes:
+    """Two-page Ogg stream: identification header page + an EOS data
+    page carrying the final granule position."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)
+            + bytes([channels])
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<iii", 0, 0, 0)
+            + b"\xb8\x01"  # blocksizes + framing bit
+        )
+    elif codec == "opus":
+        ident = (
+            b"OpusHead\x01"
+            + bytes([channels])
+            + struct.pack("<H", 312)  # pre-skip
+            + struct.pack("<I", sample_rate)  # input rate (informational)
+            + struct.pack("<hB", 0, 0)
+        )
+    else:
+        raise ValueError(f"unknown ogg codec: {codec}")
+    page0 = _ogg_wrap(7, 0, 0, 0x02, ident)  # BOS
+    page1 = _ogg_wrap(7, 1, total_granule, 0x04, b"\x00" * 20)  # EOS
+    return page0 + page1

@@ -286,14 +286,19 @@ def parse_wav_header(
 
 
 def decode_audio_metadata(media: DataFrame) -> DataFrame:
-    """Arrow-batched WAV-header decode stage — the audio twin of
-    ``decode_image_metadata``; unrecognized payloads keep the row with
-    NULL fields."""
+    """Arrow-batched audio-header decode stage — the audio twin of
+    ``decode_image_metadata``. Dispatches on container magic: WAV RIFF
+    walk here, MP3 frame walk / FLAC STREAMINFO / Ogg Vorbis+Opus in
+    ``audio_headers`` (all zero-dep struct parsers). Unrecognized
+    payloads keep the row with NULL fields; ``bits`` is NULL for lossy
+    codecs that have no PCM width."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .audio_headers import parse_audio_header
+
         for pdf in batches:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
-            parsed = [_parse_or_none(parse_wav_header, p) for p in payloads]
+            parsed = [_parse_or_none(parse_audio_header, p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
