@@ -60,7 +60,11 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     - BMP: 'BM' magic; BITMAPINFOHEADER width/height are little-endian
       int32 at offsets 18/22 (height may be negative = top-down rows);
     - PPM/PGM/PBM (P1-P6): ASCII "<magic> <width> <height>" with
-      whitespace/comment separators (Netpbm format spec).
+      whitespace/comment separators (Netpbm format spec);
+    - JPEG: marker walk to the first SOFn frame header (works for
+      progressive too — dimensions need no entropy decode);
+    - TIFF: byte-order mark + first-IFD tag walk (256/257);
+    - WebP: RIFF container, VP8 / VP8L / VP8X dimension layouts.
 
     This is the metadata half a curation pipeline actually runs at
     scale (filter by dimensions / aspect ratio BEFORE paying pixel
@@ -91,10 +95,72 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         if j is None:
             return None
         return "jpeg", j[0], j[1]
+    if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff_header(payload)
+    if len(payload) >= 30 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _parse_webp_header(payload)
     m = _PNM_HEADER.match(payload)
     if m:
         return m.group(1).decode("ascii").lower(), int(m.group(2)), int(m.group(3))
     return None
+
+
+def _parse_tiff_header(payload: bytes):
+    """TIFF 6.0: endianness from the byte-order mark, first IFD walk,
+    ImageWidth (256) / ImageLength (257) as SHORT or LONG inline
+    values. Multi-page files report the first directory — the
+    filter-by-dimensions contract, not a full tag decode."""
+    endian = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        return None
+    (count,) = struct.unpack(endian + "H", payload[ifd_off : ifd_off + 2])
+    w = h = None
+    for i in range(count):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            return None
+        tag, typ = struct.unpack(endian + "HH", payload[off : off + 4])
+        if tag in (256, 257):
+            if typ == 3:  # SHORT: value left-justified in the 4-byte slot
+                (v,) = struct.unpack(endian + "H", payload[off + 8 : off + 10])
+            elif typ == 4:  # LONG
+                (v,) = struct.unpack(endian + "I", payload[off + 8 : off + 12])
+            else:
+                return None
+            if tag == 256:
+                w = v
+            else:
+                h = v
+    if not w or not h:
+        return None
+    return "tiff", int(w), int(h)
+
+
+def _parse_webp_header(payload: bytes):
+    """WebP (RIFF container): VP8 lossy (start code + 14-bit dims),
+    VP8L lossless (0x2F signature + 14-bit minus-one dims), VP8X
+    extended (24-bit minus-one canvas dims)."""
+    tag = payload[12:16]
+    if tag == b"VP8 ":
+        if payload[23:26] != b"\x9d\x01\x2a":  # keyframe start code
+            return None
+        w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+    elif tag == b"VP8L":
+        if payload[20] != 0x2F:
+            return None
+        bits = int.from_bytes(payload[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+    elif tag == b"VP8X":
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+    else:
+        return None
+    if not w or not h:
+        return None
+    return "webp", int(w), int(h)
 
 
 def _parse_or_none(parser, payload: bytes):
@@ -457,14 +523,58 @@ def parse_mp4_header(
     return "mp4", int(timescale), int(duration), width, height, n_tracks
 
 
+def parse_avi_header(
+    payload: bytes,
+) -> tuple[str, int, int, int, int, int] | None:
+    """REAL AVI metadata decode: RIFF 'AVI ' chunk walk to the avih
+    main header (OpenDML / AVI RIFF spec). Reports the VIDEO_SCHEMA
+    shape with timescale fixed at 1_000_000 (avih counts microseconds
+    per frame, so duration = usec_per_frame * total_frames stays
+    integer-exact in timescale units, matching the mvhd contract)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+
+    def find_avih(pos: int, end: int):
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if tag == b"LIST" and payload[pos + 8 : pos + 12] == b"hdrl":
+                hit = find_avih(pos + 12, min(end, pos + 8 + size))
+                if hit is not None:
+                    return hit
+            elif tag == b"avih" and size >= 40 and pos + 48 <= end:
+                return payload[pos + 8 : pos + 48]
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        return None
+
+    body = find_avih(12, len(payload))
+    if body is None:
+        return None
+    usec_pf, _, _, _, total_frames, _, streams, _, w, h = struct.unpack(
+        "<10I", body
+    )
+    if not w or not h or not usec_pf:
+        return None
+    return "avi", 1_000_000, usec_pf * total_frames, int(w), int(h), int(streams)
+
+
+def parse_video_header(payload: bytes):
+    """Container dispatch for the video metadata stage: ISO BMFF / MP4
+    box walk or AVI RIFF walk."""
+    if payload[:4] == b"RIFF":
+        return parse_avi_header(payload)
+    return parse_mp4_header(payload)
+
+
 def decode_video_metadata(media: DataFrame) -> DataFrame:
-    """Arrow-batched MP4-header decode stage — the video third of the
-    metadata trio; unrecognized payloads keep the row with NULLs."""
+    """Arrow-batched video-header decode stage — the video third of
+    the metadata trio (MP4 box walk + AVI RIFF walk); unrecognized
+    payloads keep the row with NULLs."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
-            parsed = [_parse_or_none(parse_mp4_header, p) for p in payloads]
+            parsed = [_parse_or_none(parse_video_header, p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -526,6 +636,64 @@ def encode_test_mp4(
     return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(
         b"moov", _box(b"mvhd", mvhd) + traks
     )
+
+
+def encode_test_avi(
+    usec_per_frame: int,
+    total_frames: int,
+    width: int,
+    height: int,
+    streams: int = 1,
+) -> bytes:
+    """Minimal valid AVI skeleton (written forward from the AVI RIFF
+    spec, independent of the parser): RIFF 'AVI ' + LIST hdrl + avih."""
+    avih = struct.pack(
+        "<10I", usec_per_frame, 0, 0, 0, total_frames, 0, streams, 0, width, height
+    ) + b"\x00" * 16  # dwScale..dwLength reserved tail
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_test_tiff(width: int, height: int, big_endian: bool = False) -> bytes:
+    """Minimal valid TIFF: byte-order mark + one IFD carrying
+    ImageWidth (SHORT) and ImageLength (LONG) — the two layouts the
+    parser must distinguish."""
+    e = ">" if big_endian else "<"
+    bom = b"MM\x00*" if big_endian else b"II*\x00"
+    ifd = struct.pack(e + "H", 2)
+    # SHORT values are left-justified within the 4-byte value slot
+    ifd += struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", width, 0)
+    ifd += struct.pack(e + "HHII", 257, 4, 1, height)
+    ifd += struct.pack(e + "I", 0)  # next-IFD terminator
+    return bom + struct.pack(e + "I", 8) + ifd
+
+
+def encode_test_webp(kind: str, width: int, height: int) -> bytes:
+    """Minimal valid WebP headers for all three chunk layouts."""
+    if kind == "vp8":
+        chunk = (
+            b"\x00\x00\x00"  # frame tag (keyframe, version 0)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width, height)
+            + b"\x00" * 8
+        )
+        tag = b"VP8 "
+    elif kind == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        chunk = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+        tag = b"VP8L"
+    elif kind == "vp8x":
+        chunk = (
+            b"\x00" * 4
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        tag = b"VP8X"
+    else:
+        raise ValueError(f"unknown webp chunk kind: {kind}")
+    body = b"WEBP" + tag + struct.pack("<I", len(chunk)) + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def synthesize_test_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
