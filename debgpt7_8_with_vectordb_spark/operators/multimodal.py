@@ -558,11 +558,114 @@ def parse_avi_header(
     return "avi", 1_000_000, usec_pf * total_frames, int(w), int(h), int(streams)
 
 
+def _ebml_vint(payload: bytes, pos: int):
+    """Read one EBML variable-length integer. Returns
+    (value_with_marker, value_without_marker, length) or None."""
+    if pos >= len(payload):
+        return None
+    b0 = payload[pos]
+    if b0 == 0:
+        return None  # >8-byte vints are outside the Matroska profile
+    length = 9 - b0.bit_length()
+    if pos + length > len(payload):
+        return None
+    raw = b0
+    stripped = b0 & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        raw = (raw << 8) | payload[pos + i]
+        stripped = (stripped << 8) | payload[pos + i]
+    return raw, stripped, length
+
+
+def _ebml_children(payload: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for one EBML level.
+    Unknown-size elements (all value bits set — streamed Segments)
+    run to the enclosing end, per the EBML spec."""
+    while pos < end:
+        head = _ebml_vint(payload, pos)
+        if head is None:
+            return
+        eid, _, id_len = head
+        size_f = _ebml_vint(payload, pos + id_len)
+        if size_f is None:
+            return
+        _, size, size_len = size_f
+        body_start = pos + id_len + size_len
+        if size == (1 << (7 * size_len)) - 1:  # unknown size
+            body_end = end
+        else:
+            body_end = body_start + size
+            if body_end > end:
+                return
+        yield eid, body_start, body_end
+        pos = body_end
+
+
+def parse_mkv_header(
+    payload: bytes,
+) -> tuple[str, int, int | None, int, int, int] | None:
+    """REAL Matroska/WebM metadata decode: EBML walk to Segment >
+    Info (TimestampScale, Duration) and Tracks > TrackEntry > Video
+    (PixelWidth/PixelHeight). Reports VIDEO_SCHEMA shape: timescale =
+    ticks/second derived from TimestampScale (default 1 ms ticks),
+    duration in ticks (Matroska stores it as a float — rounded to the
+    integer tick; None when the file carries no Duration, e.g. live
+    remuxes), n_tracks = TrackEntry count. Files without a Video
+    element are not videos for this stage's purpose -> None."""
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        return None
+    doctype = "matroska"
+    ts_scale = 1_000_000  # nanoseconds per tick (spec default)
+    duration = None
+    width = height = None
+    n_tracks = 0
+    for eid, b0, b1 in _ebml_children(payload, 0, len(payload)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for eid2, c0, c1 in _ebml_children(payload, b0, b1):
+                if eid2 == 0x4282:  # DocType
+                    doctype = (
+                        payload[c0:c1].split(b"\x00")[0].decode("ascii", "replace")
+                    )
+        elif eid == 0x18538067:  # Segment
+            for eid2, c0, c1 in _ebml_children(payload, b0, b1):
+                if eid2 == 0x1549A966:  # Info
+                    for eid3, d0, d1 in _ebml_children(payload, c0, c1):
+                        if eid3 == 0x2AD7B1:
+                            ts_scale = int.from_bytes(payload[d0:d1], "big")
+                        elif eid3 == 0x4489:  # Duration (float32/64)
+                            raw = payload[d0:d1]
+                            if len(raw) == 4:
+                                duration = struct.unpack(">f", raw)[0]
+                            elif len(raw) == 8:
+                                duration = struct.unpack(">d", raw)[0]
+                elif eid2 == 0x1654AE6B:  # Tracks
+                    for eid3, d0, d1 in _ebml_children(payload, c0, c1):
+                        if eid3 != 0xAE:  # TrackEntry
+                            continue
+                        n_tracks += 1
+                        for eid4, e0, e1 in _ebml_children(payload, d0, d1):
+                            if eid4 != 0xE0:  # Video
+                                continue
+                            for eid5, f0, f1 in _ebml_children(payload, e0, e1):
+                                if eid5 == 0xB0:
+                                    width = int.from_bytes(payload[f0:f1], "big")
+                                elif eid5 == 0xBA:
+                                    height = int.from_bytes(payload[f0:f1], "big")
+    if not ts_scale or not width or not height or not n_tracks:
+        return None
+    fmt = "webm" if doctype == "webm" else "mkv"
+    timescale = round(1_000_000_000 / ts_scale)
+    ticks = None if duration is None else round(duration)
+    return fmt, timescale, ticks, int(width), int(height), n_tracks
+
+
 def parse_video_header(payload: bytes):
     """Container dispatch for the video metadata stage: ISO BMFF / MP4
-    box walk or AVI RIFF walk."""
+    box walk, AVI RIFF walk, or Matroska/WebM EBML walk."""
     if payload[:4] == b"RIFF":
         return parse_avi_header(payload)
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        return parse_mkv_header(payload)
     return parse_mp4_header(payload)
 
 
@@ -694,6 +797,51 @@ def encode_test_webp(kind: str, width: int, height: int) -> bytes:
         raise ValueError(f"unknown webp chunk kind: {kind}")
     body = b"WEBP" + tag + struct.pack("<I", len(chunk)) + chunk
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _ebml_el(eid: bytes, body: bytes, unknown_size: bool = False) -> bytes:
+    """One EBML element: raw id + size vint (or the 1-byte unknown-size
+    marker for streamed Segments) + body."""
+    if unknown_size:
+        return eid + b"\xff" + body
+    for length in range(1, 9):
+        if len(body) < (1 << (7 * length)) - 1:
+            size = ((1 << (7 * length)) | len(body)).to_bytes(length, "big")
+            return eid + size + body
+    raise ValueError("EBML body too large")
+
+
+def encode_test_mkv(
+    doctype: str,
+    width: int,
+    height: int,
+    ts_scale_ns: int | None = 1_000_000,
+    duration_ticks: float | None = 10_000,
+    n_tracks: int = 1,
+    streamed: bool = False,
+) -> bytes:
+    """Minimal valid Matroska/WebM skeleton (written forward from the
+    EBML + Matroska specs, independent of the parser). ``streamed``
+    emits the Segment with the unknown-size marker; None parameters
+    omit their optional elements (spec defaults apply)."""
+    header = _ebml_el(b"\x1aE\xdf\xa3", _ebml_el(b"\x42\x82", doctype.encode()))
+    info_body = b""
+    if ts_scale_ns is not None:
+        info_body += _ebml_el(b"\x2a\xd7\xb1", ts_scale_ns.to_bytes(4, "big"))
+    if duration_ticks is not None:
+        info_body += _ebml_el(b"\x44\x89", struct.pack(">d", float(duration_ticks)))
+    info = _ebml_el(b"\x15\x49\xa9\x66", info_body)
+    video = _ebml_el(
+        b"\xe0",
+        _ebml_el(b"\xb0", int(width).to_bytes(2, "big"))
+        + _ebml_el(b"\xba", int(height).to_bytes(2, "big")),
+    )
+    entries = _ebml_el(b"\xae", video)
+    for _ in range(n_tracks - 1):  # audio/subtitle tracks: no Video child
+        entries += _ebml_el(b"\xae", _ebml_el(b"\xd7", b"\x02"))
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", entries)
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks, unknown_size=streamed)
+    return header + segment
 
 
 def synthesize_test_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -105,3 +105,70 @@ def test_video_stage_dispatch(spark):
     assert rows[2]["fmt"] == "avi" and rows[2]["timescale"] == 1_000_000
     assert rows[2]["duration"] == 33_333 * 300 and rows[2]["n_tracks"] == 2
     assert rows[3]["fmt"] is None
+
+
+# --------------------------------------------------------- MKV / WebM
+
+
+def _mkv_imports():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        encode_test_mkv,
+        parse_mkv_header,
+    )
+
+    return encode_test_mkv, parse_mkv_header
+
+
+def test_mkv_roundtrip_and_doctype_split():
+    encode_test_mkv, parse_mkv_header = _mkv_imports()
+    got = parse_mkv_header(
+        encode_test_mkv("matroska", 1920, 1080, 1_000_000, 42_000, n_tracks=3)
+    )
+    # default 1ms ticks -> timescale 1000/s, duration in ticks
+    assert got == ("mkv", 1000, 42_000, 1920, 1080, 3)
+    assert parse_mkv_header(encode_test_mkv("webm", 640, 360))[0] == "webm"
+
+
+def test_mkv_defaults_and_optional_duration():
+    encode_test_mkv, parse_mkv_header = _mkv_imports()
+    # omit TimestampScale -> spec default 1_000_000 ns
+    got = parse_mkv_header(
+        encode_test_mkv("matroska", 10, 10, ts_scale_ns=None, duration_ticks=5.4)
+    )
+    assert got == ("mkv", 1000, 5, 10, 10, 1)
+    # omit Duration -> None ticks, still a recognized video
+    got2 = parse_mkv_header(
+        encode_test_mkv("matroska", 10, 10, duration_ticks=None)
+    )
+    assert got2 == ("mkv", 1000, None, 10, 10, 1)
+    # non-default scale: 33ms ticks -> about 30 ticks/s
+    got3 = parse_mkv_header(
+        encode_test_mkv("matroska", 10, 10, ts_scale_ns=33_000_000)
+    )
+    assert got3[1] == 30
+
+
+def test_mkv_streamed_unknown_size_segment():
+    encode_test_mkv, parse_mkv_header = _mkv_imports()
+    raw = encode_test_mkv("webm", 320, 240, streamed=True)
+    assert b"\x18\x53\x80\x67\xff" in raw  # unknown-size marker emitted
+    assert parse_mkv_header(raw) == ("webm", 1000, 10_000, 320, 240, 1)
+
+
+def test_mkv_rejects_malformed_and_videoless():
+    encode_test_mkv, parse_mkv_header = _mkv_imports()
+    raw = encode_test_mkv("matroska", 320, 240)
+    assert parse_mkv_header(raw[:10]) is None
+    assert parse_mkv_header(b"\x1aE\xdf\xa3") is None
+    # a Segment whose only track has no Video element is not a video
+    audio_only = raw.replace(b"\xb0", b"\xb1", 1)  # break PixelWidth id
+    assert parse_mkv_header(audio_only) is None
+
+
+def test_video_dispatch_covers_mkv(spark):
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        encode_test_mkv,
+        parse_video_header,
+    )
+
+    assert parse_video_header(encode_test_mkv("webm", 64, 48))[0] == "webm"
