@@ -1,32 +1,41 @@
-"""Baseline JPEG codec (ITU-T T.81), zero dependencies beyond numpy.
+"""JPEG codec (ITU-T T.81), zero dependencies beyond numpy: baseline
+sequential AND progressive, both directions.
 
-Round-7 follow-through on the "lossy codecs stay stubbed" list: baseline
-sequential JPEG is struct + Huffman + an 8x8 DCT — all stdlib/numpy
-expressible — so it graduates from ``decode_image_stub`` to a real
-default, the same way PNG/GIF/BMP/PNM did. The container still has no
-image libraries, so the forward encoder here is the test oracle: the
-suite round-trips encoder->decoder and pins the exactly-representable
-cases (constant blocks at quality 100) byte-for-byte.
+Round-7 follow-through on the "lossy codecs stay stubbed" list: JPEG is
+struct + Huffman + an 8x8 DCT — all stdlib/numpy expressible — so it
+graduates from ``decode_image_stub`` to a real default, the same way
+PNG/GIF/BMP/PNM did. The container has no image libraries, so the
+forward encoders here are the test oracle: the suite round-trips
+encoder->decoder, pins the exactly-representable cases (constant blocks
+at quality 100) byte-for-byte, and pins progressive decode bit-identical
+to baseline decode of the same quantized coefficients.
 
-Decoder (``decode_jpeg_pixels``): baseline sequential DCT frames
-(SOF0/SOF1) — marker walk, DQT (8- and 16-bit precision), DHT canonical
-Huffman built from the BITS/HUFFVAL lists (spec Annex C), DRI restart
-intervals with RSTn alignment + DC-predictor reset, arbitrary Hi x Vi
-sampling factors (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), zigzag + dequantize,
-vectorized 2-D IDCT over all blocks of a component at once, pixel-
-replication chroma upsample, JFIF YCbCr->RGB. Progressive (SOF2),
-lossless, hierarchical and arithmetic-coded frames return None from the
-pixel decoder; ``parse_jpeg_header`` still reads their dimensions (the
-metadata half a curation filter needs never requires entropy decode).
+Decoder (``decode_jpeg_pixels``): sequential (SOF0/SOF1) and progressive
+(SOF2) DCT frames — marker walk, DQT (8- and 16-bit precision), DHT
+canonical Huffman built from the BITS/HUFFVAL lists (spec Annex C), DRI
+restart intervals with RSTn alignment + DC-predictor/EOB-run reset,
+arbitrary Hi x Vi sampling factors (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1),
+multi-scan accumulation over a shared coefficient store (progressive
+spectral selection + successive approximation: DC first/refine, AC
+first/refine with EOB runs, spec G.1.2), zigzag + dequantize, vectorized
+2-D IDCT over all blocks of a component at once, pixel-replication
+chroma upsample, JFIF YCbCr->RGB. Lossless, hierarchical and
+arithmetic-coded frames return None from the pixel decoder;
+``parse_jpeg_header`` still reads their dimensions (the metadata half a
+curation filter needs never requires entropy decode).
 
-Encoder (``encode_jpeg_baseline``): RGB->YCbCr (JFIF), optional 2x2
-box-filter chroma subsample, FDCT, Annex-K quantization tables scaled by
-the libjpeg quality formula, zigzag, DC-differential + run-length AC
-Huffman coding, 0xFF byte stuffing, optional restart markers. The
-Huffman tables are canonical two-length tables built HERE rather than
-the Annex-K defaults — valid per spec, deliberately non-standard so the
-decoder's canonical code-builder is exercised on tables it has never
-seen (files are larger; compression ratio is not what fixtures are for).
+Encoders (``encode_jpeg_baseline`` / ``encode_jpeg_progressive``):
+RGB->YCbCr (JFIF), optional 2x2 box-filter chroma subsample, FDCT,
+Annex-K quantization tables scaled by the libjpeg quality formula,
+zigzag, DC-differential + run-length AC Huffman coding, 0xFF byte
+stuffing, optional restart markers; the progressive encoder emits
+either a spectral-selection-only script or the full successive-
+approximation progression (G.1.2.3 emit ordering for refinement
+correction bits and EOB runs). The Huffman tables are canonical
+two-length tables built HERE rather than the Annex-K defaults — valid
+per spec, deliberately non-standard so the decoder's canonical
+code-builder is exercised on tables it has never seen (files are
+larger; compression ratio is not what fixtures are for).
 
 Reference analog: reference reader.py:310-333 decodes real media content
 via libraries (pypdf pages); this module keeps the engine's decode
@@ -222,22 +231,23 @@ def _box2(plane):
     ) / 4.0
 
 
-def encode_jpeg_baseline(
+def _prepare_components(
     width: int,
     height: int,
     pixels: bytes,
-    channels: int = 3,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode interleaved top-down RGB (channels=3) or grayscale
-    (channels=1) bytes as a baseline sequential JFIF file. ``subsample``
-    emits 4:2:0 (Y at 2x2, chroma at 1x1); otherwise 4:4:4."""
+    channels: int,
+    quality: int,
+    subsample: bool,
+):
+    """Shared forward-transform front end: color convert, optional 2x2
+    chroma downsample, pad to the MCU block grid, FDCT, quantize,
+    zigzag. Returns (comp_meta, quantized, qluma, qchroma, mcux, mcuy)
+    where comp_meta = [(hi, vi, tq), ...] and quantized[i] is an
+    (pbh, pbw, 64) int32 array of zigzag-ordered blocks."""
     import numpy as np
 
     if channels not in (1, 3):
-        raise ValueError("encode_jpeg_baseline supports 1 or 3 channels")
+        raise ValueError("JPEG encoders here support 1 or 3 channels")
     arr = (
         np.frombuffer(pixels, dtype=np.uint8, count=width * height * channels)
         .reshape(height, width, channels)
@@ -266,7 +276,7 @@ def encode_jpeg_baseline(
         np.asarray(qchroma, dtype=np.float64).reshape(8, 8),
     )
     zz = np.asarray(ZIGZAG)
-    quantized = []  # per comp: (by, bx, 64) int32 zigzag blocks
+    quantized = []
     for plane, hi, vi, tq in comps:
         pw, ph = 8 * mcux * hi, 8 * mcuy * vi
         plane = np.pad(
@@ -280,6 +290,24 @@ def encode_jpeg_baseline(
         coefs = np.einsum("ux,ijxy,vy->ijuv", cmat, blocks, cmat)
         q = np.rint(coefs / qtabs[tq]).astype(np.int32)
         quantized.append(q.reshape(ph // 8, pw // 8, 64)[:, :, zz])
+    return [(hi, vi, tq) for _, hi, vi, tq in comps], quantized, qluma, qchroma, mcux, mcuy
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode interleaved top-down RGB (channels=3) or grayscale
+    (channels=1) bytes as a baseline sequential JFIF file. ``subsample``
+    emits 4:2:0 (Y at 2x2, chroma at 1x1); otherwise 4:4:4."""
+    comps, quantized, qluma, qchroma, mcux, mcuy = _prepare_components(
+        width, height, pixels, channels, quality, subsample
+    )
 
     out = bytearray(b"\xff\xd8")
     out += (  # APP0 JFIF v1.1, no thumbnail
@@ -297,7 +325,7 @@ def encode_jpeg_baseline(
 
     out += dqt(0, qluma)
     sof = b"\x08" + struct.pack(">HH", height, width) + bytes([len(comps)])
-    for idx, (_, hi, vi, tq) in enumerate(comps):
+    for idx, (hi, vi, tq) in enumerate(comps):
         sof += bytes([idx + 1, (hi << 4) | vi, tq])
     enc_dc = (_canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS),)
     enc_ac = (_canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS),)
@@ -314,7 +342,7 @@ def encode_jpeg_baseline(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([len(comps)])
-    for idx, (_, _, _, tq) in enumerate(comps):
+    for idx, (_, _, tq) in enumerate(comps):
         sos += bytes([idx + 1, (tq << 4) | tq])
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
@@ -328,7 +356,7 @@ def encode_jpeg_baseline(
             rst += 1
             preds = [0] * len(comps)
         my, mx = divmod(m, mcux)
-        for ci, (_, hi, vi, tq) in enumerate(comps):
+        for ci, (hi, vi, tq) in enumerate(comps):
             for v in range(vi):
                 for hh in range(hi):
                     blk = quantized[ci][my * vi + v, mx * hi + hh]
@@ -337,6 +365,241 @@ def encode_jpeg_baseline(
                     )
     bw.pad_to_byte()
     out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_dc_first(bw, dctab, dc: int, pred: int, al: int) -> int:
+    """Progressive DC-first: category + magnitude bits of the
+    point-transformed (arithmetic shift) DC differential."""
+    val = dc >> al
+    diff = val - pred
+    t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+    length, code = dctab[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return val
+
+
+def _emit_eobrun(bw, actab, n: int) -> None:
+    """EOBn symbol for a run of n blocks: category floor(log2 n) +
+    that many low-order bits of n (spec G.1.2.2)."""
+    nbits = n.bit_length() - 1
+    length, code = actab[nbits << 4]
+    bw.write(code, length)
+    if nbits:
+        bw.write(n & ((1 << nbits) - 1), nbits)
+
+
+def _enc_ac_first_block(bw, actab, zzblk, ss, se, al, eobrun) -> int:
+    """Progressive AC-first for one block: run/size coding of the
+    point-transformed band, EOB-run accumulation across blocks."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zzblk[k])
+        mag = (-t if t < 0 else t) >> al
+        if mag == 0:
+            r += 1
+            continue
+        if eobrun:
+            _emit_eobrun(bw, actab, eobrun)
+            eobrun = 0
+        while r > 15:
+            length, code = actab[0xF0]
+            bw.write(code, length)
+            r -= 16
+        s = mag.bit_length()
+        length, code = actab[(r << 4) | s]
+        bw.write(code, length)
+        bw.write(mag if t > 0 else (1 << s) - 1 - mag, s)
+        r = 0
+    if r:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            _emit_eobrun(bw, actab, eobrun)
+            eobrun = 0
+    return eobrun
+
+
+def _flush_eobrun_refine(bw, actab, st) -> None:
+    """Emit the pending EOB run and the correction bits deferred with
+    it (spec G.1.2.3 emit order: symbol, extra bits, buffered bits)."""
+    if st["eobrun"] <= 0:
+        return
+    _emit_eobrun(bw, actab, st["eobrun"])
+    st["eobrun"] = 0
+    for b in st["bits"]:
+        bw.write(b, 1)
+    st["bits"] = []
+
+
+def _enc_ac_refine_block(bw, actab, zzblk, ss, se, al, st) -> None:
+    """Progressive AC-refinement for one block: correction bits for
+    history coefficients ride after the next emitted symbol (or with
+    the EOB run); newly-nonzero coefficients emit run/1 + sign. ZRLs
+    are suppressed past the last newly-nonzero index so trailing
+    history bits fold into the EOB run."""
+    absv = []
+    last_new = ss - 1
+    for k in range(ss, se + 1):
+        t = int(zzblk[k])
+        mag = (-t if t < 0 else t) >> al
+        absv.append(mag)
+        if mag == 1:
+            last_new = k
+    r = 0
+    pend = []  # correction bits since the last emitted symbol
+    for k in range(ss, se + 1):
+        mag = absv[k - ss]
+        if mag == 0:
+            r += 1
+            continue
+        while r > 15 and k <= last_new:
+            _flush_eobrun_refine(bw, actab, st)
+            length, code = actab[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if mag > 1:  # history coefficient: defer its correction bit
+            pend.append(mag & 1)
+            continue
+        _flush_eobrun_refine(bw, actab, st)
+        length, code = actab[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(0 if int(zzblk[k]) < 0 else 1, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        st["eobrun"] += 1
+        st["bits"].extend(pend)
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun_refine(bw, actab, st)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 90,
+    subsample: bool = False,
+    spectral_only: bool = False,
+) -> bytes:
+    """Encode a progressive (SOF2) JFIF file carrying the SAME
+    quantized coefficients as ``encode_jpeg_baseline`` at equal
+    settings — decodes bit-identically to the baseline file, which is
+    the round-trip oracle. Default script uses both spectral selection
+    and successive approximation (DC 1+1 bits, AC 2-level refinement,
+    libjpeg-style progression); ``spectral_only`` emits the simpler
+    DC-then-AC-band script with no refinement scans."""
+    comps, quantized, qluma, qchroma, mcux, mcuy = _prepare_components(
+        width, height, pixels, channels, quality, subsample
+    )
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    grids = []  # non-interleaved (nbw, nbh) per component (spec A.2.2)
+    for hi, vi, _ in comps:
+        cw = -(-(width * hi) // hmax)
+        ch = -(-(height * vi) // vmax)
+        grids.append((-(-cw // 8), -(-ch // 8)))
+    nc = len(comps)
+    everyone = list(range(nc))
+    if spectral_only:
+        script = [(everyone, 0, 0, 0, 0)]
+        script += [([ci], 1, 63, 0, 0) for ci in range(nc)]
+    else:
+        script = [(everyone, 0, 0, 0, 1)]
+        script += [([ci], 1, 5, 0, 2) for ci in range(nc)]
+        script += [([ci], 6, 63, 0, 2) for ci in range(nc)]
+        script += [([ci], 1, 63, 2, 1) for ci in range(nc)]
+        script += [(everyone, 0, 0, 1, 0)]
+        script += [([ci], 1, 63, 1, 0) for ci in range(nc)]
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+
+    def dqt(tq: int, table) -> bytes:
+        body = bytes([tq]) + bytes(table[ZIGZAG[i]] for i in range(64))
+        return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits, vals) -> bytes:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    out += dqt(0, qluma)
+    sof = b"\x08" + struct.pack(">HH", height, width) + bytes([nc])
+    for idx, (hi, vi, tq) in enumerate(comps):
+        sof += bytes([idx + 1, (hi << 4) | vi, tq])
+    enc_dc = (_canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS),)
+    enc_ac = (_canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS),)
+    if channels == 3:
+        out += dqt(1, qchroma)
+        enc_dc += (_canonical_codes(_ENC_DC1_BITS, _ENC_DC_VALS),)
+        enc_ac += (_canonical_codes(_ENC_AC1_BITS, _ENC_AC_VALS),)
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += dht(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
+    out += dht(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
+    if channels == 3:
+        out += dht(0, 1, _ENC_DC1_BITS, _ENC_DC_VALS)
+        out += dht(1, 1, _ENC_AC1_BITS, _ENC_AC_VALS)
+
+    for comp_list, ss, se, ah, al in script:
+        sos = bytes([len(comp_list)])
+        for ci in comp_list:
+            tq = comps[ci][2]
+            sos += bytes([ci + 1, (tq << 4) | tq])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bw = _BitWriter()
+        if ss == 0 and len(comp_list) > 1:  # interleaved DC scan
+            preds = [0] * nc
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in comp_list:
+                    hi, vi, tq = comps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            blk = quantized[ci][my * vi + v, mx * hi + hh]
+                            if ah == 0:
+                                preds[ci] = _enc_dc_first(
+                                    bw, enc_dc[tq], int(blk[0]), preds[ci], al
+                                )
+                            else:
+                                bw.write((int(blk[0]) >> al) & 1, 1)
+        else:  # non-interleaved: raster over the component's own grid
+            ci = comp_list[0]
+            hi, vi, tq = comps[ci]
+            nbw, nbh = grids[ci]
+            pred = 0
+            eobrun = 0
+            st = {"eobrun": 0, "bits": []}
+            for m in range(nbw * nbh):
+                my, mx = divmod(m, nbw)
+                blk = quantized[ci][my, mx]
+                if ss == 0:
+                    if ah == 0:
+                        pred = _enc_dc_first(bw, enc_dc[tq], int(blk[0]), pred, al)
+                    else:
+                        bw.write((int(blk[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    eobrun = _enc_ac_first_block(
+                        bw, enc_ac[tq], blk, ss, se, al, eobrun
+                    )
+                else:
+                    _enc_ac_refine_block(bw, enc_ac[tq], blk, ss, se, al, st)
+            if eobrun:
+                _emit_eobrun(bw, enc_ac[tq], eobrun)
+            _flush_eobrun_refine(bw, enc_ac[tq], st)
+        bw.pad_to_byte()
+        out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -472,11 +735,11 @@ def _decode_block(br, dctab, actab, pred: int):
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """REAL baseline JPEG pixel decode. Returns ``("jpeg", width,
-    height, channels, pixels)`` with pixels row-major top-down,
-    channel-interleaved RGB/gray — the ``decode_image_pixels``
-    contract — or None for non-baseline frames (progressive/lossless/
-    arithmetic) and malformed bytes."""
+    """REAL JPEG pixel decode, baseline AND progressive. Returns
+    ``("jpeg", width, height, channels, pixels)`` with pixels row-major
+    top-down, channel-interleaved RGB/gray — the ``decode_image_pixels``
+    contract — or None for unsupported frame types (lossless/
+    hierarchical/arithmetic) and malformed bytes."""
     try:
         return _decode_jpeg(payload)
     except Exception:
@@ -484,15 +747,15 @@ def decode_jpeg_pixels(payload: bytes):
 
 
 def _decode_jpeg(payload: bytes):
-    import numpy as np
-
     n = len(payload)
     if n < 4 or payload[:2] != b"\xff\xd8":
         return None
     qt = {}
     huff = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    state = None  # per-component coefficient store, created at first SOS
     pos = 2
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -504,8 +767,8 @@ def _decode_jpeg(payload: bytes):
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:
-            return None  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            break
         if pos + 2 > n:
             return None
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
@@ -514,6 +777,8 @@ def _decode_jpeg(payload: bytes):
         body = payload[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT
+            import numpy as np
+
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 15
@@ -545,7 +810,7 @@ def _decode_jpeg(payload: bytes):
                     return None
                 i += 17 + total
                 huff[(tc, th)] = _decode_table(bits, vals)
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive DCT
             if len(body) < 6 or body[0] != 8:
                 return None
             h, w = struct.unpack(">HH", body[1:5])
@@ -557,78 +822,265 @@ def _decode_jpeg(payload: bytes):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (int(w), int(h), comps)
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive / lossless / arithmetic: not baseline
+            progressive = marker == 0xC2
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # lossless / hierarchical / arithmetic: unsupported
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 return None
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode one scan, resume the walk after
             if frame is None:
                 return None
-            return _decode_scan(payload, pos, body, frame, qt, huff, restart_interval)
+            if state is None:
+                state = _new_coef_state(frame)
+            pos = _decode_sos(
+                payload, pos, body, state, qt, huff, restart_interval, progressive
+            )
         # APPn / COM / others: skipped
-    return None
+    if state is None:
+        return None
+    return _reconstruct(frame, qt, state)
 
 
-def _decode_scan(payload, pos, body, frame, qt, huff, restart_interval):
-    import numpy as np
-
+def _new_coef_state(frame):
+    """Per-component coefficient store shared by all scans of a frame.
+    Blocks live on the MCU-padded grid (pbw x pbh); non-interleaved
+    scans cover only the component's own ceil grid (nbw x nbh, spec
+    A.2.2) and index into the padded rows."""
     w, h, comps = frame
-    if not body or body[0] != len(comps):
-        return None  # baseline interleaved single-scan only
-    sel = {}
-    for i in range(len(comps)):
-        cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-        sel[cs] = (tt >> 4, tt & 15)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if not hmax or not vmax:
-        return None
+        raise _JpegError("zero sampling factor")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    per_comp = []
+    state = {"mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax, "comps": {}}
     for cid, hi, vi, tq in comps:
-        if (
-            not hi or not vi or hmax % hi or vmax % vi
-            or tq not in qt or cid not in sel
-        ):
-            return None
-        td, ta = sel[cid]
-        if (0, td) not in huff or (1, ta) not in huff:
-            return None
-        per_comp.append(
-            (
-                hi,
-                vi,
-                qt[tq].reshape(64),
-                huff[(0, td)],
-                huff[(1, ta)],
-                np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.float64),
-            )
-        )
+        if not hi or not vi or hmax % hi or vmax % vi:
+            raise _JpegError("unsupported sampling grid")
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        state["comps"][cid] = {
+            "hi": hi,
+            "vi": vi,
+            "pbw": mcux * hi,
+            "pbh": mcuy * vi,
+            "nbw": -(-cw // 8),
+            "nbh": -(-ch // 8),
+            "coefs": [[0] * 64 for _ in range(mcux * hi * mcuy * vi)],
+        }
+    return state
+
+
+def _decode_sos(payload, pos, body, state, qt, huff, ri, progressive):
+    """Decode one scan's entropy data into the coefficient store and
+    return the byte position of the next marker. Handles baseline
+    full-band scans and all four progressive scan kinds (DC/AC x
+    first/refine) incl. EOB runs and restart intervals."""
+    if not body:
+        raise _JpegError("empty SOS")
+    ns = body[0]
+    if ns < 1 or len(body) < 1 + 2 * ns + 3:
+        raise _JpegError("short SOS header")
+    scomps = []
+    for i in range(ns):
+        cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+        if cs not in state["comps"]:
+            raise _JpegError("scan references unknown component")
+        scomps.append((cs, tt >> 4, tt & 15))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    if not progressive:
+        if ss or se != 63 or ah or al:
+            raise _JpegError("non-full-band scan in a sequential frame")
+    else:
+        if se > 63 or ss > se or (ss == 0) != (se == 0):
+            raise _JpegError("bad spectral band")
+        if ss > 0 and ns != 1:
+            raise _JpegError("interleaved AC scan")
+        if ah and ah != al + 1:
+            raise _JpegError("bad successive-approximation step")
+    dctabs = {}
+    actabs = {}
+    for cs, td, ta in scomps:
+        if ss == 0 and ah == 0:  # DC first / baseline needs a DC table
+            if (0, td) not in huff:
+                raise _JpegError("missing DC table")
+            dctabs[cs] = huff[(0, td)]
+        if not progressive or ss > 0:  # full-band or AC scan needs AC
+            if (1, ta) not in huff:
+                raise _JpegError("missing AC table")
+            actabs[cs] = huff[(1, ta)]
     br = _BitReader(payload, pos)
-    preds = [0] * len(comps)
+    interleaved = ns > 1
+    if interleaved:
+        total_mcu = state["mcux"] * state["mcuy"]
+    else:
+        c0 = state["comps"][scomps[0][0]]
+        total_mcu = c0["nbw"] * c0["nbh"]
+    preds = {cs: 0 for cs, _, _ in scomps}
+    eobrun = 0
     rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
+    for m in range(total_mcu):
+        if ri and m and m % ri == 0:
             br.align_restart(rst % 8)
             rst += 1
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, (hi, vi, _, dctab, actab, coefs) in enumerate(per_comp):
-            for v in range(vi):
-                for hh in range(hi):
-                    preds[ci], blk = _decode_block(br, dctab, actab, preds[ci])
-                    bw = mcux * hi
-                    coefs[(my * vi + v) * bw + mx * hi + hh] = blk
+            preds = dict.fromkeys(preds, 0)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(m, state["mcux"])
+            for cs, _, _ in scomps:
+                c = state["comps"][cs]
+                for v in range(c["vi"]):
+                    for hh in range(c["hi"]):
+                        idx = (my * c["vi"] + v) * c["pbw"] + mx * c["hi"] + hh
+                        blk = c["coefs"][idx]
+                        if not progressive:
+                            preds[cs], c["coefs"][idx] = _decode_block(
+                                br, dctabs[cs], actabs[cs], preds[cs]
+                            )
+                        elif ah == 0:
+                            preds[cs] = _dc_first(br, dctabs[cs], blk, preds[cs], al)
+                        else:
+                            _dc_refine(br, blk, al)
+        else:
+            cs = scomps[0][0]
+            c = state["comps"][cs]
+            my, mx = divmod(m, c["nbw"])
+            idx = my * c["pbw"] + mx
+            blk = c["coefs"][idx]
+            if not progressive:
+                preds[cs], c["coefs"][idx] = _decode_block(
+                    br, dctabs[cs], actabs[cs], preds[cs]
+                )
+            elif ss == 0:
+                if ah == 0:
+                    preds[cs] = _dc_first(br, dctabs[cs], blk, preds[cs], al)
+                else:
+                    _dc_refine(br, blk, al)
+            elif ah == 0:
+                eobrun = _ac_first(br, actabs[cs], blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, actabs[cs], blk, ss, se, al, eobrun)
+    pos = br.pos  # trailing pad bits already consumed byte-wise
+    while pos < len(payload) and payload[pos] != 0xFF:
+        pos += 1  # tolerate slack before the next marker
+    return pos
+
+
+def _dc_first(br, dctab, blk, pred: int, al: int) -> int:
+    """Progressive DC first scan (spec G.1.2.1): baseline DC decode,
+    value stored point-transformed (arithmetic shift domain)."""
+    t = _decode_huff(br, dctab)
+    if t > 15:
+        raise _JpegError("DC category out of range")
+    pred += _extend(br.read(t), t) if t else 0
+    blk[0] = pred << al
+    return pred
+
+
+def _dc_refine(br, blk, al: int) -> None:
+    """Progressive DC refinement: one raw bit ORed into the two's-
+    complement representation (arithmetic-shift successive
+    approximation makes | correct for negative DCs too)."""
+    if br.read(1):
+        blk[0] |= 1 << al
+
+
+def _ac_first(br, actab, blk, ss, se, al, eobrun) -> int:
+    """Progressive AC first scan (G.1.2.2): run/size decode of the
+    band with EOB-run accumulation across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:  # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise _JpegError("AC run past band end")
+        blk[ZIGZAG[k]] = _extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, actab, blk, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement (G.1.2.3): correction bits for
+    history coefficients, sign-bit insertion for newly-nonzero ones,
+    EOB runs carrying correction bits. History coefficients are
+    multiples of 1 << (al+1), so the &-mask test is sign-safe in
+    Python's two's-complement int semantics."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, actab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: unlike AC-first, the run INCLUDES
+                    # this block — its band tail still consumes
+                    # correction bits below, then the count decrements
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+            else:
+                if s != 1:
+                    raise _JpegError("AC refine size must be 1")
+                val = p1 if br.read(1) else m1
+            while k <= se:  # advance past r zero-history coefficients
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    if br.read(1) and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:  # EOB path: correction bits only, to the band end
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                if br.read(1) and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, qt, state):
+    """Dequantize + IDCT the accumulated coefficients, upsample,
+    color-convert: shared tail of baseline and progressive decode."""
+    import numpy as np
+
+    w, h, comps = frame
+    hmax, vmax = state["hmax"], state["vmax"]
     cmat = _dct_matrix()
     planes = []
-    for hi, vi, qflat, _, _, coefs in per_comp:
-        by, bx = mcuy * vi, mcux * hi
-        blocks = (coefs * qflat).reshape(by, bx, 8, 8)
+    for cid, hi, vi, tq in comps:
+        if tq not in qt:
+            raise _JpegError("missing quant table")
+        c = state["comps"][cid]
+        coefs = np.asarray(c["coefs"], dtype=np.float64)  # (N, 64) natural
+        blocks = (coefs * qt[tq].reshape(64)).reshape(c["pbh"], c["pbw"], 8, 8)
         spatial = np.einsum("ux,ijuv,vy->ijxy", cmat, blocks, cmat) + 128.0
-        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(c["pbh"] * 8, c["pbw"] * 8)
         plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:

@@ -11,15 +11,16 @@ BMP / PNM / WAV / MP4 (zero-dependency struct parsers, golden-byte
 pinned), and PIXEL/SAMPLE decode is now REAL for the stdlib-decodable
 subset — PNG 8-bit (zlib inflate + all five scanline filters, paletted
 PLTE mapping, Adam7 interlace), BMP 24/32bpp uncompressed, PNM
-P2/P3/P5/P6, GIF (from-scratch LZW + palette + interlace), baseline
-JPEG (from-scratch Huffman + IDCT + chroma upsample, jpegcodec.py),
+P2/P3/P5/P6, GIF (from-scratch LZW + palette + interlace), JPEG both
+baseline and progressive (from-scratch Huffman + IDCT + successive-
+approximation scans + chroma upsample, jpegcodec.py),
 WAV PCM 8/16-bit (``decode_image_pixels`` / ``decode_wav_samples``),
 with feature-extract / resize / PCM-stats stages running on the decoded
 content. Still honestly stubbed, because they genuinely need codec
 libraries absent in this container:
-- ``decode_image_stub``: progressive/arithmetic JPEG and lossy
-  audio/video codecs (MP3 / H.264 frame decode — PIL/cv2/ffmpeg
-  territory);
+- ``decode_image_stub``: lossy AUDIO/VIDEO codecs only
+  (MP3 / H.264 frame decode — ffmpeg territory); JPEG decodes for
+  real since round 7, baseline AND progressive (jpegcodec.py);
 - ``fake_decode_metadata``: the deterministic md5-derived fake kept
   for the oracled plumbing query (testdata payloads are text bytes,
   not image files).
@@ -275,12 +276,14 @@ def decode_image_stub(payload: bytes) -> object:
     Huffman + IDCT, ``operators/jpegcodec.py``) in
     ``decode_image_pixels``; WAV PCM in ``decode_wav_samples``. This
     stub now covers only formats that genuinely require codec libraries
-    absent in this container: progressive/arithmetic JPEG and lossy
-    audio/video frame decode (MP3 / H.264 / ...)."""
+    absent in this container: lossy audio/video frame decode
+    (MP3 / H.264 / ...) and the rare non-Huffman JPEG variants
+    (arithmetic-coded / lossless / hierarchical)."""
     raise NotImplementedError(
-        "progressive-JPEG/MP3/H.264 decode requires PIL/cv2/ffmpeg; wire "
-        "the real codec here in production — baseline JPEG and lossless "
-        "formats are handled by decode_image_pixels/decode_wav_samples"
+        "MP3/H.264 sample decode requires ffmpeg-class codecs; wire the "
+        "real codec here in production — JPEG (baseline + progressive) "
+        "and lossless formats are handled by "
+        "decode_image_pixels/decode_wav_samples"
     )
 
 
@@ -930,8 +933,8 @@ def frame_sample_stub(media: DataFrame, every_nth: int = 10) -> DataFrame:
 #     order normalized to RGB(A));
 #   - PNM P5/P6 binary and P2/P3 ASCII, maxval <= 255;
 #   - WAV PCM 8-bit unsigned / 16-bit signed LE samples.
-# GIF pixels (LZW + palette + interlace) and baseline JPEG (jpegcodec.py)
-# decode for real too; only progressive/arithmetic JPEG and lossy
+# GIF pixels (LZW + palette + interlace) and JPEG — baseline AND
+# progressive (jpegcodec.py) — decode for real too; only lossy
 # audio/video codecs (MP3/H.264) stay behind ``decode_image_stub``.
 #
 # Perf note for 100 TB: the per-byte unfilter loops below are the
@@ -1129,9 +1132,9 @@ def decode_image_pixels(
     channels, pixels)`` with pixels row-major TOP-DOWN, channel-
     interleaved RGB(A)/gray order — BMP's bottom-up BGR rows, PNG's
     filtered scanlines, GIF's LZW+palette+interlace, paletted PNG and
-    baseline JPEG (Huffman + IDCT + YCbCr, jpegcodec.py) are all
-    normalized — or None for formats outside the subset
-    (progressive JPEG, lossy audio/video) or malformed bytes."""
+    JPEG both baseline and progressive (Huffman + IDCT + YCbCr,
+    jpegcodec.py) are all normalized — or None for formats outside the
+    subset (lossy audio/video) or malformed bytes."""
     try:
         if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
             return _decode_png_pixels(payload)

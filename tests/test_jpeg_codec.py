@@ -1,8 +1,10 @@
-"""Baseline JPEG codec (operators/jpegcodec.py): encoder->decoder
-round-trips (the container has no image libraries, so the forward
-encoder is the oracle), exactly-representable pins, sampling/restart/
-table-routing coverage, the NULL-on-malformed contract, and the
-``decode_image_pixels`` / ``parse_image_header`` dispatch seam."""
+"""JPEG codec (operators/jpegcodec.py), baseline + progressive:
+encoder->decoder round-trips (the container has no image libraries, so
+the forward encoders are the oracle), exactly-representable pins,
+sampling/restart/table-routing coverage, progressive-equals-baseline
+bit-identity (same quantized coefficients), the NULL-on-malformed
+contract, and the ``decode_image_pixels`` / ``parse_image_header``
+dispatch seam."""
 
 from __future__ import annotations
 
@@ -129,11 +131,16 @@ def test_quality_ladder_monotone_size():
 def test_header_parse_and_unsupported_frames():
     j = encode_jpeg_baseline(30, 20, _smooth_rgb(30, 20).tobytes(), 3, 80)
     assert parse_jpeg_header(j) == (30, 20, 3, 0xC0)
-    # flip SOF0 -> SOF2 (progressive): header still reads, pixels refuse
+    # flip SOF0 -> SOF3 (lossless): header still reads, pixels refuse
+    lossless = bytearray(j)
+    idx = bytes(lossless).index(b"\xff\xc0")
+    lossless[idx + 1] = 0xC3
+    assert parse_jpeg_header(bytes(lossless)) == (30, 20, 3, 0xC3)
+    assert decode_jpeg_pixels(bytes(lossless)) is None
+    # SOF0 -> SOF2 with a full-band baseline scan is structurally
+    # inconsistent (progressive DC scans are DC-only): corrupt -> None
     prog = bytearray(j)
-    idx = bytes(prog).index(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    assert parse_jpeg_header(bytes(prog)) == (30, 20, 3, 0xC2)
     assert decode_jpeg_pixels(bytes(prog)) is None
 
 
@@ -203,3 +210,75 @@ def test_randomized_roundtrip_bounded_error():
             - rgb.reshape(-1).astype(int)
         )
         assert err.max() <= 24 and err.mean() <= 3.0, (seed, w, h, err.max())
+
+
+# ------------------------------------------------------ progressive
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    from debgpt7_8_with_vectordb_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    for (w, h), sub, q in [
+        ((30, 20), False, 95),
+        ((30, 20), True, 90),
+        ((17, 13), True, 80),
+        ((48, 32), False, 50),
+        ((8, 8), False, 100),
+    ]:
+        rgb = _smooth_rgb(w, h, phase=w * 0.1)
+        base = decode_jpeg_pixels(
+            encode_jpeg_baseline(w, h, rgb.tobytes(), 3, q, subsample=sub)
+        )
+        for spectral_only in (True, False):
+            pj = encode_jpeg_progressive(
+                w, h, rgb.tobytes(), 3, q,
+                subsample=sub, spectral_only=spectral_only,
+            )
+            assert parse_jpeg_header(pj) == (w, h, 3, 0xC2)
+            prog = decode_jpeg_pixels(pj)
+            # same quantized coefficients -> decode must be bit-identical
+            assert prog is not None and prog[4] == base[4], (
+                w, h, sub, q, spectral_only,
+            )
+
+
+def test_progressive_noisy_content_stresses_eob_runs():
+    from debgpt7_8_with_vectordb_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    bg = decode_jpeg_pixels(encode_jpeg_baseline(56, 40, gray.tobytes(), 1, 75))
+    for spectral_only in (True, False):
+        pg = decode_jpeg_pixels(
+            encode_jpeg_progressive(
+                56, 40, gray.tobytes(), 1, 75, spectral_only=spectral_only
+            )
+        )
+        assert pg is not None and pg[4] == bg[4]
+    rgb = rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    b3 = decode_jpeg_pixels(
+        encode_jpeg_baseline(24, 32, rgb.tobytes(), 3, 60, subsample=True)
+    )
+    p3 = decode_jpeg_pixels(
+        encode_jpeg_progressive(24, 32, rgb.tobytes(), 3, 60, subsample=True)
+    )
+    assert p3 is not None and p3[4] == b3[4]
+
+
+def test_progressive_truncated_and_dispatch():
+    from debgpt7_8_with_vectordb_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        decode_image_pixels as dip,
+    )
+
+    rgb = _smooth_rgb(16, 16)
+    pj = encode_jpeg_progressive(16, 16, rgb.tobytes(), 3, 90)
+    assert dip(pj) is not None and dip(pj)[0] == "jpeg"
+    # truncation mid-scan is malformed for this decoder (strict contract)
+    assert decode_jpeg_pixels(pj[: len(pj) // 2]) is None
