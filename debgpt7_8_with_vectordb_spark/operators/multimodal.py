@@ -1700,18 +1700,33 @@ PCM_STATS_SCHEMA = (
 )
 
 
+def decode_audio_samples(
+    payload: bytes,
+) -> tuple[int, int, int, list[int]] | None:
+    """Container dispatch for SAMPLE decode: WAV PCM here, FLAC
+    (lossless rice/LPC decode, ``operators/flaccodec.py``) by magic.
+    Returns ``(channels, sample_rate, bits, samples)`` interleaved, or
+    None for lossy codecs (MP3/...) and malformed payloads."""
+    if payload[:4] == b"fLaC":
+        from .flaccodec import decode_flac_samples
+
+        return decode_flac_samples(payload)
+    return decode_wav_samples(payload)
+
+
 def decode_audio_pcm_stats(media: DataFrame) -> DataFrame:
-    """Arrow-batched PCM SAMPLE decode stage — the audio twin of
+    """Arrow-batched SAMPLE decode stage — the audio twin of
     ``decode_image_pixel_stats``: integer statistics over the decoded
     sample stream (sum / min / max pin the actual waveform bytes, not
-    just the header), duration in integer milliseconds. NULL row for
-    non-PCM / malformed payloads."""
+    just the header), duration in integer milliseconds. Decodes WAV
+    PCM and FLAC (lossless — identical stats for identical audio);
+    NULL row for lossy/malformed payloads."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                t = decode_wav_samples(
+                t = decode_audio_samples(
                     bytes(payload) if payload is not None else b""
                 )
                 if t is None:
