@@ -223,6 +223,15 @@ def _decode_flac(payload: bytes):
     if info is None:
         return None
     _, channels, rate, bits_ps, total = info
+    # Adversarial-input bound: STREAMINFO's 36-bit sample count can
+    # claim 64G samples against a 100-byte body; the decoder would
+    # grow the sample lists until the task OOMs. Even a CONSTANT
+    # subframe spends >= ~40 bits per FRAME, and a frame covers at
+    # most 65535 samples — so total samples are bounded by
+    # payload_bits * 65535 / 40; use a simpler, looser per-channel
+    # cap: 16384 samples per payload byte.
+    if total * channels > len(payload) * 16384:
+        return None
     # skip metadata blocks to the first frame
     pos = 4
     while True:

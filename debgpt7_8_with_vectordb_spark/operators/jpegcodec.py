@@ -833,7 +833,7 @@ def _decode_jpeg(payload: bytes):
             if frame is None:
                 return None
             if state is None:
-                state = _new_coef_state(frame)
+                state = _new_coef_state(frame, n)
             pos = _decode_sos(
                 payload, pos, body, state, qt, huff, restart_interval, progressive
             )
@@ -843,12 +843,24 @@ def _decode_jpeg(payload: bytes):
     return _reconstruct(frame, qt, state)
 
 
-def _new_coef_state(frame):
+def _new_coef_state(frame, payload_len: int):
     """Per-component coefficient store shared by all scans of a frame.
     Blocks live on the MCU-padded grid (pbw x pbh); non-interleaved
     scans cover only the component's own ceil grid (nbw x nbh, spec
-    A.2.2) and index into the padded rows."""
+    A.2.2) and index into the padded rows.
+
+    Adversarial-input bound: a forged header can claim 65535 x 65535
+    with a few bytes of entropy data; allocating that store would OOM
+    the Spark task before the bit reader ever notices truncation. A
+    real file spends >= 2 bits per block (one DC + one AC symbol), so
+    any frame whose block count exceeds 4x the payload's total BIT
+    count is structurally impossible — refuse it up front."""
     w, h, comps = frame
+    blocks_ub = sum(
+        (-(-w // 8)) * (-(-h // 8)) for _ in comps
+    )
+    if blocks_ub > payload_len * 32:
+        raise _JpegError("frame claims more blocks than the payload can hold")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if not hmax or not vmax:

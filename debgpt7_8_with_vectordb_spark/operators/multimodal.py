@@ -1029,6 +1029,8 @@ def _decode_png_pixels(payload: bytes):
     if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or interlace > 1:
         return None  # supported subset: 8-bit, ordered or Adam7
     channels = _PNG_CHANNELS[ctype]
+    if w * h * channels > 1 << 26:  # zip-bomb fence (see _lzw_decode note)
+        return None
     idat = bytearray()
     plte = None
     pos = 8
@@ -1044,7 +1046,14 @@ def _decode_png_pixels(payload: bytes):
             break
         pos += 12 + size  # len + tag + body + crc
     try:
-        raw = zlib.decompress(bytes(idat))
+        # cap inflate output at the header-implied raw size (+ Adam7
+        # per-pass filter-byte slack): a crafted IDAT can otherwise
+        # expand ~1000x and OOM the task before any size check runs
+        cap = h * (w * channels + 1) + 2 * h + 64
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), cap + 1)
+        if len(raw) > cap or not d.eof:  # over-cap bomb / truncated stream
+            return None
     except zlib.error:
         return None
     if interlace == 1:
@@ -1411,6 +1420,8 @@ def _lzw_decode(data: bytes, min_code: int, expected: int) -> bytes | None:
                 code_size += 1
         out += entry
         prev = entry
+        if len(out) >= expected:
+            break  # zip-bomb fence: never expand past the header's claim
     return bytes(out[:expected]) if len(out) >= expected else None
 
 
@@ -1423,6 +1434,8 @@ def _decode_gif_pixels(payload: bytes):
     palette mapping to RGB, interlace reorder. Pure stdlib — round 7
     removes GIF from the compressed-codec stub list."""
     w, h = struct.unpack("<HH", payload[6:10])
+    if w * h > 1 << 26:  # zip-bomb fence, matching the PNG/JPEG caps
+        return None
     flags = payload[10]
     pos = 13
     gct = None
