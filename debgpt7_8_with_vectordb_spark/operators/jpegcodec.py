@@ -301,10 +301,12 @@ def encode_jpeg_baseline(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    exif: bytes | None = None,
 ) -> bytes:
     """Encode interleaved top-down RGB (channels=3) or grayscale
     (channels=1) bytes as a baseline sequential JFIF file. ``subsample``
-    emits 4:2:0 (Y at 2x2, chroma at 1x1); otherwise 4:4:4."""
+    emits 4:2:0 (Y at 2x2, chroma at 1x1); otherwise 4:4:4. ``exif``
+    embeds a pre-built APP1 body (see ``build_test_exif``)."""
     comps, quantized, qluma, qchroma, mcux, mcuy = _prepare_components(
         width, height, pixels, channels, quality, subsample
     )
@@ -314,6 +316,8 @@ def encode_jpeg_baseline(
         b"\xff\xe0" + struct.pack(">H", 16)
         + b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
     )
+    if exif:
+        out += b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
 
     def dqt(tq: int, table) -> bytes:
         body = bytes([tq]) + bytes(table[ZIGZAG[i]] for i in range(64))
@@ -602,6 +606,128 @@ def encode_jpeg_progressive(
         out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def build_test_exif(
+    orientation: int = 1,
+    make: str = "",
+    model: str = "",
+    datetime: str = "",
+) -> bytes:
+    """Forward EXIF APP1 body builder (fixture oracle): "Exif\\0\\0" +
+    a little-endian TIFF with one IFD carrying Orientation (0x0112),
+    Make (0x010F), Model (0x0110) and DateTimeOriginal-in-IFD0 as
+    DateTime (0x0132)."""
+    entries = []
+    tail = bytearray()
+
+    def ascii_entry(tag: int, text: str):
+        data = text.encode("ascii") + b"\x00"
+        if len(data) <= 4:
+            entries.append(struct.pack("<HHI", tag, 2, len(data)) + data.ljust(4, b"\x00"))
+        else:
+            entries.append((tag, data))  # offset resolved after layout
+
+    entries.append(struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0))
+    if make:
+        ascii_entry(0x010F, make)
+    if model:
+        ascii_entry(0x0110, model)
+    if datetime:
+        ascii_entry(0x0132, datetime)
+    n = len(entries)
+    ifd_fixed = 8 + 2 + 12 * n + 4  # header + count + entries + next ptr
+    out_entries = b""
+    for e in entries:
+        if isinstance(e, bytes):
+            out_entries += e
+        else:
+            tag, data = e
+            out_entries += struct.pack("<HHII", tag, 2, len(data), ifd_fixed + len(tail))
+            tail += data
+    tiff = (
+        b"II*\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", n) + out_entries + struct.pack("<I", 0)
+        + bytes(tail)
+    )
+    return b"Exif\x00\x00" + tiff
+
+
+def parse_jpeg_exif(payload: bytes) -> dict | None:
+    """EXIF metadata from the first APP1 "Exif" segment: a TIFF IFD0
+    walk (both byte orders) for the curation-relevant tags —
+    orientation (1-8, rotate/flip normalization key), camera make /
+    model, capture datetime. Returns a dict with those keys (missing
+    tags omitted) or None when no EXIF segment exists. Malformed TIFF
+    inside APP1 -> None (same quarantine contract as the decoders)."""
+    n = len(payload)
+    if n < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    body = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            return None  # scan/EOI reached without an EXIF APP1
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > n:
+            return None
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            body = payload[pos + 10 : pos + 2 + seglen]
+            break
+        pos += 2 + seglen
+    if body is None:
+        return None
+    try:
+        return _parse_exif_tiff(body)
+    except Exception:
+        return None
+
+
+_EXIF_TAGS = {0x0112: "orientation", 0x010F: "make", 0x0110: "model",
+              0x0132: "datetime", 0x9003: "datetime"}
+
+
+def _parse_exif_tiff(body: bytes) -> dict | None:
+    if body[:4] == b"II*\x00":
+        e = "<"
+    elif body[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack(e + "I", body[4:8])
+    out: dict = {}
+    (count,) = struct.unpack(e + "H", body[ifd_off : ifd_off + 2])
+    for i in range(count):
+        off = ifd_off + 2 + 12 * i
+        tag, typ = struct.unpack(e + "HH", body[off : off + 4])
+        (cnt,) = struct.unpack(e + "I", body[off + 4 : off + 8])
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        if typ == 3 and cnt == 1:  # SHORT
+            (v,) = struct.unpack(e + "H", body[off + 8 : off + 10])
+            out[name] = int(v)
+        elif typ == 2:  # ASCII, NUL-terminated, possibly offset-stored
+            raw = (
+                body[off + 8 : off + 8 + cnt]
+                if cnt <= 4
+                else body[
+                    struct.unpack(e + "I", body[off + 8 : off + 12])[0] :
+                ][:cnt]
+            )
+            if len(raw) < cnt:
+                return None
+            out[name] = raw.split(b"\x00")[0].decode("ascii", "replace")
+    return out or None
 
 
 # ---------------------------------------------------------------- decoder

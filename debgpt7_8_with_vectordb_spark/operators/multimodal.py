@@ -1344,6 +1344,46 @@ def decode_image_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+EXIF_SCHEMA = (
+    "doc_id long, orientation int, make string, model string, "
+    "taken_at string"
+)
+
+
+def decode_image_exif(media: DataFrame) -> DataFrame:
+    """Arrow-batched EXIF stage: JPEG APP1 TIFF walk for the curation
+    tags (orientation 1-8 — the rotate/flip normalization key — camera
+    make/model, capture datetime). NULL row when the payload has no
+    EXIF segment or isn't a JPEG; orientation-aware dedup pipelines
+    filter on this BEFORE paying pixel decode + rotation."""
+    from .jpegcodec import parse_jpeg_exif
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                parse_jpeg_exif(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orientation": pd.array(
+                        [t.get("orientation") if t else None for t in parsed],
+                        dtype="Int32",
+                    ),
+                    "make": [t.get("make") if t else None for t in parsed],
+                    "model": [t.get("model") if t else None for t in parsed],
+                    "taken_at": [
+                        t.get("datetime") if t else None for t in parsed
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=EXIF_SCHEMA
+    )
+
+
 def synthesize_test_media_patterned(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -282,3 +282,75 @@ def test_progressive_truncated_and_dispatch():
     assert dip(pj) is not None and dip(pj)[0] == "jpeg"
     # truncation mid-scan is malformed for this decoder (strict contract)
     assert decode_jpeg_pixels(pj[: len(pj) // 2]) is None
+
+
+# ------------------------------------------------------------- EXIF
+
+
+def test_exif_roundtrip_and_tags():
+    from debgpt7_8_with_vectordb_spark.operators.jpegcodec import (
+        build_test_exif,
+        parse_jpeg_exif,
+    )
+
+    exif = build_test_exif(
+        orientation=6,
+        make="ACME",
+        model="SnapCam 3000",
+        datetime="2024:05:01 12:34:56",
+    )
+    j = encode_jpeg_baseline(
+        16, 16, bytes(16 * 16 * 3), 3, 85, exif=exif
+    )
+    got = parse_jpeg_exif(j)
+    assert got == {
+        "orientation": 6,
+        "make": "ACME",
+        "model": "SnapCam 3000",
+        "datetime": "2024:05:01 12:34:56",
+    }
+    # embedding EXIF must not perturb the pixel decode path
+    plain = decode_jpeg_pixels(encode_jpeg_baseline(16, 16, bytes(16 * 16 * 3), 3, 85))
+    assert decode_jpeg_pixels(j)[4] == plain[4]
+    # short ASCII values live inline in the 4-byte slot
+    tiny = build_test_exif(orientation=1, make="A")
+    j2 = encode_jpeg_baseline(8, 8, bytes(8 * 8 * 3), 3, 85, exif=tiny)
+    assert parse_jpeg_exif(j2) == {"orientation": 1, "make": "A"}
+
+
+def test_exif_absent_or_malformed_is_none():
+    from debgpt7_8_with_vectordb_spark.operators.jpegcodec import (
+        build_test_exif,
+        parse_jpeg_exif,
+    )
+
+    plain = encode_jpeg_baseline(8, 8, bytes(8 * 8 * 3), 3, 85)
+    assert parse_jpeg_exif(plain) is None  # no APP1 at all
+    assert parse_jpeg_exif(b"\x89PNG") is None
+    broken = bytearray(build_test_exif(orientation=3, make="LONGMAKERNAME"))
+    broken[6:10] = b"XX\x00*"  # bad byte-order mark
+    j = encode_jpeg_baseline(8, 8, bytes(8 * 8 * 3), 3, 85, exif=bytes(broken))
+    assert parse_jpeg_exif(j) is None
+
+
+def test_exif_spark_stage():
+    from debgpt7_8_with_vectordb_spark.operators.jpegcodec import build_test_exif
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        decode_image_exif,
+    )
+    from debgpt7_8_with_vectordb_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=4)
+    rows_in = [
+        (1, encode_jpeg_baseline(
+            8, 8, bytes(8 * 8 * 3), 3, 85,
+            exif=build_test_exif(orientation=8, model="X"),
+        )),
+        (2, encode_jpeg_baseline(8, 8, bytes(8 * 8 * 3), 3, 85)),
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in decode_image_exif(df).collect()}
+    assert rows[1]["orientation"] == 8 and rows[1]["model"] == "X"
+    assert rows[2]["orientation"] is None
+    assert rows[3]["orientation"] is None
