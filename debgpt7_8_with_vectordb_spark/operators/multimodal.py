@@ -106,6 +106,216 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+_TIFF_TYPE = {1: "B", 3: "H", 4: "I"}  # BYTE / SHORT / LONG
+
+
+def _tiff_ifd(payload: bytes, endian: str, ifd_off: int) -> dict | None:
+    """Generic first-IFD reader: tag -> list of int values for the
+    integer types (BYTE/SHORT/LONG, inline or offset-stored); other
+    types map to None so callers can refuse what they can't use."""
+    if ifd_off + 2 > len(payload):
+        return None
+    (count,) = struct.unpack(endian + "H", payload[ifd_off : ifd_off + 2])
+    out: dict = {}
+    for i in range(count):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            return None
+        tag, typ = struct.unpack(endian + "HH", payload[off : off + 4])
+        (cnt,) = struct.unpack(endian + "I", payload[off + 4 : off + 8])
+        fmt = _TIFF_TYPE.get(typ)
+        if fmt is None:
+            out[tag] = None
+            continue
+        total = struct.calcsize(fmt) * cnt
+        if total <= 4:
+            data = payload[off + 8 : off + 8 + total]
+        else:
+            (p,) = struct.unpack(endian + "I", payload[off + 8 : off + 12])
+            data = payload[p : p + total]
+        if len(data) < total:
+            return None
+        out[tag] = list(struct.unpack(f"{endian}{cnt}{fmt}", data))
+    return out
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes | None:
+    """TIFF PackBits RLE (spec §9): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            if pos + n + 1 > len(data):
+                return None
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                return None
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def _decode_tiff_pixels(payload: bytes):
+    """TIFF 6.0 pixel decode for the struct-only subset: 8-bit
+    gray/RGB(A), chunky planar config, strip-organized, uncompressed
+    or PackBits; WhiteIsZero grayscale inverted to the normalized
+    black-is-zero convention. LZW/JPEG-in-TIFF stay outside the
+    subset (None)."""
+    endian = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    ifd = _tiff_ifd(payload, endian, ifd_off)
+    if ifd is None:
+        return None
+
+    def one(tag, default=None):
+        v = ifd.get(tag, [default] if default is not None else None)
+        return v[0] if v else None
+
+    w, h = one(256), one(257)
+    if not w or not h or w * h > 1 << 26:
+        return None
+    spp = one(277, 1)
+    bits = ifd.get(258, [8])
+    comp = one(259, 1)
+    photo = one(262)
+    planar = one(284, 1)
+    rps = one(278, h) or h
+    offsets = ifd.get(273)
+    counts = ifd.get(279)
+    if (
+        spp not in (1, 3, 4) or planar != 1 or comp not in (1, 32773)
+        or photo not in (0, 1, 2) or bits is None
+        or any(b != 8 for b in bits) or not offsets or not counts
+        or len(offsets) != len(counts)
+    ):
+        return None
+    row_bytes = w * spp
+    out = bytearray()
+    rows_left = h
+    for soff, scnt in zip(offsets, counts):
+        rows = min(rps, rows_left)
+        expected = rows * row_bytes
+        body = payload[soff : soff + scnt]
+        if len(body) < scnt:
+            return None
+        strip = body if comp == 1 else _packbits_decode(body, expected)
+        if strip is None or len(strip) < expected:
+            return None
+        out += strip[:expected]
+        rows_left -= rows
+        if rows_left <= 0:
+            break
+    if rows_left > 0:
+        return None
+    if photo == 0:  # WhiteIsZero -> invert to black-is-zero
+        out = bytearray(255 - v for v in out)
+    return "tiff", int(w), int(h), int(spp), bytes(out)
+
+
+def encode_test_tiff_pixels(
+    width: int,
+    height: int,
+    pixels: bytes,
+    spp: int = 3,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    white_is_zero: bool = False,
+) -> bytes:
+    """Forward TIFF writer (fixture oracle): strip-organized 8-bit
+    chunky layout, optional PackBits compression (independent run
+    encoder), either byte order, multi-strip via rows_per_strip."""
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or height
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = min(rps, height - y0)
+        raw = pixels[y0 * width * spp : (y0 + rows) * width * spp]
+        if white_is_zero and spp == 1:
+            raw = bytes(255 - v for v in raw)
+        if packbits:
+            enc = bytearray()
+            i = 0
+            while i < len(raw):
+                run = 1
+                while (
+                    i + run < len(raw) and raw[i + run] == raw[i] and run < 127
+                ):
+                    run += 1
+                if run >= 2:
+                    enc += bytes([257 - run, raw[i]])
+                    i += run
+                else:
+                    lit = i
+                    while (
+                        i < len(raw) and i - lit < 128
+                        and not (
+                            i + 2 < len(raw)
+                            and raw[i] == raw[i + 1] == raw[i + 2]
+                        )
+                    ):
+                        i += 1
+                    enc += bytes([i - lit - 1]) + raw[lit:i]
+            strips.append(bytes(enc))
+        else:
+            strips.append(raw)
+    photo = 0 if (white_is_zero and spp == 1) else (1 if spp == 1 else 2)
+    n_entries = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+    # strip offset/count arrays (LONG) live right after the IFD
+    arr_bytes = 0 if len(strips) == 1 else 4 * len(strips) * 2
+    strip0 = data_off + arr_bytes
+    offs, pos = [], strip0
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def entry(tag, typ, cnt, value_bytes):
+        return struct.pack(e + "HHI", tag, typ, cnt) + value_bytes
+
+    def long_inline(v):
+        return struct.pack(e + "I", v)
+
+    def short_inline(v):
+        return struct.pack(e + "HH", v, 0)
+
+    if len(strips) == 1:
+        off_entry = entry(273, 4, 1, long_inline(offs[0]))
+        cnt_entry = entry(279, 4, 1, long_inline(len(strips[0])))
+        tail = b""
+    else:
+        off_entry = entry(273, 4, len(strips), long_inline(data_off))
+        cnt_entry = entry(
+            279, 4, len(strips), long_inline(data_off + 4 * len(strips))
+        )
+        tail = b"".join(struct.pack(e + "I", o) for o in offs)
+        tail += b"".join(struct.pack(e + "I", len(s)) for s in strips)
+    entries = (
+        entry(256, 4, 1, long_inline(width))
+        + entry(257, 4, 1, long_inline(height))
+        + entry(258, 3, 1, short_inline(8))
+        + entry(259, 3, 1, short_inline(32773 if packbits else 1))
+        + entry(262, 3, 1, short_inline(photo))
+        + off_entry
+        + entry(277, 3, 1, short_inline(spp))
+        + entry(278, 4, 1, long_inline(rps))
+        + cnt_entry
+    )
+    bom = b"MM\x00*" if big_endian else b"II*\x00"
+    return (
+        bom + struct.pack(e + "I", ifd_off)
+        + struct.pack(e + "H", n_entries) + entries + struct.pack(e + "I", 0)
+        + tail + b"".join(strips)
+    )
+
+
 def _parse_tiff_header(payload: bytes):
     """TIFF 6.0: endianness from the byte-order mark, first IFD walk,
     ImageWidth (256) / ImageLength (257) as SHORT or LONG inline
@@ -1157,6 +1367,8 @@ def decode_image_pixels(
             from .jpegcodec import decode_jpeg_pixels
 
             return decode_jpeg_pixels(payload)
+        if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return _decode_tiff_pixels(payload)
     except Exception:
         return None
     return None
