@@ -217,7 +217,107 @@ def parse_audio_header(payload: bytes):
     return None
 
 
+_ID3_FRAMES = {
+    b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+    b"TLAN": "language", b"TDRC": "year", b"TYER": "year",
+}
+
+
+def _id3_text(body: bytes) -> str | None:
+    """ID3v2 text frame body: 1 encoding byte + payload (ISO-8859-1 /
+    UTF-16 with BOM / UTF-16BE / UTF-8 per v2.4 §4)."""
+    if not body:
+        return None
+    enc, data = body[0], body[1:]
+    codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}.get(enc)
+    if codec is None:
+        return None
+    try:
+        return data.decode(codec).split("\x00")[0].strip() or None
+    except UnicodeDecodeError:
+        return None
+
+
+def parse_id3_tags(payload: bytes) -> dict | None:
+    """ID3v2.3/2.4 tag walk — the audio twin of the EXIF stage: the
+    curation-relevant text frames (title/artist/album/language/year)
+    from the tag that prefixes most scraped MP3s. Returns a dict of
+    found fields or None when no ID3v2 tag / nothing parseable. v2.4
+    syncsafe frame sizes honored; compressed/encrypted frames skipped."""
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        return None
+    ver = payload[3]
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            return None
+        size = (size << 7) | b
+    end = min(10 + size, len(payload))
+    pos = 10
+    if payload[5] & 0x40:  # extended header present: skip it
+        if pos + 4 > end:
+            return None
+        (ext,) = struct.unpack(">I", payload[pos : pos + 4])
+        if ver == 4:  # syncsafe in v2.4
+            ext = sum((payload[pos + i] & 0x7F) << (7 * (3 - i)) for i in range(4))
+        pos += ext if ver == 4 else ext + 4
+    out: dict = {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw = payload[pos + 4 : pos + 8]
+        if ver >= 4:  # v2.4 syncsafe frame size
+            if any(b & 0x80 for b in raw):
+                return None
+            fsize = sum((raw[i] & 0x7F) << (7 * (3 - i)) for i in range(4))
+        else:
+            (fsize,) = struct.unpack(">I", raw)
+        flags = payload[pos + 8 : pos + 10]
+        body = payload[pos + 10 : pos + 10 + fsize]
+        pos += 10 + fsize
+        if len(body) < fsize:
+            return None
+        name = _ID3_FRAMES.get(fid)
+        if name and name not in out and not (flags[1] & 0x0C):
+            text = _id3_text(body)
+            if text:
+                out[name] = text
+    return out or None
+
+
 # ------------------------------------------------------------- writers
+
+
+def build_test_id3(version: int = 4, **fields: str) -> bytes:
+    """Forward ID3v2.3/2.4 tag builder (fixture oracle). Field keys
+    follow ``_ID3_FRAMES`` values (title/artist/album/language/year);
+    encodings rotate per frame to cover all four spec codecs."""
+    rev = {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB",
+           "language": b"TLAN",
+           "year": b"TDRC" if version == 4 else b"TYER"}
+    # v2.3 knows only ISO-8859-1 and UTF-16; v2.4 adds UTF-16BE + UTF-8
+    encs = (
+        [(0, "latin-1"), (3, "utf-8"), (1, "utf-16"), (2, "utf-16-be")]
+        if version == 4
+        else [(0, "latin-1"), (1, "utf-16")]
+    )
+    body = bytearray()
+    for i, (key, text) in enumerate(fields.items()):
+        enc_id, codec = encs[i % len(encs)]
+        try:
+            encoded = text.encode(codec)
+        except UnicodeEncodeError:  # non-Latin text: UTF-16 always fits
+            enc_id, encoded = 1, text.encode("utf-16")
+        data = bytes([enc_id]) + encoded
+        if version == 4:
+            size = bytes((len(data) >> s) & 0x7F for s in (21, 14, 7, 0))
+        else:
+            size = struct.pack(">I", len(data))
+        body += rev[key] + size + b"\x00\x00" + data
+    body += b"\x00" * 12  # padding
+    hdr_size = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+    return b"ID3" + bytes([version, 0, 0]) + hdr_size + bytes(body)
 
 
 def encode_test_mp3(
@@ -227,9 +327,12 @@ def encode_test_mp3(
     bitrate_kbps: int = 128,
     with_id3: bool = False,
     pad_every: int = 0,
+    id3: bytes | None = None,
 ) -> bytes:
     """Valid MPEG-1/2 Layer III CBR stream with zeroed frame payloads,
-    written forward from the spec tables (independent of the parser)."""
+    written forward from the spec tables (independent of the parser).
+    ``id3`` prepends a real tag (see ``build_test_id3``); ``with_id3``
+    keeps the minimal opaque-body variant."""
     version_id = {True: 3, False: 2}[sample_rate >= 32000]
     rates = _MP3_RATES[version_id]
     sr_idx = rates.index(sample_rate)
@@ -237,6 +340,8 @@ def encode_test_mp3(
     br_idx = _MP3_BITRATES[(vgroup, 3)].index(bitrate_kbps) + 1
     spf = 1152 if vgroup == 1 else 576
     out = bytearray()
+    if id3:
+        out += id3
     if with_id3:
         tag = b"TAG-BODY" * 4  # 32 bytes, syncsafe-encoded length
         out += b"ID3\x04\x00\x00" + bytes(

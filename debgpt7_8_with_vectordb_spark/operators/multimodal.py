@@ -1556,6 +1556,41 @@ def decode_image_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+TAGS_SCHEMA = (
+    "doc_id long, title string, artist string, album string, "
+    "language string, year string"
+)
+
+
+def decode_audio_tags(media: DataFrame) -> DataFrame:
+    """Arrow-batched ID3v2 tag stage — the audio twin of
+    ``decode_image_exif``: title/artist/album/language/year text
+    frames from the tag prefixing scraped MP3s. NULL row when no tag."""
+    from .audio_headers import parse_id3_tags
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                _parse_or_none(
+                    parse_id3_tags, bytes(p) if p is not None else b""
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        col: [t.get(col) if t else None for t in parsed]
+                        for col in ("title", "artist", "album", "language", "year")
+                    },
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=TAGS_SCHEMA
+    )
+
+
 EXIF_SCHEMA = (
     "doc_id long, orientation int, make string, model string, "
     "taken_at string"

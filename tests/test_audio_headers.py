@@ -143,3 +143,62 @@ def test_spark_stage_mixed_corpus(spark):
     assert rows[4]["fmt"] == "vorbis" and rows[4]["n_samples"] == 11025
     assert rows[5]["fmt"] == "opus" and rows[5]["sample_rate"] == 48000
     assert rows[6]["fmt"] is None and rows[7]["fmt"] is None
+
+
+# ---------------------------------------------------------- ID3v2 tags
+
+
+def test_id3_tags_roundtrip_all_encodings():
+    from debgpt7_8_with_vectordb_spark.operators.audio_headers import (
+        build_test_id3,
+        parse_id3_tags,
+    )
+
+    fields = {
+        "title": "Grand Chanson",
+        "artist": "Ünïcødé Ârtist",
+        "album": "日本語アルバム",
+        "language": "fra",
+        "year": "2023",
+    }
+    for ver in (3, 4):
+        tag = build_test_id3(version=ver, **fields)
+        raw = encode_test_mp3(2, 44100, 3, id3=tag)
+        assert parse_id3_tags(raw) == fields, ver
+        # the frame walk must not break the audio frame walk
+        assert parse_mp3_header(raw) == ("mp3", 2, 44100, None, 3 * 1152)
+
+
+def test_id3_tags_absent_or_malformed():
+    from debgpt7_8_with_vectordb_spark.operators.audio_headers import (
+        build_test_id3,
+        parse_id3_tags,
+    )
+
+    assert parse_id3_tags(encode_test_mp3(2, 44100, 2)) is None
+    assert parse_id3_tags(b"") is None
+    assert parse_id3_tags(b"ID3\x04\x00\x00\x00\x00\x00") is None  # short
+    tag = bytearray(build_test_id3(title="x"))
+    tag[6] |= 0x80  # non-syncsafe size byte: corrupt
+    assert parse_id3_tags(bytes(tag)) is None
+
+
+def test_audio_tags_spark_stage(spark):
+    from debgpt7_8_with_vectordb_spark.operators.audio_headers import (
+        build_test_id3,
+    )
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        decode_audio_tags,
+    )
+
+    tagged = encode_test_mp3(
+        2, 44100, 2, id3=build_test_id3(title="T", language="deu")
+    )
+    df = spark.createDataFrame(
+        [(1, tagged), (2, encode_test_mp3(1, 22050, 2)), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_audio_tags(df).collect()}
+    assert rows[1]["title"] == "T" and rows[1]["language"] == "deu"
+    assert rows[1]["artist"] is None
+    assert rows[2]["title"] is None and rows[3]["title"] is None
