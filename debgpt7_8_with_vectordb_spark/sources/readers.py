@@ -772,6 +772,112 @@ def read_html(spark: SparkSession, path: str, extractor=None, fast: bool = False
     )
 
 
+def docx_extract_text(payload: bytes) -> str:
+    """REAL DOCX text extraction, stdlib-only: the container is a ZIP
+    (stdlib ``zipfile`` handles stored/deflate members); body text
+    lives in ``word/document.xml`` as ``<w:t>`` runs inside ``<w:p>``
+    paragraphs (OOXML WordprocessingML). ``<w:tab/>``/``<w:br/>``
+    become tab/newline, paragraph ends become newlines, XML entities
+    decode, and the result runs through the shared extracted-text
+    normalizer. Empty string for non-DOCX/malformed payloads (the
+    decode-stage quarantine contract)."""
+    import html
+    import io
+    import re
+    import zipfile
+
+    from ..functions.htmltext import normalize_extracted
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            xml = z.read("word/document.xml").decode("utf-8", "replace")
+    except Exception:
+        return ""
+    token = re.compile(
+        r"<w:t(?:\s[^>]*)?>(.*?)</w:t>|<w:(tab|br)(?:\s[^>]*)?/>", re.S
+    )
+    paragraphs = []
+    for segment in xml.split("</w:p>"):
+        parts = []
+        for m in token.finditer(segment):
+            if m.group(1) is not None:
+                parts.append(html.unescape(m.group(1)))
+            else:
+                parts.append("\t" if m.group(2) == "tab" else "\n")
+        paragraphs.append("".join(parts))
+    return normalize_extracted("\n".join(paragraphs))
+
+
+def epub_extract_text(payload: bytes) -> str:
+    """REAL EPUB text extraction, stdlib-only: container.xml names the
+    OPF package; its manifest + spine give the XHTML chapters in
+    reading order; each chapter goes through the same bs4-grade HTML
+    tokenizer the ``html`` source uses. Empty string for
+    non-EPUB/malformed payloads."""
+    import io
+    import posixpath
+    import re
+    import zipfile
+
+    from ..functions.htmltext import html_to_text
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            container = z.read("META-INF/container.xml").decode(
+                "utf-8", "replace"
+            )
+            m = re.search(r'full-path="([^"]+)"', container)
+            if not m:
+                return ""
+            opf_path = m.group(1)
+            opf = z.read(opf_path).decode("utf-8", "replace")
+            base = posixpath.dirname(opf_path)
+            hrefs = {
+                i.group(1): i.group(2)
+                for i in re.finditer(
+                    r'<item\s[^>]*id="([^"]+)"[^>]*href="([^"]+)"[^>]*'
+                    r'media-type="application/xhtml\+xml"[^>]*/?>',
+                    opf,
+                )
+            }
+            chapters = []
+            for ref in re.finditer(r'<itemref\s[^>]*idref="([^"]+)"', opf):
+                href = hrefs.get(ref.group(1))
+                if href is None:
+                    continue
+                doc = posixpath.normpath(posixpath.join(base, href))
+                chapters.append(
+                    html_to_text(z.read(doc).decode("utf-8", "replace"))
+                )
+    except Exception:
+        return ""
+    return "\n\n".join(c for c in chapters if c)
+
+
+@register_source("docx")
+def read_docx(spark: SparkSession, path: str, decoder=None) -> DataFrame:
+    """DOCX → text source: binaryFile scan through the same Arrow
+    decode seam as PDFs, defaulting to the zero-dep OOXML extractor."""
+    df = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", F.col("content").alias("payload"))
+    )
+    return decode_binary_documents(df, decoder or docx_extract_text)
+
+
+@register_source("epub")
+def read_epub(spark: SparkSession, path: str, decoder=None) -> DataFrame:
+    """EPUB → text source: binaryFile scan + spine-ordered XHTML
+    extraction through the shared HTML tokenizer."""
+    df = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", F.col("content").alias("payload"))
+    )
+    return decode_binary_documents(df, decoder or epub_extract_text)
+
+
 @register_source("path")
 def read_any_path(spark: SparkSession, path: str, decoder=None) -> DataFrame:
     """Fallthrough router by suffix (reference reader.py:989-1032)."""
@@ -787,6 +893,10 @@ def read_any_path(spark: SparkSession, path: str, decoder=None) -> DataFrame:
         return read_pdf(spark, path, decoder=decoder)
     if path.endswith((".html", ".htm")):
         return read_html(spark, path, extractor=decoder)
+    if path.endswith(".docx"):
+        return read_docx(spark, path, decoder=decoder)
+    if path.endswith(".epub"):
+        return read_epub(spark, path, decoder=decoder)
     if os.path.isdir(path):
         return read_directory(spark, path)
     return read_text_file(spark, path)
