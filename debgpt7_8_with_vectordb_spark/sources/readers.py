@@ -878,6 +878,207 @@ def read_epub(spark: SparkSession, path: str, decoder=None) -> DataFrame:
     return decode_binary_documents(df, decoder or epub_extract_text)
 
 
+def zip_member_texts(payload: bytes) -> list[tuple[str, str]]:
+    """One (member_name, text) per text-bearing ZIP member, routed by
+    suffix through the same extractors the standalone sources use:
+    .html/.htm -> HTML tokenizer, .docx/.epub -> their extractors,
+    .txt/.md/.json/.jsonl/.csv -> UTF-8 text; other suffixes skipped.
+    Empty list for non-ZIP/malformed payloads."""
+    import io
+    import zipfile
+
+    from ..functions.htmltext import html_to_text
+
+    out: list[tuple[str, str]] = []
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            for info in z.infolist():
+                if info.is_dir():
+                    continue
+                name = info.filename
+                lower = name.lower()
+                try:
+                    data = z.read(info)
+                except Exception:
+                    continue
+                if lower.endswith((".html", ".htm")):
+                    text = html_to_text(data.decode("utf-8", "replace"))
+                elif lower.endswith(".docx"):
+                    text = docx_extract_text(data)
+                elif lower.endswith(".epub"):
+                    text = epub_extract_text(data)
+                elif lower.endswith(
+                    (".txt", ".md", ".rst", ".json", ".jsonl", ".csv")
+                ):
+                    text = data.decode("utf-8", "replace")
+                else:
+                    continue
+                if text:
+                    out.append((name, text))
+    except Exception:
+        return []
+    return out
+
+
+@register_source("zip")
+def read_zip(spark: SparkSession, path: str) -> DataFrame:
+    """ZIP-archive source: one row per text-bearing member —
+    dataset dumps and site exports arrive as archives, and unpacking
+    them executor-side keeps the bytes off the driver. Schema
+    ``(path, member, content)``."""
+    import pandas as pd
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", F.col("content").alias("payload"))
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for p, payload in zip(pdf["path"], pdf["payload"]):
+                for member, text in zip_member_texts(
+                    bytes(payload) if payload is not None else b""
+                ):
+                    rows.append((p, member, text))
+            yield pd.DataFrame(
+                rows, columns=["path", "member", "content"]
+            )
+
+    return df.mapInPandas(run, schema="path string, member string, content string")
+
+
+def parse_warc_records(payload: bytes) -> list[dict]:
+    """WARC/1.x record walk (ISO 28500 — the web-crawl interchange
+    format): handles plain and per-record-gzipped (multi-member)
+    files, reads each record's named headers + Content-Length-delimited
+    body, and for ``response`` records strips the HTTP envelope. Returns
+    one dict per record: warc_type, target_uri, warc_date, http_status,
+    content_type, text (HTML routed through the shared tokenizer,
+    text/* decoded, other media skipped -> None text). Empty list for
+    non-WARC payloads; a malformed record ends the walk with what was
+    parsed so far (truncated crawls are routine)."""
+    import gzip
+    import io
+
+    from ..functions.htmltext import html_to_text
+
+    if payload[:2] == b"\x1f\x8b":
+        try:  # multi-member: one gzip stream per record is the convention
+            data = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
+        except Exception:
+            return []
+    else:
+        data = payload
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data[pos : pos + 5] == b"WARC/":
+            break
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            key, _, val = line.partition(b":")
+            headers[key.strip().lower().decode("latin-1")] = (
+                val.strip().decode("utf-8", "replace")
+            )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body = data[hdr_end + 4 : hdr_end + 4 + length]
+        if len(body) < length:
+            break
+        pos = hdr_end + 4 + length
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        rec = {
+            "warc_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "http_status": None,
+            "content_type": headers.get("content-type"),
+            "text": None,
+        }
+        if rec["warc_type"] == "response" and body[:5] == b"HTTP/":
+            http_end = body.find(b"\r\n\r\n")
+            if http_end >= 0:
+                http_lines = body[:http_end].split(b"\r\n")
+                status = http_lines[0].split(b" ")
+                if len(status) >= 2 and status[1].isdigit():
+                    rec["http_status"] = int(status[1])
+                ctype = ""
+                for line in http_lines[1:]:
+                    if line.lower().startswith(b"content-type:"):
+                        ctype = (
+                            line.partition(b":")[2].strip().decode("latin-1")
+                        )
+                rec["content_type"] = ctype or rec["content_type"]
+                doc = body[http_end + 4 :]
+                if "html" in (ctype or "").lower():
+                    rec["text"] = html_to_text(doc.decode("utf-8", "replace"))
+                elif (ctype or "").lower().startswith("text/"):
+                    rec["text"] = doc.decode("utf-8", "replace")
+        records.append(rec)
+    return records
+
+
+WARC_SCHEMA = (
+    "path string, warc_type string, target_uri string, warc_date string, "
+    "http_status int, content_type string, text string"
+)
+
+
+@register_source("warc")
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC source — the CommonCrawl-style ingestion head of a
+    training-data pipeline: binaryFile scan, per-file record walk on
+    the executors, HTML responses already reduced to text. At 100 TB
+    the unit of parallelism is the WARC FILE (the standard ~1 GB
+    shards), which is exactly how crawl dumps are laid out."""
+    import pandas as pd
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", F.col("content").alias("payload"))
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for p, payload in zip(pdf["path"], pdf["payload"]):
+                for rec in parse_warc_records(
+                    bytes(payload) if payload is not None else b""
+                ):
+                    rows.append(
+                        (
+                            p,
+                            rec["warc_type"],
+                            rec["target_uri"],
+                            rec["warc_date"],
+                            rec["http_status"],
+                            rec["content_type"],
+                            rec["text"],
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "warc_type", "target_uri", "warc_date",
+                    "http_status", "content_type", "text",
+                ],
+            )
+            out["http_status"] = out["http_status"].astype("Int32")
+            yield out
+
+    return df.mapInPandas(run, schema=WARC_SCHEMA)
+
+
 @register_source("path")
 def read_any_path(spark: SparkSession, path: str, decoder=None) -> DataFrame:
     """Fallthrough router by suffix (reference reader.py:989-1032)."""
@@ -897,6 +1098,10 @@ def read_any_path(spark: SparkSession, path: str, decoder=None) -> DataFrame:
         return read_docx(spark, path, decoder=decoder)
     if path.endswith(".epub"):
         return read_epub(spark, path, decoder=decoder)
+    if path.endswith(".zip"):
+        return read_zip(spark, path)
+    if path.endswith((".warc", ".warc.gz")):
+        return read_warc(spark, path)
     if os.path.isdir(path):
         return read_directory(spark, path)
     return read_text_file(spark, path)
