@@ -1,0 +1,140 @@
+"""End-to-end crawl curation: WARC shards -> training documents.
+
+Composes the session's crawl pieces into the pipeline a pretraining
+corpus actually runs, all as one declarative DataFrame DAG:
+
+1. ``read_warc`` pages (sources/readers.py) filtered to successful HTML
+   responses;
+2. robots.txt policy (functions/web.robots_filter — one broadcast join
+   + Arrow matcher pass);
+3. URL canonicalization (functions/web.normalize_url_column) and
+   same-URL dedup: the same page fetched under different spellings
+   collapses to ONE row (first by crawl date, ties on raw URL — a
+   deterministic keep rule, not dropDuplicates' partition luck);
+4. boilerplate removal (functions/boilerplate.extract_main_content);
+5. exact content dedup on the md5 of the main text (mirror-site
+   collapse), same deterministic keep rule;
+6. length floor on the surviving main text.
+
+Scale shape: the only shuffles are the two dedup groupBys (url_norm,
+content digest) and both are map-side-combinable window/rank cuts; the
+robots join broadcasts the (small) per-host policy table; everything
+else is zero-shuffle Arrow scans over the WARC files — the same unit
+of parallelism the crawl ships in.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.web import normalize_url_column, robots_filter
+
+
+def curate_crawl(
+    warc_records: DataFrame,
+    robots: DataFrame | None = None,
+    agent: str = "sparkbot",
+    min_text_chars: int = 100,
+) -> DataFrame:
+    """Returns curated documents: ``(doc_id, url, domain, fetched_at,
+    text, blocks_kept, blocks_total, boilerplate_ratio)`` where doc_id
+    is the md5 of the canonical URL (stable across re-crawls)."""
+    pages = (
+        warc_records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("html").isNotNull()
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("fetched_at"),
+            "html",
+        )
+    )
+    if robots is not None:
+        pages = robots_filter(pages, robots, agent=agent)
+    pages = normalize_url_column(pages, "url").filter(
+        F.col("url_norm").isNotNull()
+    )
+    # same-URL dedup: deterministic first-fetch keep rule
+    by_url = Window.partitionBy("url_norm").orderBy(
+        F.col("fetched_at").asc_nulls_last(), F.col("url").asc()
+    )
+    pages = (
+        pages.withColumn("_rn", F.row_number().over(by_url))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # extract_main_content keys on long doc ids; crawl keys are md5
+    # strings, so the pipeline uses a string-id twin of that stage
+    docs = (
+        pages.select(
+            F.md5(F.col("url_norm")).alias("doc_id"),
+            F.col("url_norm").alias("url"),
+            "domain",
+            "fetched_at",
+            "html",
+        )
+    )
+    extracted = _extract_main_str_ids(docs)
+    curated = extracted.filter(
+        F.length(F.col("text")) >= min_text_chars
+    )
+    # exact content dedup across mirrors: keep the lexicographically
+    # first canonical URL per digest (deterministic)
+    by_digest = Window.partitionBy("digest").orderBy(F.col("url").asc())
+    return (
+        curated.withColumn("digest", F.md5("text"))
+        .withColumn("_rn", F.row_number().over(by_digest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "digest", "html")
+    )
+
+
+def _extract_main_str_ids(docs: DataFrame) -> DataFrame:
+    """``extract_main_content`` twin for string doc ids carrying the
+    crawl columns through the Arrow pass."""
+    import pandas as pd
+
+    from ..functions.boilerplate import extract_main_text
+
+    def run(batches):
+        for pdf in batches:
+            texts, kept, total, ratio = [], [], [], []
+            for html in pdf["html"]:
+                if not isinstance(html, str):
+                    texts.append(None)
+                    kept.append(None)
+                    total.append(None)
+                    ratio.append(None)
+                    continue
+                t, k, n = extract_main_text(html)
+                texts.append(t)
+                kept.append(k)
+                total.append(n)
+                ratio.append((1.0 - k / n) if n else None)
+            out = pdf.copy()
+            out["text"] = texts
+            out["blocks_kept"] = pd.array(kept, dtype="Int32")
+            out["blocks_total"] = pd.array(total, dtype="Int32")
+            out["boilerplate_ratio"] = ratio
+            yield out
+
+    schema = (
+        "doc_id string, url string, domain string, fetched_at string, "
+        "html string, text string, blocks_kept int, blocks_total int, "
+        "boilerplate_ratio double"
+    )
+    return docs.mapInPandas(run, schema=schema)
+
+
+def crawl_report(curated: DataFrame) -> DataFrame:
+    """Corpus-level monitor over the curated output: per-domain doc
+    counts, mean boilerplate ratio and text volume — the table a
+    domain-quota pass (operators' ``domain_quota``) consumes next."""
+    return curated.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("boilerplate_ratio"), 4).alias("avg_boilerplate"),
+        F.sum(F.length("text")).alias("text_chars"),
+    )

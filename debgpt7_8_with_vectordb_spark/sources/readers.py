@@ -1003,6 +1003,7 @@ def parse_warc_records(payload: bytes) -> list[dict]:
             "http_status": None,
             "content_type": headers.get("content-type"),
             "text": None,
+            "html": None,
         }
         if rec["warc_type"] == "response" and body[:5] == b"HTTP/":
             http_end = body.find(b"\r\n\r\n")
@@ -1020,7 +1021,8 @@ def parse_warc_records(payload: bytes) -> list[dict]:
                 rec["content_type"] = ctype or rec["content_type"]
                 doc = body[http_end + 4 :]
                 if "html" in (ctype or "").lower():
-                    rec["text"] = html_to_text(doc.decode("utf-8", "replace"))
+                    rec["html"] = doc.decode("utf-8", "replace")
+                    rec["text"] = html_to_text(rec["html"])
                 elif (ctype or "").lower().startswith("text/"):
                     rec["text"] = doc.decode("utf-8", "replace")
         records.append(rec)
@@ -1029,7 +1031,7 @@ def parse_warc_records(payload: bytes) -> list[dict]:
 
 WARC_SCHEMA = (
     "path string, warc_type string, target_uri string, warc_date string, "
-    "http_status int, content_type string, text string"
+    "http_status int, content_type string, text string, html string"
 )
 
 
@@ -1064,13 +1066,14 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             rec["http_status"],
                             rec["content_type"],
                             rec["text"],
+                            rec["html"],
                         )
                     )
             out = pd.DataFrame(
                 rows,
                 columns=[
                     "path", "warc_type", "target_uri", "warc_date",
-                    "http_status", "content_type", "text",
+                    "http_status", "content_type", "text", "html",
                 ],
             )
             out["http_status"] = out["http_status"].astype("Int32")
