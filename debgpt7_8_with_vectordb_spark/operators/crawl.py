@@ -129,6 +129,95 @@ def _extract_main_str_ids(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(run, schema=schema)
 
 
+def crawl_to_documents(curated: DataFrame) -> DataFrame:
+    """Bridge into the engine's ``documents`` table shape
+    ``(doc_id long, source string, lang string, ts, text string)`` so
+    every existing corpus operator (near-dup families, quality
+    scoring, chunk+pack, BPE, mixture) applies to crawl output
+    unchanged. doc_id = the top 60 bits of the canonical-URL md5 —
+    deterministic across re-crawls, collision odds ~n^2/2^61 (a 10^8
+    -doc corpus: ~0.003), and the same key the curation stage already
+    dedups on."""
+    return curated.select(
+        F.conv(F.substring(F.col("doc_id"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("url").alias("source"),
+        F.lit(None).cast("string").alias("lang"),
+        F.to_timestamp("fetched_at").alias("ts"),
+        F.col("text"),
+    )
+
+
+def parse_sitemap(body: str) -> list[dict]:
+    """Sitemap.org XML walk (the discovery companion to robots.txt):
+    returns one dict per ``<url>`` entry (loc, lastmod, changefreq,
+    priority) for urlset documents, or per child sitemap (loc, lastmod,
+    kind='sitemap') for index documents — the caller feeds child locs
+    back through its fetch stage. Regex-tokenized like the OPF walk:
+    resilient to the truncated/invalid XML crawls actually return."""
+    import re
+
+    out: list[dict] = []
+    is_index = "<sitemapindex" in body
+    tag = "sitemap" if is_index else "url"
+    for m in re.finditer(rf"<{tag}(?:\s[^>]*)?>(.*?)</{tag}>", body, re.S):
+        entry = m.group(1)
+
+        def field(name: str) -> str | None:
+            f = re.search(rf"<{name}(?:\s[^>]*)?>\s*(.*?)\s*</{name}>", entry, re.S)
+            return f.group(1) if f else None
+
+        loc = field("loc")
+        if not loc:
+            continue
+        out.append(
+            {
+                "loc": loc,
+                "lastmod": field("lastmod"),
+                "changefreq": None if is_index else field("changefreq"),
+                "priority": None if is_index else field("priority"),
+                "kind": "sitemap" if is_index else "url",
+            }
+        )
+    return out
+
+
+SITEMAP_SCHEMA = (
+    "host string, loc string, lastmod string, changefreq string, "
+    "priority string, kind string"
+)
+
+
+def expand_sitemaps(sitemaps: DataFrame) -> DataFrame:
+    """Arrow-batched stage over ``(host, sitemap_xml)`` rows -> one row
+    per discovered URL (or child sitemap for index files). The frontier
+    loop — fetch child sitemaps, feed back in — is the caller's, same
+    bounded-breadth pattern as ``paginated_fetch``."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for host, xml in zip(pdf["host"], pdf["sitemap_xml"]):
+                if not isinstance(xml, str):
+                    continue
+                for e in parse_sitemap(xml):
+                    rows.append(
+                        (host, e["loc"], e["lastmod"], e["changefreq"],
+                         e["priority"], e["kind"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "loc", "lastmod", "changefreq",
+                         "priority", "kind"],
+            )
+
+    return sitemaps.select("host", "sitemap_xml").mapInPandas(
+        run, schema=SITEMAP_SCHEMA
+    )
+
+
 def crawl_report(curated: DataFrame) -> DataFrame:
     """Corpus-level monitor over the curated output: per-domain doc
     counts, mean boilerplate ratio and text volume — the table a
