@@ -166,3 +166,106 @@ def test_resize_invariants(w, h, ch, nw, nh, rng):
     assert out[:ch] == px[:ch]
     # identity resize is exact
     assert resize_nearest(px, w, h, ch, w, h) == px
+
+
+# ------------------------------------------ round-7 session-2 codecs
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-(2**15), max_value=2**15 - 1),
+        min_size=1, max_size=600,
+    ),
+    channels=st.sampled_from([1, 2]),
+    blocksize=st.sampled_from([16, 100, 256]),
+    strategy=st.sampled_from(["fixed", "verbatim", "lpc1"]),
+)
+def test_flac_roundtrip_property(samples, channels, blocksize, strategy):
+    """FLAC is lossless: ANY 16-bit signal round-trips exactly through
+    any subframe strategy and blocking."""
+    from debgpt7_8_with_vectordb_spark.operators.flaccodec import (
+        decode_flac_samples,
+        encode_test_flac_stream,
+    )
+
+    if channels == 2 and len(samples) % 2:
+        samples = samples[:-1]
+    if not samples:
+        samples = [0, 0]
+    raw = encode_test_flac_stream(
+        channels, 8000, 16, samples, blocksize=blocksize, strategy=strategy
+    )
+    assert decode_flac_samples(raw) == (channels, 8000, 16, samples)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+    quality=st.integers(min_value=5, max_value=100),
+    subsample=st.booleans(),
+    progressive=st.booleans(),
+)
+def test_jpeg_decode_total_property(w, h, seed, quality, subsample, progressive):
+    """Any encoder-settings combination yields a decodable file with
+    exact dimensions, and progressive decode stays bit-identical to
+    baseline (same quantized coefficients)."""
+    import numpy as np
+
+    from debgpt7_8_with_vectordb_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.int64).astype("uint8")
+    base = decode_jpeg_pixels(
+        encode_jpeg_baseline(w, h, px.tobytes(), 3, quality, subsample=subsample)
+    )
+    assert base is not None
+    assert (base[1], base[2], base[3]) == (w, h, 3)
+    assert len(base[4]) == w * h * 3
+    if progressive:
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(
+                w, h, px.tobytes(), 3, quality, subsample=subsample
+            )
+        )
+        assert prog is not None and prog[4] == base[4]
+
+
+@settings(max_examples=60, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=300))
+def test_session2_parsers_never_raise(blob):
+    """Totality across the session-2 parsers on arbitrary bytes."""
+    from debgpt7_8_with_vectordb_spark.operators.audio_headers import (
+        parse_audio_header,
+        parse_id3_tags,
+    )
+    from debgpt7_8_with_vectordb_spark.operators.flaccodec import (
+        decode_flac_samples,
+    )
+    from debgpt7_8_with_vectordb_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        parse_jpeg_exif,
+        parse_jpeg_header,
+    )
+    from debgpt7_8_with_vectordb_spark.sources.readers import (
+        parse_warc_records,
+        zip_member_texts,
+    )
+
+    for fn in (parse_audio_header, parse_id3_tags, decode_flac_samples,
+               decode_jpeg_pixels, parse_jpeg_exif, parse_jpeg_header):
+        fn(blob)
+    parse_warc_records(blob)
+    zip_member_texts(blob)
+    # and with plausible magic prefixes grafted on
+    for magic in (b"\xff\xd8", b"fLaC", b"ID3", b"OggS", b"WARC/1.0\r\n",
+                  b"II*\x00", b"RIFF"):
+        parse_audio_header(magic + blob)
+        decode_jpeg_pixels(magic + blob)
+        parse_warc_records(magic + blob)
