@@ -1,0 +1,83 @@
+"""EXTERNAL validation of the image codecs: decode real third-party
+files shipped in the container (written by real encoders — libjpeg,
+libpng, giflib — none of them our fixtures). This is the strongest
+check available without image libraries: our own encoder round-trips
+can't catch a consistently-wrong constant table; a foreign bitstream
+can. Each test skips if its file is absent (different base images)."""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+from debgpt7_8_with_vectordb_spark.operators.jpegcodec import parse_jpeg_exif
+from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+    decode_image_pixels,
+    parse_image_header,
+)
+
+
+def _load(path: str) -> bytes:
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present in this container")
+    return pathlib.Path(path).read_bytes()
+
+
+def _decode(path: str):
+    raw = _load(path)
+    out = decode_image_pixels(raw)
+    assert out is not None, f"real-world decode failed: {path}"
+    fmt, w, h, ch, px = out
+    hdr = parse_image_header(raw)
+    assert hdr is not None and (hdr[1], hdr[2]) == (w, h)
+    assert len(px) == w * h * ch
+    return np.frombuffer(px, np.uint8).reshape(h, w, ch)
+
+
+def test_real_libjpeg_files_decode_plausibly():
+    # nodejs doc images: named for being white stripes with the logo
+    a = _decode("/usr/share/doc/nodejs/full-white-stripe.jpg")
+    assert a.shape == (312, 493, 3)
+    white_frac = float((a > 240).all(axis=2).mean())
+    assert white_frac > 0.9, white_frac
+    # the non-white corner carries the Node.js green logo
+    r, g, b = a[0, 0].tolist()
+    assert g > r and g > b, (r, g, b)
+
+
+def test_real_jpeg_with_exif():
+    raw = _load(
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+        "requests/ext/flower-of-life.jpg"
+    )
+    assert parse_image_header(raw) == ("jpeg", 161, 161)
+    assert decode_image_pixels(raw) is not None
+    exif = parse_jpeg_exif(raw)
+    assert exif is not None and exif.get("orientation") == 1
+
+
+def test_real_large_jpeg_decodes():
+    a = _decode(
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+        "pyparsing/docs/_static/pyparsingClassDiagram_3.0.9.jpg"
+    )
+    # a class diagram: overwhelmingly light background
+    assert a.shape == (2241, 2013, 3)
+    assert float(a.mean()) > 180
+
+
+def test_real_libpng_files_decode():
+    logo = _decode("/usr/share/gitweb/static/git-logo.png")
+    assert logo.shape == (27, 72, 3)
+    icon = _decode("/usr/share/doc/python3/_static/file.png")
+    assert icon.shape[2] == 4  # RGBA with alpha preserved
+
+
+def test_real_gif_files_decode():
+    a = _decode("/usr/share/doc/libxslt1-dev/html/smallfootonly.gif")
+    assert a.shape == (60, 48, 3)
+    big = _decode("/usr/share/doc/libxslt1-dev/html/processing.gif")
+    assert big.shape == (521, 648, 3)
