@@ -38,7 +38,16 @@ def _decode(path: str):
 
 
 def test_real_libjpeg_files_decode_plausibly():
-    # nodejs doc images: named for being white stripes with the logo
+    # nodejs doc images: named for being white stripes with the logo —
+    # and written by libjpeg's PROGRESSIVE encoder (SOF2 with real
+    # successive-approximation scan scripts), the strongest external
+    # check the progressive path can get
+    raw = _load("/usr/share/doc/nodejs/full-white-stripe.jpg")
+    from debgpt7_8_with_vectordb_spark.operators.jpegcodec import (
+        parse_jpeg_header,
+    )
+
+    assert parse_jpeg_header(raw)[3] == 0xC2  # progressive frame
     a = _decode("/usr/share/doc/nodejs/full-white-stripe.jpg")
     assert a.shape == (312, 493, 3)
     white_frac = float((a > 240).all(axis=2).mean())
@@ -60,6 +69,8 @@ def test_real_jpeg_with_exif():
 
 
 def test_real_large_jpeg_decodes():
+    # 2013x2241 PROGRESSIVE libjpeg file (and its 1.5.2 sibling is
+    # baseline — both encoder families covered by foreign bitstreams)
     a = _decode(
         "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
         "pyparsing/docs/_static/pyparsingClassDiagram_3.0.9.jpg"
@@ -67,6 +78,11 @@ def test_real_large_jpeg_decodes():
     # a class diagram: overwhelmingly light background
     assert a.shape == (2241, 2013, 3)
     assert float(a.mean()) > 180
+    b = _decode(
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+        "pyparsing/docs/_static/pyparsingClassDiagram_1.5.2.jpg"
+    )
+    assert b.shape == (1659, 1155, 3) and float(b.mean()) > 180
 
 
 def test_real_libpng_files_decode():
