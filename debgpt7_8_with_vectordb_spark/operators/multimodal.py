@@ -18,9 +18,10 @@ WAV PCM 8/16-bit (``decode_image_pixels`` / ``decode_wav_samples``),
 with feature-extract / resize / PCM-stats stages running on the decoded
 content. Still honestly stubbed, because they genuinely need codec
 libraries absent in this container:
-- ``decode_image_stub``: lossy AUDIO/VIDEO codecs only
-  (MP3 / H.264 frame decode — ffmpeg territory); JPEG decodes for
-  real since round 7, baseline AND progressive (jpegcodec.py);
+- ``decode_image_stub``: WebP pixel bitstreams (VP8/VP8L — metadata
+  decodes) and lossy AUDIO/VIDEO codecs (MP3 / H.264 frame decode —
+  ffmpeg territory); JPEG decodes for real since round 7, baseline
+  AND progressive (jpegcodec.py);
 - ``fake_decode_metadata``: the deterministic md5-derived fake kept
   for the oracled plumbing query (testdata payloads are text bytes,
   not image files).
@@ -1353,7 +1354,8 @@ def decode_image_pixels(
     filtered scanlines, GIF's LZW+palette+interlace, paletted PNG and
     JPEG both baseline and progressive (Huffman + IDCT + YCbCr,
     jpegcodec.py) are all normalized — or None for formats outside the
-    subset (lossy audio/video) or malformed bytes."""
+    subset (WebP pixel bitstreams — metadata only — and lossy
+    audio/video) or malformed bytes."""
     try:
         if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
             return _decode_png_pixels(payload)
