@@ -102,6 +102,47 @@ def gopher_quality_signals(
     return sig
 
 
+def c4_clean_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2) — the
+    complement to the page-level Gopher gates: keep only lines with at
+    least ``min_line_words`` words and (optionally) a terminal
+    punctuation mark; drop boilerplate lines mentioning javascript /
+    cookies-consent / lorem ipsum; rebuild the document from the
+    surviving lines and report how many were dropped. Documents whose
+    every line drops keep an empty string (the caller's length floor
+    decides their fate). All JVM expressions — one split, HOF filters,
+    re-join."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    keep = lambda l: (  # noqa: E731
+        (
+            F.size(F.filter(F.split(F.trim(l), "[ \t]+"), lambda w: w != ""))
+            >= min_line_words
+        )
+        & (
+            F.trim(l).rlike("[.!?…\"']$")
+            if require_terminal_punct
+            else F.lit(True)
+        )
+        & ~F.lower(l).rlike("lorem ipsum")
+        & ~F.lower(l).rlike("javascript")
+        & ~F.lower(l).rlike("cookie")
+    )
+    return docs.withColumn("_lines", lines).select(
+        *[c for c in docs.columns if c != text_col],
+        F.array_join(F.filter("_lines", keep), "\n").alias(text_col),
+        F.size("_lines").alias("lines_total"),
+        (F.size("_lines") - F.size(F.filter("_lines", keep))).alias(
+            "lines_dropped"
+        ),
+    )
+
+
 def gopher_quality_filter(
     docs: DataFrame,
     text_col: str = "text",

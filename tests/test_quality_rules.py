@@ -75,3 +75,39 @@ def test_plan_is_jvm_only(spark, docs):
     )
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+# ------------------------------------------------------- C4 line rules
+
+
+def test_c4_clean_lines(spark):
+    from debgpt7_8_with_vectordb_spark.operators.quality_rules import (
+        c4_clean_lines,
+    )
+
+    page = "\n".join(
+        [
+            "This is a complete sentence that survives the cleaning pass.",
+            "Menu",  # < 3 words
+            "no terminal punctuation on this line",
+            "Please enable JavaScript to view this site.",
+            "We use cookie banners everywhere.",
+            "Lorem ipsum dolor sit amet, consectetur.",
+            "Another good sentence stays in the document!",
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "Menu\nHome\nAbout"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_clean_lines(df).collect()}
+    kept = rows[1]["text"].split("\n")
+    assert kept == [
+        "This is a complete sentence that survives the cleaning pass.",
+        "Another good sentence stays in the document!",
+    ]
+    assert rows[1]["lines_total"] == 7 and rows[1]["lines_dropped"] == 5
+    assert rows[2]["text"] == "" and rows[2]["lines_dropped"] == 3
+    assert rows[3]["text"] == "" and rows[3]["lines_total"] == 0
+    plan = c4_clean_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
