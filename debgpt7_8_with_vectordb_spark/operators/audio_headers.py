@@ -197,10 +197,145 @@ def parse_ogg_header(payload: bytes):
     return fmt, channels, rate, None, granule
 
 
+def _f80_to_int(b: bytes) -> int:
+    """IEEE 754 80-bit extended float -> int (AIFF stores the sample
+    rate this way). Enough precision for any real audio rate."""
+    exp = int.from_bytes(b[:2], "big") & 0x7FFF
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    shift = exp - 16383 - 63
+    return mant << shift if shift >= 0 else mant >> -shift
+
+
+def parse_aiff_header(payload: bytes):
+    """AIFF / AIFF-C: big-endian IFF 'FORM' walk to the COMM chunk
+    (channels, frame count, bits, 80-bit-float rate). AIFF-C with a
+    non-PCM compression type still reports its metadata; returns the
+    AUDIO_SCHEMA tuple or None."""
+    if len(payload) < 12 or payload[:4] != b"FORM":
+        return None
+    form = payload[8:12]
+    if form not in (b"AIFF", b"AIFC"):
+        return None
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"COMM" and len(body) >= 18:
+            channels, frames = struct.unpack(">HI", body[:6])
+            (bits,) = struct.unpack(">H", body[6:8])
+            rate = _f80_to_int(body[8:18])
+            if not channels or not rate:
+                return None
+            return "aiff", int(channels), rate, int(bits), int(frames) * channels
+        pos += 8 + size + (size & 1)  # IFF chunks are word-aligned
+    return None
+
+
+_AU_ENCODINGS = {2: 8, 3: 16, 4: 24, 5: 32}  # linear PCM encodings -> bits
+
+
+def parse_au_header(payload: bytes):
+    """Sun/NeXT .au/.snd: fixed big-endian header ('.snd', data offset,
+    data size, encoding, rate, channels). Linear-PCM encodings report
+    bits; mu-law/A-law/float report None bits (metadata still real)."""
+    if len(payload) < 24 or payload[:4] != b".snd":
+        return None
+    off, size, enc, rate, channels = struct.unpack(">5I", payload[4:24])
+    if not channels or not rate or off < 24:
+        return None
+    bits = _AU_ENCODINGS.get(enc)
+    if size == 0xFFFFFFFF:  # unknown-size convention
+        size = max(0, len(payload) - off)
+    n_samples = size // (bits // 8) if bits else None
+    return "au", int(channels), int(rate), bits, n_samples
+
+
+def decode_aiff_samples(payload: bytes):
+    """PCM sample decode for AIFF (8/16-bit big-endian signed in the
+    SSND chunk) — returns the ``decode_wav_samples`` tuple shape."""
+    hdr = parse_aiff_header(payload)
+    if hdr is None or payload[8:12] != b"AIFF" or hdr[3] not in (8, 16):
+        return None
+    _, channels, rate, bits, n_samples = hdr
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        if tag == b"SSND" and size >= 8:
+            (data_off,) = struct.unpack(">I", payload[pos + 8 : pos + 12])
+            body = payload[pos + 16 + data_off : pos + 8 + size]
+            if bits == 16:
+                usable = len(body) - len(body) % 2
+                samples = list(struct.unpack(f">{usable // 2}h", body[:usable]))
+            else:  # AIFF 8-bit is SIGNED (unlike WAV)
+                samples = list(struct.unpack(f"{len(body)}b", body))
+            return channels, rate, bits, samples[:n_samples]
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def decode_au_samples(payload: bytes):
+    """PCM sample decode for .au linear encodings (8/16-bit big-endian
+    signed)."""
+    hdr = parse_au_header(payload)
+    if hdr is None or hdr[3] not in (8, 16):
+        return None
+    _, channels, rate, bits, _ = hdr
+    (off,) = struct.unpack(">I", payload[4:8])
+    (size,) = struct.unpack(">I", payload[8:12])
+    if size == 0xFFFFFFFF:
+        size = len(payload) - off
+    body = payload[off : off + size]
+    if bits == 16:
+        usable = len(body) - len(body) % 2
+        samples = list(struct.unpack(f">{usable // 2}h", body[:usable]))
+    else:
+        samples = list(struct.unpack(f"{len(body)}b", body))
+    return channels, rate, bits, samples
+
+
+def encode_test_aiff(
+    channels: int, rate: int, bits: int, samples
+) -> bytes:
+    """Forward AIFF writer (spec-independent fixture): COMM + SSND."""
+    frames = len(samples) // channels
+    if bits == 16:
+        data = struct.pack(f">{len(samples)}h", *samples)
+    else:
+        data = struct.pack(f"{len(samples)}b", *samples)
+    # 80-bit float rate: normalize mantissa to the top bit
+    exp = rate.bit_length() - 1
+    mant = rate << (63 - exp)
+    f80 = struct.pack(">H", 16383 + exp) + mant.to_bytes(8, "big")
+    comm = struct.pack(">HIH", channels, frames, bits) + f80
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def encode_test_au(channels: int, rate: int, bits: int, samples) -> bytes:
+    """Forward .au writer: 24-byte header + big-endian PCM."""
+    if bits == 16:
+        data = struct.pack(f">{len(samples)}h", *samples)
+    else:
+        data = struct.pack(f"{len(samples)}b", *samples)
+    enc = {8: 2, 16: 3}[bits]
+    return (
+        b".snd" + struct.pack(">5I", 24, len(data), enc, rate, channels) + data
+    )
+
+
 def parse_audio_header(payload: bytes):
     """Container dispatch for the audio metadata stage: WAV (RIFF walk
-    in ``multimodal.parse_wav_header``), MP3, FLAC, Ogg Vorbis/Opus.
-    Returns the AUDIO_SCHEMA tuple or None."""
+    in ``multimodal.parse_wav_header``), MP3, FLAC, Ogg Vorbis/Opus,
+    AIFF/AIFF-C, Sun .au. Returns the AUDIO_SCHEMA tuple or None."""
     if payload[:4] == b"RIFF":
         from .multimodal import parse_wav_header
 
@@ -210,6 +345,10 @@ def parse_audio_header(payload: bytes):
         return parse_flac_header(payload)
     if payload[:4] == b"OggS":
         return parse_ogg_header(payload)
+    if payload[:4] == b"FORM":
+        return parse_aiff_header(payload)
+    if payload[:4] == b".snd":
+        return parse_au_header(payload)
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):

@@ -2005,14 +2005,23 @@ PCM_STATS_SCHEMA = (
 def decode_audio_samples(
     payload: bytes,
 ) -> tuple[int, int, int, list[int]] | None:
-    """Container dispatch for SAMPLE decode: WAV PCM here, FLAC
-    (lossless rice/LPC decode, ``operators/flaccodec.py``) by magic.
+    """Container dispatch for SAMPLE decode: WAV PCM here; FLAC
+    (lossless rice/LPC decode, ``operators/flaccodec.py``), AIFF and
+    Sun .au PCM (``operators/audio_headers.py``) by magic.
     Returns ``(channels, sample_rate, bits, samples)`` interleaved, or
     None for lossy codecs (MP3/...) and malformed payloads."""
     if payload[:4] == b"fLaC":
         from .flaccodec import decode_flac_samples
 
         return decode_flac_samples(payload)
+    if payload[:4] == b"FORM":
+        from .audio_headers import decode_aiff_samples
+
+        return _parse_or_none(decode_aiff_samples, payload)
+    if payload[:4] == b".snd":
+        from .audio_headers import decode_au_samples
+
+        return _parse_or_none(decode_au_samples, payload)
     return decode_wav_samples(payload)
 
 

@@ -202,3 +202,70 @@ def test_audio_tags_spark_stage(spark):
     assert rows[1]["title"] == "T" and rows[1]["language"] == "deu"
     assert rows[1]["artist"] is None
     assert rows[2]["title"] is None and rows[3]["title"] is None
+
+
+# ------------------------------------------------------- AIFF / AU
+
+
+def test_aiff_roundtrip_and_f80_rate():
+    from debgpt7_8_with_vectordb_spark.operators.audio_headers import (
+        decode_aiff_samples,
+        encode_test_aiff,
+        parse_aiff_header,
+    )
+
+    samples = [i * 7 % 251 - 125 for i in range(400)]
+    raw = encode_test_aiff(2, 44100, 16, samples)
+    assert parse_aiff_header(raw) == ("aiff", 2, 44100, 16, 400)
+    assert decode_aiff_samples(raw) == (2, 44100, 16, samples)
+    # 8-bit AIFF is SIGNED
+    s8 = [(i % 255) - 127 for i in range(100)]
+    raw8 = encode_test_aiff(1, 8000, 8, s8)
+    assert decode_aiff_samples(raw8) == (1, 8000, 8, s8)
+    assert parse_aiff_header(raw[:20]) is None
+    assert parse_aiff_header(b"FORMxxxxWAVE") is None
+
+
+def test_au_roundtrip_and_edge():
+    from debgpt7_8_with_vectordb_spark.operators.audio_headers import (
+        decode_au_samples,
+        encode_test_au,
+        parse_au_header,
+    )
+
+    samples = [i * 13 % 1999 - 999 for i in range(300)]
+    raw = encode_test_au(2, 16000, 16, samples)
+    assert parse_au_header(raw) == ("au", 2, 16000, 16, 300)
+    assert decode_au_samples(raw) == (2, 16000, 16, samples)
+    # unknown-size convention (0xFFFFFFFF)
+    import struct as _s
+
+    unk = raw[:8] + _s.pack(">I", 0xFFFFFFFF) + raw[12:]
+    assert decode_au_samples(unk) == (2, 16000, 16, samples)
+    # mu-law (encoding 1): metadata real, bits/samples None
+    mulaw = raw[:12] + _s.pack(">I", 1) + raw[16:]
+    assert parse_au_header(mulaw) == ("au", 2, 16000, None, None)
+    assert decode_au_samples(mulaw) is None
+    assert parse_au_header(b".sndshort") is None
+
+
+def test_aiff_au_through_stage_dispatch(spark):
+    from debgpt7_8_with_vectordb_spark.operators.audio_headers import (
+        encode_test_aiff,
+        encode_test_au,
+    )
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        decode_audio_metadata,
+        decode_audio_samples,
+    )
+
+    aiff = encode_test_aiff(1, 22050, 16, list(range(-50, 50)))
+    au = encode_test_au(1, 8000, 8, [0, 1, -1, 127, -128])
+    assert decode_audio_samples(aiff)[3] == list(range(-50, 50))
+    assert decode_audio_samples(au)[3] == [0, 1, -1, 127, -128]
+    df = spark.createDataFrame(
+        [(1, aiff), (2, au)], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in decode_audio_metadata(df).collect()}
+    assert rows[1]["fmt"] == "aiff" and rows[1]["sample_rate"] == 22050
+    assert rows[2]["fmt"] == "au" and rows[2]["bits"] == 8
