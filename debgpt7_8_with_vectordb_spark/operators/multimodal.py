@@ -1381,13 +1381,14 @@ def decode_wav_samples(
 ) -> tuple[int, int, int, list[int]] | None:
     """REAL PCM sample decode, zero dependencies: returns
     ``(channels, sample_rate, bits, samples)`` with samples channel-
-    interleaved in frame order — 16-bit signed little-endian or 8-bit
-    unsigned per the WAV spec — or None for non-PCM/compressed audio."""
+    interleaved in frame order — 8-bit unsigned, or 16/24/32-bit
+    signed little-endian per the WAV spec — or None for
+    non-PCM/compressed audio."""
     hdr = _parse_or_none(parse_wav_header, payload)
     if hdr is None:
         return None
     _fmt, channels, rate, bits, _n = hdr
-    if bits not in (8, 16):
+    if bits not in (8, 16, 24, 32):
         return None
     # locate the data chunk body (same walk as parse_wav_header)
     pos, n = 12, len(payload)
@@ -1400,6 +1401,17 @@ def decode_wav_samples(
                 usable = len(body) - len(body) % 2
                 samples = list(
                     struct.unpack(f"<{usable // 2}h", body[:usable])
+                )
+            elif bits == 24:  # 3-byte little-endian signed
+                usable = len(body) - len(body) % 3
+                samples = [
+                    int.from_bytes(body[i : i + 3], "little", signed=True)
+                    for i in range(0, usable, 3)
+                ]
+            elif bits == 32:
+                usable = len(body) - len(body) % 4
+                samples = list(
+                    struct.unpack(f"<{usable // 4}i", body[:usable])
                 )
             else:
                 samples = list(body)

@@ -554,3 +554,27 @@ def test_audio_pcm_stats_spark_stage(spark):
         assert (r["sample_min"], r["sample_max"]) == (min(vals), max(vals))
         assert r["duration_ms"] == frames * 1000 // rate
     assert got[99]["channels"] is None and got[99]["sample_sum"] is None
+
+
+def test_wav_24_and_32_bit_pcm():
+    import struct as _s
+
+    def wav(bits, frames):
+        block = bits // 8
+        if bits == 24:
+            data = b"".join(
+                int(v).to_bytes(3, "little", signed=True) for v in frames
+            )
+        else:
+            data = _s.pack(f"<{len(frames)}i", *frames)
+        fmt = _s.pack("<HHIIHH", 1, 1, 8000, 8000 * block, block, bits)
+        chunks = (
+            b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    vals24 = [0, 1, -1, 8_388_607, -8_388_608, 123_456]
+    assert decode_wav_samples(wav(24, vals24)) == (1, 8000, 24, vals24)
+    vals32 = [0, 2**31 - 1, -(2**31), 42]
+    assert decode_wav_samples(wav(32, vals32)) == (1, 8000, 32, vals32)
