@@ -36,10 +36,15 @@ def curate_crawl(
     robots: DataFrame | None = None,
     agent: str = "sparkbot",
     min_text_chars: int = 100,
+    quality: bool = False,
 ) -> DataFrame:
     """Returns curated documents: ``(doc_id, url, domain, fetched_at,
     text, blocks_kept, blocks_total, boilerplate_ratio)`` where doc_id
-    is the md5 of the canonical URL (stable across re-crawls)."""
+    is the md5 of the canonical URL (stable across re-crawls).
+    ``quality=True`` additionally runs the published text gates after
+    boilerplate removal: C4 line cleaning, then the Gopher Table-A1
+    page filter (operators/quality_rules.py) — both pure Catalyst, so
+    they fold into the same zero-shuffle scan."""
     pages = (
         warc_records.filter(
             (F.col("warc_type") == "response")
@@ -78,6 +83,13 @@ def curate_crawl(
         )
     )
     extracted = _extract_main_str_ids(docs)
+    if quality:
+        from .quality_rules import c4_clean_lines, gopher_quality_filter
+
+        order = extracted.columns  # c4 stage moves text_col to the end
+        extracted = gopher_quality_filter(
+            c4_clean_lines(extracted).drop("lines_total", "lines_dropped")
+        ).select(*order)
     curated = extracted.filter(
         F.length(F.col("text")) >= min_text_chars
     )

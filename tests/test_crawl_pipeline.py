@@ -200,3 +200,16 @@ def test_expand_sitemaps_stage(spark):
     assert len(rows) == 4
     kinds = {(r["host"], r["kind"]) for r in rows}
     assert ("a.org", "url") in kinds and ("b.org", "sitemap") in kinds
+
+
+def test_quality_gated_curation(spark, warc_df):
+    # the synthetic pages are short prose with stopwords; with quality
+    # gates on, pages must pass C4 line rules AND the Gopher page gates
+    loose = curate_crawl(warc_df)
+    strict = curate_crawl(warc_df, quality=True)
+    n_loose, n_strict = loose.count(), strict.count()
+    assert n_strict <= n_loose
+    # schema is unchanged by the quality path
+    assert strict.columns == loose.columns
+    plan = strict._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
