@@ -1237,9 +1237,14 @@ def _decode_png_pixels(payload: bytes):
 
     w, h = struct.unpack(">II", payload[16:24])
     depth, ctype, comp, filt, interlace = payload[24:29]
-    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or interlace > 1:
-        return None  # supported subset: 8-bit, ordered or Adam7
+    if (
+        depth not in (8, 16) or ctype not in _PNG_CHANNELS
+        or (depth == 16 and ctype == 3)  # 16-bit palette indices illegal
+        or comp or filt or interlace > 1
+    ):
+        return None  # supported subset: 8/16-bit, ordered or Adam7
     channels = _PNG_CHANNELS[ctype]
+    sample_bytes = depth // 8  # filters operate on BYTES (bpp = ch * this)
     if w * h * channels > 1 << 26:  # zip-bomb fence (see _lzw_decode note)
         return None
     idat = bytearray()
@@ -1260,7 +1265,7 @@ def _decode_png_pixels(payload: bytes):
         # cap inflate output at the header-implied raw size (+ Adam7
         # per-pass filter-byte slack): a crafted IDAT can otherwise
         # expand ~1000x and OOM the task before any size check runs
-        cap = h * (w * channels + 1) + 2 * h + 64
+        cap = h * (w * channels * sample_bytes + 1) + 2 * h + 64
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), cap + 1)
         if len(raw) > cap or not d.eof:  # over-cap bomb / truncated stream
@@ -1268,12 +1273,14 @@ def _decode_png_pixels(payload: bytes):
     except zlib.error:
         return None
     if interlace == 1:
-        pixels = _png_deinterlace(raw, int(w), int(h), channels)
+        pixels = _png_deinterlace(raw, int(w), int(h), channels * sample_bytes)
     else:
-        res = _png_unfilter(raw, int(w), int(h), channels)
+        res = _png_unfilter(raw, int(w), int(h), channels * sample_bytes)
         pixels = res[0] if res else None
     if pixels is None:
         return None
+    if depth == 16:  # 8-bit presentation: keep the high (big-endian) byte
+        pixels = pixels[0::2]
     if ctype == 3:  # paletted: indices -> PLTE RGB triples (spec §11.2.3)
         if plte is None or len(plte) % 3:
             return None

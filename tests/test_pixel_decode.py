@@ -578,3 +578,50 @@ def test_wav_24_and_32_bit_pcm():
     assert decode_wav_samples(wav(24, vals24)) == (1, 8000, 24, vals24)
     vals32 = [0, 2**31 - 1, -(2**31), 42]
     assert decode_wav_samples(wav(32, vals32)) == (1, 8000, 32, vals32)
+
+
+def test_png_16bit_high_byte_presentation():
+    """16-bit PNGs decode with the standard 8-bit presentation (high
+    byte of each big-endian sample); filters run byte-wise with the
+    doubled bpp per spec §9.2."""
+    import numpy as np
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png16(w, h, ch, ctype, vals16, ftype=0):
+        ihdr = struct.pack(">II", w, h) + bytes([16, ctype, 0, 0, 0])
+        arr = np.asarray(vals16, dtype=">u2").reshape(h, w * ch)
+        raw = bytearray()
+        prev = np.zeros(w * ch * 2, dtype=np.int16)
+        for y in range(h):
+            raw.append(ftype)
+            line = np.frombuffer(arr[y].tobytes(), np.uint8).astype(np.int16)
+            if ftype == 2:  # Up filter, byte-wise
+                raw += ((line - prev) & 0xFF).astype(np.uint8).tobytes()
+            else:
+                raw += line.astype(np.uint8).tobytes()
+            prev = line
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    vals = [(i * 257 + 1000) % 65536 for i in range(6 * 4)]
+    exp = bytes((v >> 8) & 0xFF for v in vals)
+    assert decode_image_pixels(png16(6, 4, 1, 0, vals)) == ("png", 6, 4, 1, exp)
+    # filtered variant must unfilter byte-wise before byte selection
+    assert decode_image_pixels(png16(6, 4, 1, 0, vals, ftype=2)) == (
+        "png", 6, 4, 1, exp,
+    )
+    vals3 = [(i * 911) % 65536 for i in range(5 * 3 * 3)]
+    assert decode_image_pixels(png16(5, 3, 3, 2, vals3))[4] == bytes(
+        (v >> 8) for v in vals3
+    )
+    # 16-bit palette is illegal per spec: refused
+    bad = bytearray(png16(4, 4, 1, 0, [0] * 16))
+    bad[25] = 3  # ctype -> palette
+    assert decode_image_pixels(bytes(bad)) is None
