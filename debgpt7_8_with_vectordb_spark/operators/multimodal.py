@@ -1331,22 +1331,28 @@ def _decode_pnm_pixels(payload: bytes):
         mv = re.match(
             rb"\s*(?:#[^\n]*\s+)*(\d+)\s", payload[m.end() - 1 :]
         )
-        if not mv or int(mv.group(1)) > 255:
+        if not mv or int(mv.group(1)) > 65535:
             return None
+        maxval = int(mv.group(1))
+        wide = maxval > 255  # two-byte big-endian samples (Netpbm spec)
         body_at = m.end() - 1 + mv.end()
         channels = 3 if magic in ("P3", "P6") else 1
         n_vals = w * h * channels
         if magic in ("P5", "P6"):
-            body = payload[body_at : body_at + n_vals]
-            if len(body) < n_vals:
+            need = n_vals * (2 if wide else 1)
+            body = payload[body_at : body_at + need]
+            if len(body) < need:
                 return None
+            if wide:  # 8-bit presentation: high byte, like 16-bit PNG
+                body = body[0::2]
             return magic.lower(), w, h, channels, bytes(body)
         vals = payload[body_at:].split()
         if len(vals) < n_vals:
             return None
+        shift = 8 if wide else 0
         return (
             magic.lower(), w, h, channels,
-            bytes(min(int(v), 255) for v in vals[:n_vals]),
+            bytes(min(int(v) >> shift, 255) for v in vals[:n_vals]),
         )
     return None  # P1/P4 bitmaps: out of the supported subset
 

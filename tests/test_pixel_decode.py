@@ -180,8 +180,11 @@ def test_pnm_ascii_variants():
     assert decode_image_pixels(b"P5 2 1 # c\n255\n\x09\x0a") == (
         "p5", 2, 1, 1, b"\x09\x0a",
     )
-    # maxval > 255 (16-bit PNM) is outside the subset
-    assert decode_image_pixels(b"P5 1 1 65535\n\x00\x01") is None
+    # maxval > 255 (16-bit PNM) decodes with 8-bit high-byte
+    # presentation since late round 7
+    assert decode_image_pixels(b"P5 1 1 65535\n\x80\x01") == (
+        "p5", 1, 1, 1, b"\x80",
+    )
 
 
 def test_pixel_decode_malformed_returns_none():
@@ -625,3 +628,23 @@ def test_png_16bit_high_byte_presentation():
     bad = bytearray(png16(4, 4, 1, 0, [0] * 16))
     bad[25] = 3  # ctype -> palette
     assert decode_image_pixels(bytes(bad)) is None
+
+
+def test_pnm_16bit_high_byte_presentation():
+    import numpy as np
+
+    vals = [(i * 157 + 300) % 65536 for i in range(5 * 4)]
+    exp = bytes(v >> 8 for v in vals)
+    raw5 = b"P5 5 4 65535\n" + np.asarray(vals, dtype=">u2").tobytes()
+    assert decode_image_pixels(raw5) == ("p5", 5, 4, 1, exp)
+    vals3 = [(i * 733) % 65536 for i in range(3 * 2 * 3)]
+    raw6 = b"P6 3 2 65535\n" + np.asarray(vals3, dtype=">u2").tobytes()
+    assert decode_image_pixels(raw6) == (
+        "p6", 3, 2, 3, bytes(v >> 8 for v in vals3)
+    )
+    # ASCII 16-bit variant
+    raw2 = ("P2 4 1 65535\n" + " ".join(str(v) for v in vals[:4])).encode()
+    assert decode_image_pixels(raw2) == ("p2", 4, 1, 1, exp[:4])
+    # maxval beyond the spec limit refused; truncated wide body refused
+    assert decode_image_pixels(b"P5 2 2 70000\n" + b"\x00" * 8) is None
+    assert decode_image_pixels(b"P5 5 4 65535\n" + b"\x01" * 9) is None
