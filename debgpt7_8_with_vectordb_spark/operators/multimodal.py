@@ -1292,6 +1292,77 @@ def _decode_png_pixels(payload: bytes):
     return "png", int(w), int(h), channels, pixels
 
 
+def _bmp_rle8(data: bytes, w: int, h: int) -> bytes | None:
+    """BI_RLE8 (Windows BMP spec): encoded-run (count, index) pairs,
+    absolute mode (0, n, n indices, pad to word), end-of-line (0,0),
+    end-of-bitmap (0,1), delta (0,2,dx,dy — emits index 0 filler).
+    Returns h*w bottom-up index rows or None."""
+    rows = [bytearray(w) for _ in range(h)]
+    x = y = pos = 0
+    n = len(data)
+    while pos + 2 <= n and y < h:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:  # encoded run
+            rows[y][x : x + cnt] = bytes([val]) * min(cnt, w - x)
+            x = min(x + cnt, w)
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                return None
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: val literal indices, word-aligned
+            if pos + val > n:
+                return None
+            take = min(val, w - x)
+            rows[y][x : x + take] = data[pos : pos + take]
+            x += take
+            pos += val + (val & 1)
+    return b"".join(rows)
+
+
+def _decode_bmp8_pixels(payload: bytes, w: int, h_raw: int, compression: int):
+    """8bpp paletted BMP: BGRA-quad color table after the info header,
+    uncompressed rows (4-byte padded) or BI_RLE8; normalized to
+    top-down RGB like the 24/32bpp path."""
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (n_colors,) = struct.unpack("<I", payload[46:50])
+    n_colors = n_colors or 256
+    pal_at = 14 + hdr_size
+    palette = payload[pal_at : pal_at + 4 * n_colors]
+    if len(palette) < 4 * n_colors:
+        return None
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if compression == 1:  # BI_RLE8 (spec forbids it for top-down)
+        if top_down:
+            return None
+        idx_rows = _bmp_rle8(payload[data_off:], w, h)
+        if idx_rows is None:
+            return None
+    else:  # uncompressed 8bpp, 4-byte padded rows
+        row_bytes = (w + 3) // 4 * 4
+        if len(payload) < data_off + row_bytes * h:
+            return None
+        idx_rows = b"".join(
+            payload[data_off + r * row_bytes : data_off + r * row_bytes + w]
+            for r in range(h)
+        )
+    import numpy as np
+
+    pal = np.frombuffer(palette, np.uint8).reshape(-1, 4)[:, [2, 1, 0]]  # BGRx->RGB
+    idx = np.frombuffer(idx_rows, np.uint8).reshape(h, w)
+    if not top_down:
+        idx = idx[::-1]
+    return "bmp", int(w), int(h), 3, pal[idx].tobytes()
+
+
 def _decode_bmp_pixels(payload: bytes):
     (data_off,) = struct.unpack("<I", payload[10:14])
     hdr_size = struct.unpack("<I", payload[14:18])[0]
@@ -1300,7 +1371,11 @@ def _decode_bmp_pixels(payload: bytes):
     w, h_raw = struct.unpack("<ii", payload[18:26])
     planes, bpp = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
-    if w <= 0 or compression != 0 or bpp not in (24, 32):
+    if w <= 0:
+        return None
+    if bpp == 8 and compression in (0, 1):
+        return _decode_bmp8_pixels(payload, w, h_raw, compression)
+    if compression != 0 or bpp not in (24, 32):
         return None
     top_down = h_raw < 0
     h = abs(h_raw)

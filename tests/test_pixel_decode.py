@@ -648,3 +648,47 @@ def test_pnm_16bit_high_byte_presentation():
     # maxval beyond the spec limit refused; truncated wide body refused
     assert decode_image_pixels(b"P5 2 2 70000\n" + b"\x00" * 8) is None
     assert decode_image_pixels(b"P5 5 4 65535\n" + b"\x01" * 9) is None
+
+
+def test_bmp_8bpp_palette_and_rle8():
+    import numpy as np
+
+    def bmp8(w, h, indices, palette, compression=0, body=None):
+        if body is None:
+            row_bytes = (w + 3) // 4 * 4
+            rows = np.zeros((h, row_bytes), dtype=np.uint8)
+            rows[:, :w] = np.asarray(indices, dtype=np.uint8).reshape(h, w)[::-1]
+            body = rows.tobytes()
+        pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+        off = 14 + 40 + len(pal)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, compression, len(body),
+            2835, 2835, len(palette), 0,
+        )
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        return hdr + info + pal + body
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0]  # 4x2 top-down
+    raw = bmp8(4, 2, idx, palette)
+    got = decode_image_pixels(raw)
+    assert got is not None and (got[1], got[2], got[3]) == (4, 2, 3)
+    exp = b"".join(bytes(palette[i]) for i in idx)
+    assert got[4] == exp
+
+    # RLE8: bottom-up rows; encode row1 (bottom) then row0
+    # bottom row = indices [3,2,1,0] -> absolute mode; top = run of 0 x4
+    rle = bytes(
+        [0, 4, 3, 2, 1, 0,  # absolute 4 indices (even, no pad)
+         0, 0,              # end of line
+         4, 0,              # run: four of index 0
+         0, 1]              # end of bitmap
+    )
+    raw_rle = bmp8(4, 2, None, palette, compression=1, body=rle)
+    got2 = decode_image_pixels(raw_rle)
+    assert got2 is not None
+    top = b"".join(bytes(palette[0]) for _ in range(4))
+    bottom = b"".join(bytes(palette[i]) for i in (3, 2, 1, 0))
+    assert got2[4] == top + bottom
+    # truncated palette refused
+    assert decode_image_pixels(raw[: 14 + 40 + 5]) is None
