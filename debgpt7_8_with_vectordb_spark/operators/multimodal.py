@@ -7,10 +7,13 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 batch, never per row.
 
 Codec status (round 7): HEADER-METADATA decode is REAL for PNG / GIF /
-BMP / PNM / WAV / MP4 (zero-dependency struct parsers, golden-byte
-pinned), and PIXEL/SAMPLE decode is now REAL for the stdlib-decodable
-subset — PNG 8-bit (zlib inflate + all five scanline filters, paletted
-PLTE mapping, Adam7 interlace), BMP 24/32bpp uncompressed, PNM
+BMP / PNM / JPEG / TIFF / WebP / WAV / MP3 / FLAC / Ogg / AIFF / AU /
+MP4 / AVI / Matroska-WebM (zero-dependency struct parsers, golden-byte
+pinned), and PIXEL/SAMPLE decode is REAL for the stdlib-decodable
+subset — PNG 8/16-bit (zlib inflate + all five scanline filters,
+paletted PLTE mapping, Adam7 interlace, high-byte 16-bit
+presentation), BMP 24/32bpp uncompressed + 8bpp paletted incl. RLE8,
+TIFF strips (uncompressed/PackBits), 8/16-bit PNM
 P2/P3/P5/P6, GIF (from-scratch LZW + palette + interlace), JPEG both
 baseline and progressive (from-scratch Huffman + IDCT + successive-
 approximation scans + chroma upsample, jpegcodec.py),
