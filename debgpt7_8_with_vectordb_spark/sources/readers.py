@@ -949,6 +949,71 @@ def read_zip(spark: SparkSession, path: str) -> DataFrame:
     return df.mapInPandas(run, schema="path string, member string, content string")
 
 
+def tar_member_texts(payload: bytes) -> list[tuple[str, str]]:
+    """ZIP twin for tarballs (stdlib ``tarfile``, gz/bz2/xz transparent
+    via mode "r:*"): one (member_name, text) per text-bearing member,
+    same suffix routing as ``zip_member_texts``."""
+    import io
+    import tarfile
+
+    from ..functions.htmltext import html_to_text
+
+    out: list[tuple[str, str]] = []
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:*") as tf:
+            for info in tf:
+                if not info.isfile():
+                    continue
+                lower = info.name.lower()
+                member = tf.extractfile(info)
+                if member is None:
+                    continue
+                data = member.read()
+                if lower.endswith((".html", ".htm")):
+                    text = html_to_text(data.decode("utf-8", "replace"))
+                elif lower.endswith(".docx"):
+                    text = docx_extract_text(data)
+                elif lower.endswith(".epub"):
+                    text = epub_extract_text(data)
+                elif lower.endswith(
+                    (".txt", ".md", ".rst", ".json", ".jsonl", ".csv")
+                ):
+                    text = data.decode("utf-8", "replace")
+                else:
+                    continue
+                if text:
+                    out.append((info.name, text))
+    except Exception:
+        return []
+    return out
+
+
+@register_source("tar")
+def read_tar(spark: SparkSession, path: str) -> DataFrame:
+    """Tarball source (.tar/.tar.gz/.tgz/.tar.bz2/.tar.xz): one row per
+    text-bearing member, executor-side extraction — the other standard
+    container corpus dumps ship in. Schema ``(path, member, content)``."""
+    import pandas as pd
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", F.col("content").alias("payload"))
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for p, payload in zip(pdf["path"], pdf["payload"]):
+                for member, text in tar_member_texts(
+                    bytes(payload) if payload is not None else b""
+                ):
+                    rows.append((p, member, text))
+            yield pd.DataFrame(rows, columns=["path", "member", "content"])
+
+    return df.mapInPandas(run, schema="path string, member string, content string")
+
+
 def parse_warc_records(payload: bytes) -> list[dict]:
     """WARC/1.x record walk (ISO 28500 — the web-crawl interchange
     format): handles plain and per-record-gzipped (multi-member)
@@ -1103,6 +1168,8 @@ def read_any_path(spark: SparkSession, path: str, decoder=None) -> DataFrame:
         return read_epub(spark, path, decoder=decoder)
     if path.endswith(".zip"):
         return read_zip(spark, path)
+    if path.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tar.xz")):
+        return read_tar(spark, path)
     if path.endswith((".warc", ".warc.gz")):
         return read_warc(spark, path)
     if os.path.isdir(path):

@@ -135,3 +135,49 @@ def test_sources_end_to_end(spark, tmp_path_factory):
     zip_rows = read_any_path(spark, f"{root}/dump.zip").collect()
     assert len(zip_rows) == 1 and zip_rows[0]["content"] == "zipped text"
     assert zip_rows[0]["member"] == "x.txt"
+
+
+# ------------------------------------------------------------- tarballs
+
+
+def test_tar_member_routing_and_compressions():
+    import tarfile
+
+    from debgpt7_8_with_vectordb_spark.sources.readers import (
+        tar_member_texts,
+    )
+
+    def tarball(mode):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode=mode) as tf:
+            def add(name, data: bytes):
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+
+            add("a/doc.txt", b"tar plain text")
+            add("a/page.html", b"<p>tar &amp; html</p>")
+            add("bin.dat", b"\x00\x01\x02")
+        return buf.getvalue()
+
+    for mode in ("w", "w:gz", "w:bz2", "w:xz"):
+        got = dict(tar_member_texts(tarball(mode)))
+        assert got["a/doc.txt"] == "tar plain text", mode
+        assert got["a/page.html"] == "tar & html", mode
+        assert "bin.dat" not in got
+    assert tar_member_texts(b"not a tar") == []
+
+
+def test_tar_source_end_to_end(spark, tmp_path_factory):
+    import tarfile
+
+    root = tmp_path_factory.mktemp("tars")
+    with tarfile.open(root / "dump.tar.gz", "w:gz") as tf:
+        data = b"from the tarball."
+        ti = tarfile.TarInfo("x.md")
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+    rows = read_any_path(spark, f"{root}/dump.tar.gz").collect()
+    assert len(rows) == 1
+    assert rows[0]["member"] == "x.md"
+    assert rows[0]["content"] == "from the tarball."
