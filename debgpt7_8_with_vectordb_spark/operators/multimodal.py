@@ -107,6 +107,8 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     m = _PNM_HEADER.match(payload)
     if m:
         return m.group(1).decode("ascii").lower(), int(m.group(2)), int(m.group(3))
+    if payload[:4] == b"\x00\x00\x01\x00":
+        return parse_ico_header(payload)
     return None
 
 
@@ -1366,6 +1368,87 @@ def _decode_bmp8_pixels(payload: bytes, w: int, h_raw: int, compression: int):
     return "bmp", int(w), int(h), 3, pal[idx].tobytes()
 
 
+def _ico_frames(payload: bytes):
+    """Validated ICO directory: yields (w, h, bpp, offset, size)."""
+    if len(payload) < 6 or payload[:4] != b"\x00\x00\x01\x00":
+        return None
+    (count,) = struct.unpack("<H", payload[4:6])
+    if not 1 <= count <= 64 or len(payload) < 6 + 16 * count:
+        return None
+    frames = []
+    for i in range(count):
+        e = payload[6 + 16 * i : 6 + 16 * (i + 1)]
+        w, h = e[0] or 256, e[1] or 256
+        (bpp,) = struct.unpack("<H", e[6:8])
+        size, off = struct.unpack("<II", e[8:16])
+        if off + size > len(payload) or size < 16:
+            return None
+        frames.append((w, h, bpp, off, size))
+    return frames
+
+
+def parse_ico_header(payload: bytes) -> tuple[str, int, int] | None:
+    """ICO metadata: the LARGEST frame's dimensions (the convention
+    image tooling reports for multi-resolution icons)."""
+    frames = _ico_frames(payload)
+    if not frames:
+        return None
+    w, h, _, _, _ = max(frames, key=lambda f: f[0] * f[1])
+    return "ico", int(w), int(h)
+
+
+def _decode_ico_pixels(payload: bytes):
+    """ICO pixel decode for the largest frame: embedded-PNG frames
+    reuse the PNG decoder; classic DIB frames (BITMAPINFOHEADER with
+    DOUBLED height for the AND mask) decode 32bpp BGRA and 8bpp
+    paletted XOR images, bottom-up normalized. The AND mask is ignored
+    for 32bpp (alpha channel supersedes it) and applied as binary
+    alpha for 8bpp."""
+    import numpy as np
+
+    frames = _ico_frames(payload)
+    if not frames:
+        return None
+    w, h, _, off, size = max(frames, key=lambda f: f[0] * f[1])
+    frame = payload[off : off + size]
+    if frame[:8] == b"\x89PNG\r\n\x1a\n":
+        out = _decode_png_pixels(frame)
+        if out is None:
+            return None
+        return ("ico",) + out[1:]
+    if len(frame) < 40 or struct.unpack("<I", frame[:4])[0] != 40:
+        return None
+    bw, bh2 = struct.unpack("<ii", frame[4:12])
+    planes, bpp = struct.unpack("<HH", frame[12:16])
+    (compression,) = struct.unpack("<I", frame[16:20])
+    if compression or bw != w or bh2 != 2 * h or bpp not in (8, 32):
+        return None
+    if bpp == 32:
+        row = w * 4
+        body = frame[40 : 40 + row * h]
+        if len(body) < row * h:
+            return None
+        arr = np.frombuffer(body, np.uint8).reshape(h, w, 4)[::-1]
+        rgba = arr[..., [2, 1, 0, 3]]  # BGRA -> RGBA
+        return "ico", int(w), int(h), 4, rgba.tobytes()
+    (n_colors,) = struct.unpack("<I", frame[32:36])
+    n_colors = n_colors or 256
+    pal = np.frombuffer(
+        frame[40 : 40 + 4 * n_colors], np.uint8
+    ).reshape(-1, 4)[:, [2, 1, 0]]
+    xor_at = 40 + 4 * n_colors
+    row = (w + 3) // 4 * 4
+    body = frame[xor_at : xor_at + row * h]
+    if len(pal) < n_colors or len(body) < row * h:
+        return None
+    idx = (
+        np.frombuffer(body, np.uint8).reshape(h, row)[:, :w][::-1]
+    )
+    if idx.max() >= n_colors:
+        return None
+    return "ico", int(w), int(h), 3, pal[idx].tobytes()
+
+
 def _decode_bmp_pixels(payload: bytes):
     (data_off,) = struct.unpack("<I", payload[10:14])
     hdr_size = struct.unpack("<I", payload[14:18])[0]
@@ -1462,6 +1545,8 @@ def decode_image_pixels(
             return decode_jpeg_pixels(payload)
         if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
             return _decode_tiff_pixels(payload)
+        if payload[:4] == b"\x00\x00\x01\x00":
+            return _decode_ico_pixels(payload)
     except Exception:
         return None
     return None

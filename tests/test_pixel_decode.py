@@ -692,3 +692,37 @@ def test_bmp_8bpp_palette_and_rle8():
     assert got2[4] == top + bottom
     # truncated palette refused
     assert decode_image_pixels(raw[: 14 + 40 + 5]) is None
+
+
+def test_ico_png_frame_and_paletted_dib():
+    import numpy as np
+
+    # ICO wrapping a PNG frame reuses the PNG decoder
+    png = encode_test_image_patterned("png", 8, 8, seed=2)
+    entry = bytes([8, 8, 0, 0]) + struct.pack("<HHII", 1, 32, len(png), 22)
+    ico_png = b"\x00\x00\x01\x00\x01\x00" + entry + png
+    got = decode_image_pixels(ico_png)
+    ref = decode_image_pixels(png)
+    assert got == ("ico", 8, 8, 3, ref[4])
+
+    # 8bpp paletted DIB frame with doubled height
+    w = h = 4
+    pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in
+                   [(10, 20, 30), (200, 100, 50)])
+    idx = bytes([0, 1, 0, 1, 1, 0, 1, 0, 0, 0, 1, 1, 1, 1, 0, 0])
+    dib = (
+        struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0, 0, 0, 0, 2, 0)
+        + pal + idx + b"\x00" * 8  # AND mask rows (ignored)
+    )
+    entry = bytes([w, h, 2, 0]) + struct.pack("<HHII", 1, 8, len(dib), 22)
+    ico = b"\x00\x00\x01\x00\x01\x00" + entry + dib
+    out = decode_image_pixels(ico)
+    assert out is not None and out[0:4] == ("ico", 4, 4, 3)
+    arr = np.frombuffer(out[4], np.uint8).reshape(4, 4, 3)
+    # bottom-up normalization: the LAST xor row becomes the top row
+    assert arr[0, 0].tolist() == [200, 100, 50]
+    assert arr[3, 0].tolist() == [10, 20, 30]
+    # malformed: out-of-range palette index refused
+    bad = bytearray(ico)
+    bad[22 + 40 + 8 + 2] = 9
+    assert decode_image_pixels(bytes(bad)) is None

@@ -97,3 +97,25 @@ def test_real_gif_files_decode():
     assert a.shape == (60, 48, 3)
     big = _decode("/usr/share/doc/libxslt1-dev/html/processing.gif")
     assert big.shape == (521, 648, 3)
+
+
+def test_real_ico_favicons_decode():
+    # real 32bpp-DIB favicons from vendored third-party docs/templates
+    for path, dims in [
+        (
+            "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+            "pyasn1/docs/source/.static/favicon.ico",
+            (30, 32),
+        ),
+        (
+            "/usr/lib/google-cloud-sdk/platform/google_appengine/php/"
+            "new_project_template/favicon.ico",
+            (32, 32),
+        ),
+    ]:
+        raw = _load(path)
+        assert parse_image_header(raw) == ("ico", *dims)
+        out = decode_image_pixels(raw)
+        assert out is not None and out[0] == "ico" and out[3] == 4
+        assert (out[1], out[2]) == dims
+        assert len(out[4]) == dims[0] * dims[1] * 4
