@@ -109,6 +109,8 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         return m.group(1).decode("ascii").lower(), int(m.group(2)), int(m.group(3))
     if payload[:4] == b"\x00\x00\x01\x00":
         return parse_ico_header(payload)
+    if payload[:256].lstrip()[:4] in (b"<svg", b"<?xm"):
+        return parse_svg_header(payload)
     return None
 
 
@@ -1366,6 +1368,38 @@ def _decode_bmp8_pixels(payload: bytes, w: int, h_raw: int, compression: int):
     if not top_down:
         idx = idx[::-1]
     return "bmp", int(w), int(h), 3, pal[idx].tobytes()
+
+
+_SVG_DIM = rb'\s(?:%s)\s*=\s*["\']\s*([0-9]+(?:\.[0-9]+)?)\s*(?:px)?\s*["\']'
+
+
+def parse_svg_header(payload: bytes) -> tuple[str, int, int] | None:
+    """SVG metadata: width/height attributes (px or unitless) from the
+    root <svg> tag, falling back to the viewBox extent. Rendering is a
+    rasterizer's job; dimension filtering is the curation need."""
+    head = payload[:4096].lstrip()
+    if not (head.startswith(b"<svg") or (head.startswith(b"<?xml") and b"<svg" in head)):
+        return None
+    tag_at = head.find(b"<svg")
+    tag_end = head.find(b">", tag_at)
+    tag = head[tag_at : tag_end if tag_end > 0 else len(head)]
+    dims = []
+    for attr in (b"width", b"height"):
+        m = re.search(_SVG_DIM % attr, tag)
+        dims.append(round(float(m.group(1))) if m else None)
+    if dims[0] and dims[1]:
+        return "svg", dims[0], dims[1]
+    vb = re.search(
+        rb'\sviewBox\s*=\s*["\']\s*[-0-9.]+[\s,]+[-0-9.]+[\s,]+'
+        rb'([0-9.]+)[\s,]+([0-9.]+)',
+        tag,
+    )
+    if vb:
+        try:
+            return "svg", round(float(vb.group(1))), round(float(vb.group(2)))
+        except ValueError:
+            return None
+    return None
 
 
 def _ico_frames(payload: bytes):

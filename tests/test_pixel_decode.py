@@ -726,3 +726,21 @@ def test_ico_png_frame_and_paletted_dib():
     bad = bytearray(ico)
     bad[22 + 40 + 8 + 2] = 9
     assert decode_image_pixels(bytes(bad)) is None
+
+
+def test_svg_dimension_metadata():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        parse_image_header as pih,
+    )
+
+    assert pih(b'<svg width="120" height="80.4"><rect/></svg>') == (
+        "svg", 120, 80,
+    )
+    assert pih(b'<svg width="12px" height="34px"/>') == ("svg", 12, 34)
+    assert pih(
+        b'<?xml version="1.0"?>\n<svg viewBox="0 0 640 480"></svg>'
+    ) == ("svg", 640, 480)
+    # width alone is not enough; viewBox fallback kicks in
+    assert pih(b'<svg width="5" viewBox="0 0 20 10"/>') == ("svg", 20, 10)
+    assert pih(b'<svg xmlns="x"></svg>') is None  # no dimensions at all
+    assert pih(b"<html><svg/></html>") is None  # not an svg DOCUMENT

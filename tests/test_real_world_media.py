@@ -119,3 +119,11 @@ def test_real_ico_favicons_decode():
         assert out is not None and out[0] == "ico" and out[3] == 4
         assert (out[1], out[2]) == dims
         assert len(out[4]) == dims[0] * dims[1] * 4
+
+
+def test_real_svg_dimensions():
+    raw = _load(
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+        "urllib3/docs/_static/dark-logo.svg"
+    )
+    assert parse_image_header(raw) == ("svg", 400, 119)
