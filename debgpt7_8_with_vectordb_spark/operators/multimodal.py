@@ -1244,14 +1244,17 @@ def _decode_png_pixels(payload: bytes):
 
     w, h = struct.unpack(">II", payload[16:24])
     depth, ctype, comp, filt, interlace = payload[24:29]
+    low_depth = depth in (1, 2, 4) and ctype == 3 and interlace == 0
     if (
-        depth not in (8, 16) or ctype not in _PNG_CHANNELS
+        (depth not in (8, 16) and not low_depth)
+        or ctype not in _PNG_CHANNELS
         or (depth == 16 and ctype == 3)  # 16-bit palette indices illegal
         or comp or filt or interlace > 1
     ):
-        return None  # supported subset: 8/16-bit, ordered or Adam7
+        return None  # subset: 8/16-bit (ordered or Adam7), or
+        # 1/2/4-bit palette non-interlaced
     channels = _PNG_CHANNELS[ctype]
-    sample_bytes = depth // 8  # filters operate on BYTES (bpp = ch * this)
+    sample_bytes = max(1, depth // 8)  # filters operate on BYTES
     if w * h * channels > 1 << 26:  # zip-bomb fence (see _lzw_decode note)
         return None
     idat = bytearray()
@@ -1272,7 +1275,10 @@ def _decode_png_pixels(payload: bytes):
         # cap inflate output at the header-implied raw size (+ Adam7
         # per-pass filter-byte slack): a crafted IDAT can otherwise
         # expand ~1000x and OOM the task before any size check runs
-        cap = h * (w * channels * sample_bytes + 1) + 2 * h + 64
+        stride = (
+            (w * depth + 7) // 8 if low_depth else w * channels * sample_bytes
+        )
+        cap = h * (stride + 1) + 2 * h + 64
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), cap + 1)
         if len(raw) > cap or not d.eof:  # over-cap bomb / truncated stream
@@ -1281,6 +1287,20 @@ def _decode_png_pixels(payload: bytes):
         return None
     if interlace == 1:
         pixels = _png_deinterlace(raw, int(w), int(h), channels * sample_bytes)
+    elif low_depth:  # filters act on the PACKED bytes (bpp = 1)
+        res = _png_unfilter(raw, (w * depth + 7) // 8, int(h), 1)
+        pixels = res[0] if res else None
+        if pixels is not None:  # unpack MSB-first indices per scanline
+            row_bytes = (w * depth + 7) // 8
+            mask = (1 << depth) - 1
+            out = bytearray()
+            for y in range(h):
+                row = pixels[y * row_bytes : (y + 1) * row_bytes]
+                for x in range(w):
+                    byte = row[(x * depth) // 8]
+                    shift = 8 - depth - (x * depth) % 8
+                    out.append((byte >> shift) & mask)
+            pixels = bytes(out)
     else:
         res = _png_unfilter(raw, int(w), int(h), channels * sample_bytes)
         pixels = res[0] if res else None

@@ -744,3 +744,43 @@ def test_svg_dimension_metadata():
     assert pih(b'<svg width="5" viewBox="0 0 20 10"/>') == ("svg", 20, 10)
     assert pih(b'<svg xmlns="x"></svg>') is None  # no dimensions at all
     assert pih(b"<html><svg/></html>") is None  # not an svg DOCUMENT
+
+
+def test_png_low_bit_depth_palette():
+    """1/2/4-bit palette PNGs: filters run on the packed bytes, then
+    MSB-first index unpacking before palette mapping."""
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png_lowdepth(w, h, depth, indices, palette):
+        ihdr = struct.pack(">II", w, h) + bytes([depth, 3, 0, 0, 0])
+        row_bytes = (w * depth + 7) // 8
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            row = bytearray(row_bytes)
+            for x in range(w):
+                i = indices[y * w + x]
+                shift = 8 - depth - (x * depth) % 8
+                row[(x * depth) // 8] |= i << shift
+            raw += row
+        plte = b"".join(bytes(c) for c in palette)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    pal4 = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    idx = [(x + y) % 16 for y in range(5) for x in range(7)]
+    out = decode_image_pixels(png_lowdepth(7, 5, 4, idx, pal4))
+    assert out is not None and out[0:4] == ("png", 7, 5, 3)
+    assert out[4] == b"".join(bytes(pal4[i]) for i in idx)
+    pal1 = [(0, 0, 0), (255, 255, 255)]
+    idx1 = [(x ^ y) & 1 for y in range(3) for x in range(9)]
+    out1 = decode_image_pixels(png_lowdepth(9, 3, 1, idx1, pal1))
+    assert out1[4] == b"".join(bytes(pal1[i]) for i in idx1)

@@ -127,3 +127,10 @@ def test_real_svg_dimensions():
         "urllib3/docs/_static/dark-logo.svg"
     )
     assert parse_image_header(raw) == ("svg", 400, 119)
+
+
+def test_real_low_depth_palette_png():
+    # gitweb's favicon: 2-bit palette PNG written by a real encoder
+    raw = _load("/usr/share/gitweb/static/git-favicon.png")
+    out = decode_image_pixels(raw)
+    assert out is not None and (out[1], out[2], out[3]) == (16, 16, 3)
