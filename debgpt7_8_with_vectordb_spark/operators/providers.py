@@ -143,9 +143,104 @@ class GoogleEmbeddingClient:
         return [list(map(float, e["values"])) for e in rows]
 
 
+class OpenAIChatClient:
+    """POST {base}/chat/completions with {model, messages, max_tokens,
+    temperature} → choices[0].message.content — the OpenAI-compatible
+    generation surface (reference backends.py:57-73; the same endpoint
+    shape is served by vLLM / llama.cpp-server / Ollama's OpenAI
+    compatibility layer, so ONE client covers the reference's openai +
+    llamacpp + ollama rows wherever they speak this protocol).
+    ``transport`` is the test seam."""
+
+    def __init__(
+        self,
+        model: str,
+        api_key: str | None = None,
+        base_url: str | None = None,
+        max_tokens: int = 256,
+        temperature: float = 0.2,
+        transport=None,
+    ) -> None:
+        self.model = model
+        self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
+        self.base_url = (
+            base_url
+            or os.environ.get("OPENAI_BASE_URL", "https://api.openai.com/v1")
+        ).rstrip("/")
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.transport = transport or _http_post_json
+        if not self.api_key:
+            raise ValueError(
+                "OpenAIChatClient needs an api key (OPENAI_API_KEY or api_key=)"
+            )
+
+    def generate(self, prompt: str) -> str:
+        resp = self.transport(
+            f"{self.base_url}/chat/completions",
+            {
+                "model": self.model,
+                "messages": [{"role": "user", "content": prompt}],
+                "max_tokens": self.max_tokens,
+                "temperature": self.temperature,
+            },
+            {"Authorization": f"Bearer {self.api_key}"},
+        )
+        return resp["choices"][0]["message"]["content"]
+
+    def batch_generate(self, prompts: list[str]) -> list[str]:
+        # the public contract is one conversation per call; batch
+        # parallelism comes from Spark's row partitioning, not the API
+        return [self.generate(p) for p in prompts]
+
+
+class OllamaGenerateClient:
+    """POST {base}/api/generate with {model, prompt, stream: false} →
+    the reply text (reference backends.py:14-23; keyless local server,
+    OLLAMA_URL env). Tolerates the field-name drift across server
+    versions the reference handles: response/output/result, else the
+    raw JSON."""
+
+    def __init__(
+        self,
+        model: str,
+        base_url: str | None = None,
+        options: dict | None = None,
+        transport=None,
+    ) -> None:
+        self.model = model
+        self.base_url = (
+            base_url or os.environ.get("OLLAMA_URL", "http://127.0.0.1:11434")
+        ).rstrip("/")
+        self.options = options or {}
+        self.transport = transport or _http_post_json
+
+    def generate(self, prompt: str) -> str:
+        resp = self.transport(
+            f"{self.base_url}/api/generate",
+            {
+                "model": self.model,
+                "prompt": prompt,
+                "stream": False,
+                "options": self.options,
+            },
+            {},
+        )
+        out = resp.get("response") or resp.get("output") or resp.get("result")
+        return out if out is not None else json.dumps(resp)
+
+    def batch_generate(self, prompts: list[str]) -> list[str]:
+        return [self.generate(p) for p in prompts]
+
+
 _PROVIDERS = {
     "openai": OpenAIEmbeddingClient,
     "google": GoogleEmbeddingClient,
+}
+
+_GEN_PROVIDERS = {
+    "openai": OpenAIChatClient,
+    "ollama": OllamaGenerateClient,
 }
 
 # per-executor client cache: one client per (provider, model, dim),
@@ -178,3 +273,35 @@ def provider_embed_fn(provider: str, model: str, dim: int):
         return client.batch_embed(texts)
 
     return embed
+
+
+def provider_generate_fn(provider: str, model: str, transport=None, **opts):
+    """Generation twin of ``provider_embed_fn``: returns a picklable
+    ``list[str] -> list[str]`` closure over the config only; the HTTP
+    client (and its key, read from the executor env) materializes
+    lazily per executor and is cached. ``transport`` is the offline
+    test seam — when injected it must itself be picklable (a closure),
+    and it rides into the lazy constructor.
+
+    Usage::
+
+        fn = provider_generate_fn("openai", "gpt-4o-mini")
+        replies = generate_with_backend(df, "openai")   # registry path
+    """
+    if provider not in _GEN_PROVIDERS:
+        raise ValueError(
+            f"unknown generation provider {provider!r}; "
+            f"known: {sorted(_GEN_PROVIDERS)}"
+        )
+    cfg = ("gen", provider, model, tuple(sorted(opts.items())))
+
+    def generate(prompts: list[str]) -> list[str]:
+        client = _CLIENTS.get(cfg)
+        if client is None:
+            client = _GEN_PROVIDERS[cfg[1]](
+                model=cfg[2], transport=transport, **dict(cfg[3])
+            )
+            _CLIENTS[cfg] = client
+        return client.batch_generate(prompts)
+
+    return generate

@@ -15,3 +15,4 @@ from . import text_queries  # noqa: F401,E402
 from . import dataflow_queries  # noqa: F401,E402
 from . import pipeline_queries  # noqa: F401,E402
 from . import corpus_pipeline  # noqa: F401,E402
+from . import curation_queries  # noqa: F401,E402

@@ -16,6 +16,7 @@ non-UTF-8 files surface as replacement chars; a filter drops them.
 
 from __future__ import annotations
 
+import os
 import re
 import subprocess
 import sys
@@ -92,6 +93,42 @@ def read_cmd(spark: SparkSession, cmd: str) -> DataFrame:
         cmd, shell=True, capture_output=True, text=True, timeout=60
     ).stdout
     return spark.createDataFrame([(f"cmd:{cmd}", out)], "path string, content string")
+
+
+@register_source("man")
+def read_man(spark: SparkSession, page: str) -> DataFrame:
+    """``man:<page>`` sugar (reference reader.py:962-969): shell out to
+    ``man <page>`` and label the document with the page name — the
+    reference's create_wrapper labeling reduces to the path column
+    here. Dumb terminal (MANPAGER=cat equivalent via MAN_KEEP_FORMATTING
+    unset + col-safe plain capture)."""
+    out = subprocess.run(
+        f"man {page}",
+        shell=True,
+        capture_output=True,
+        text=True,
+        timeout=60,
+        env={**os.environ, "MANPAGER": "cat", "PAGER": "cat"},
+    ).stdout
+    return spark.createDataFrame(
+        [(f"man:{page}", out)], "path string, content string"
+    )
+
+
+@register_source("tldr")
+def read_tldr(spark: SparkSession, cmd_name: str) -> DataFrame:
+    """``tldr:<cmd>`` sugar (reference reader.py:1010-1016): shell out to
+    ``tldr <cmd>``; same cmd-source shape, page-name label."""
+    out = subprocess.run(
+        f"tldr {cmd_name}",
+        shell=True,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    ).stdout
+    return spark.createDataFrame(
+        [(f"tldr:{cmd_name}", out)], "path string, content string"
+    )
 
 
 @register_source("stdin")

@@ -466,6 +466,36 @@ def test_source_stdin(spark, monkeypatch):
     assert len(rows) == 1 and rows[0]["content"] == "piped content"
 
 
+def test_source_man_tldr_prefixes(spark, monkeypatch):
+    """S21 prefix parity (reference reader.py:962-969, 1010-1016):
+    ``man:X`` / ``tldr:X`` are ``cmd`` specializations shelling out to
+    ``man X`` / ``tldr X`` with the page name as the document label.
+    The binaries aren't in this container, so the subprocess seam is
+    stubbed and the constructed command line is pinned instead."""
+    from debgpt7_8_with_vectordb_spark.sources import readers
+    from debgpt7_8_with_vectordb_spark.sources.registry import read
+
+    calls = []
+
+    class _Out:
+        stdout = "FAKE PAGE"
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        return _Out()
+
+    monkeypatch.setattr(readers.subprocess, "run", fake_run)
+    rows = read(spark, "man:grep").collect()
+    assert calls[-1] == "man grep"
+    assert len(rows) == 1
+    assert rows[0]["path"] == "man:grep"
+    assert rows[0]["content"] == "FAKE PAGE"
+
+    rows = read(spark, "tldr:curl").collect()
+    assert calls[-1] == "tldr curl"
+    assert rows[0]["path"] == "tldr:curl" and rows[0]["content"] == "FAKE PAGE"
+
+
 def test_generation_backend_registry_dispatch(spark):
     """Reference backends.py:121-139: dispatch by (case-insensitive)
     name, ValueError naming the unknown backend."""
