@@ -469,8 +469,10 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                       WHEN 2 THEN 'bmp' ELSE 'p6' END AS fmt,
+       CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' WHEN 3 THEN 'p6'
+                       WHEN 4 THEN 'jpeg' WHEN 5 THEN 'tiff'
+                       WHEN 6 THEN 'webp' ELSE 'ico' END AS fmt,
        (1 + doc_id % 32)::INT AS width,
        (1 + (doc_id * 7) % 32)::INT AS height
 FROM documents
@@ -478,11 +480,13 @@ FROM documents
 )
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-metadata decode round-trip (round 6 — the multimodal
-    seam's first non-fake codec): per document, fabricate a VALID image
-    container (PNG/GIF/BMP/PPM rotating on doc_id, dimensions by fixed
-    arithmetic) and parse it back through the zero-dependency header
-    parser (operators/multimodal.py parse_image_header — struct layouts
-    from the four format specs, golden-byte-pinned in tests). The SQL
+    seam's first non-fake codec; rotation widened to the full round-7
+    parser breadth in round 8): per document, fabricate a VALID image
+    container (PNG/GIF/BMP/PPM/JPEG/TIFF/WebP/ICO rotating on doc_id,
+    dimensions by fixed arithmetic) and parse it back through the
+    zero-dependency header parser (operators/multimodal.py
+    parse_image_header — struct layouts from the format specs,
+    golden-byte-pinned in tests). The SQL
     oracle predicts the parsed metadata from the same arithmetic
     without touching bytes, so a parser or plumbing bug breaks the
     cross-engine hash. Scale shape: two chained Arrow stages (encode,
@@ -501,8 +505,9 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH p AS (
   SELECT doc_id,
-         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                         WHEN 2 THEN 'p6' ELSE 'gif' END AS fmt,
+         CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                         WHEN 2 THEN 'p6' WHEN 3 THEN 'gif'
+                         WHEN 4 THEN 'tiff' ELSE 'webp' END AS fmt,
          (1 + doc_id % 32) AS w, (1 + (doc_id * 7) % 32) AS h,
          (doc_id % 251) AS seed
   FROM documents
@@ -523,15 +528,16 @@ GROUP BY p.doc_id, p.fmt, p.w, p.h, p.seed
 )
 def image_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PIXEL decode round-trip (round 7 — the content half of the
-    codec seam; VERDICT r6 #1): per document, fabricate a patterned
-    VALID container (PNG with the row filter type cycling 0-4, BMP
-    bottom-up BGR with row padding, raw P6 — rotating on doc_id) and
-    decode the actual pixel bytes back through the zero-dependency
-    decoder (operators/multimodal.py decode_image_pixels: zlib inflate
-    + Sub/Up/Average/Paeth unfilter for PNG, orientation + channel-
-    order normalization for BMP, from-scratch LZW + palette mapping
-    for GIF — the palette is constructed so the mapped channels equal
-    the one shared pattern formula). The SQL oracle predicts count / sum /
+    codec seam; VERDICT r6 #1 — widened round 8 to the lossless codecs
+    shipped since: TIFF strips and WebP/VP8L): per document, fabricate
+    a patterned VALID container (PNG with the row filter type cycling
+    0-4, BMP bottom-up BGR with row padding, raw P6, GIF LZW, TIFF
+    uncompressed RGB strip, VP8L with subtract-green + color cache +
+    run LZ77 — rotating on doc_id) and decode the actual pixel bytes
+    back through the zero-dependency decoder (operators/multimodal.py
+    decode_image_pixels; webplcodec.py for VP8L — the GIF palette is
+    constructed so the mapped channels equal the one shared pattern
+    formula). The SQL oracle predicts count / sum /
     first / last of the normalized RGB stream from the shared pattern
     arithmetic without touching bytes — first_px/last_px pin top-down
     RGB order, so a decoder that skips BMP's row flip or BGR swap

@@ -236,11 +236,11 @@ def test_pixel_stats_spark_seam(spark):
     media = synthesize_test_media_patterned(ids)
     rows = {r["doc_id"]: r for r in decode_image_pixel_stats(media).collect()}
     assert len(rows) == 12
-    fmts = ("png", "bmp", "ppm", "gif")
+    fmts = ("png", "bmp", "ppm", "gif", "tiff", "webp")  # r8 rotation
     for i in range(12):
         w, h, seed = 1 + i % 32, 1 + (i * 7) % 32, i % 251
         r = rows[i]
-        assert r["fmt"] == ("p6" if fmts[i % 4] == "ppm" else fmts[i % 4])
+        assert r["fmt"] == ("p6" if fmts[i % 6] == "ppm" else fmts[i % 6])
         assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
         expect_sum = sum(
             _pattern_px(x, y, c, seed)
@@ -448,7 +448,7 @@ def test_feature_and_resize_spark_stages(spark):
     assert len(feats) == 8
     for i in range(8):
         r = feats[i]
-        assert r["fmt"] in ("png", "bmp", "p6", "gif")
+        assert r["fmt"] in ("png", "bmp", "p6", "gif", "tiff", "webp")
         assert 0 <= r["brightness"] <= 255
         assert r["px_min"] <= r["px_max"]
 
