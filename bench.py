@@ -136,7 +136,76 @@ HEADLINE = [
 ]
 
 
+def _concurrent_load() -> list[str]:
+    """Other heavyweight python work on this box (pytest / a second
+    Spark driver / oracle sweeps). Round 7 measured concurrent pytest
+    contaminating min-of-3 numbers by 1.3-1.7x — benches are only
+    comparable machine-quiet, so the runner WAITS for quiet below and
+    flags the JSON line when it can't get it."""
+    import glob
+
+    # my own ancestry (the driver harness shells mention these keywords
+    # in their prompt text — argv matching alone would self-trigger)
+    skip = set()
+    pid = os.getpid()
+    while pid > 1:
+        skip.add(pid)
+        try:
+            stat = open(f"/proc/{pid}/stat").read()
+            pid = int(stat.rsplit(")", 1)[1].split()[1])  # ppid
+        except (OSError, ValueError, IndexError):
+            break
+    hot = []
+    for p in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            pid = int(p.split("/")[2])
+            if pid in skip:
+                continue
+            argv = open(p, "rb").read().split(b"\x00")
+        except (OSError, ValueError):
+            continue
+        if not argv or not argv[0]:
+            continue
+        exe = argv[0].rsplit(b"/", 1)[-1]
+        if not (exe.startswith(b"python") or exe.startswith(b"java")):
+            continue
+        args = b" ".join(argv[1:]).decode("utf-8", "replace")
+        if exe.startswith(b"java") or any(
+            k in args
+            for k in (
+                "pytest", "check_oracle", "edge_gate", "fuzz_gate",
+                "cold_sweep", "bench.py", "scale_",
+            )
+        ):
+            hot.append(f"{pid}:{exe.decode()} {args[:70].strip()}")
+    return hot
+
+
+def wait_for_quiet(timeout_s: float = 180.0) -> bool:
+    """Block until no concurrent heavy job is running (or timeout).
+    Returns True when the machine is quiet."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        hot = _concurrent_load()
+        if not hot:
+            return True
+        print(
+            f"bench: waiting for machine-quiet ({len(hot)} hot: "
+            f"{hot[0]})",
+            file=sys.stderr,
+        )
+        time.sleep(5)
+    return not _concurrent_load()
+
+
 def main() -> None:
+    quiet = wait_for_quiet()
+    if not quiet:
+        print(
+            "bench: WARNING — running under concurrent load; timings "
+            "are not comparable to quiet runs",
+            file=sys.stderr,
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -228,8 +297,19 @@ def main() -> None:
         # different computations (html_strip r7: JVM tag-regexp strip
         # -> real HTML tokenizer with entity/comment/script handling,
         # VERDICT r6 #2; the regexp chain survives as
-        # read_html(fast=True))
-        "rebased": {"html_strip": "r7"},
+        # read_html(fast=True)). r8: the media rotations widened to the
+        # full codec breadth per VERDICT r7 #4 — multimodal_decode now
+        # synthesizes+parses 8 containers (was 4), image_pixels decodes
+        # TIFF strips and VP8L (pure-Python prefix codes) in rotation.
+        "rebased": {
+            "html_strip": "r7",
+            "multimodal_decode": "r8",
+            "image_pixels": "r8",
+        },
+        # round-7 lesson: concurrent pytest contaminates min-of-3 by
+        # 1.3-1.7x; the runner now waits for machine-quiet (see
+        # wait_for_quiet) and flags runs that never got it
+        "quiet": quiet,
         # per-run samples land only in BENCH_DETAIL.json (stdout line is
         # byte-budgeted); the judge reads the spread to separate noise
         # from drift
