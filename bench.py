@@ -130,6 +130,11 @@ HEADLINE = [
     "stream_neardup_screen",
     "stream_event_funnel",
     "corpus_pipeline",
+    # crawl-curation head (round 8: driver-oracled per VERDICT r7 #1)
+    "gopher_signals",
+    "c4_line_clean",
+    "url_normalize",
+    "curate_crawl",
     # mapreduce reduce loops (round-2: measure the de-funneled rounds)
     "mapreduce_echo",
     "mapreduce_echo_compact",

@@ -1550,7 +1550,24 @@ def _decode_bmp_pixels(payload: bytes):
         return None
     if bpp == 8 and compression in (0, 1):
         return _decode_bmp8_pixels(payload, w, h_raw, compression)
-    if compression != 0 or bpp not in (24, 32):
+    channel_order = None  # byte index of (R, G, B[, A]) within a pixel
+    if compression == 3 and bpp == 32 and hdr_size >= 56:
+        # BI_BITFIELDS with masks in the V4/V5 header (offsets 40-55):
+        # accept byte-aligned masks (the case real writers emit) by
+        # mapping each channel to its byte lane
+        masks = struct.unpack("<4I", payload[54:70])  # R, G, B, A
+        lanes = []
+        for m in masks[:3]:
+            if m not in (0xFF, 0xFF00, 0xFF0000, 0xFF000000):
+                return None
+            lanes.append({0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}[m])
+        a_lane = (
+            {0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}.get(masks[3])
+        )
+        if a_lane is None and masks[3] != 0:
+            return None
+        channel_order = lanes + ([a_lane] if a_lane is not None else [])
+    elif compression != 0 or bpp not in (24, 32):
         return None
     top_down = h_raw < 0
     h = abs(h_raw)
@@ -1565,8 +1582,12 @@ def _decode_bmp_pixels(payload: bytes):
     ).reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
     if not top_down:
         rows = rows[::-1]
-    out = rows.copy()
-    out[..., 0], out[..., 2] = rows[..., 2], rows[..., 0]  # BGR(A) -> RGB(A)
+    if channel_order is not None:
+        nch = len(channel_order)
+        out = rows[..., channel_order]
+    else:
+        out = rows.copy()
+        out[..., 0], out[..., 2] = rows[..., 2], rows[..., 0]  # BGR(A)->RGB(A)
     return "bmp", int(w), int(h), nch, out.tobytes()
 
 

@@ -695,6 +695,59 @@ def _read_entropy_image(
 # ---------------------------------------------------------------------------
 
 
+def _decode_argb_stream(br: BitReader, w: int, h: int) -> list[int]:
+    """The level-0 spatially-coded stream: optional transforms, the
+    entropy-coded image, inverse transforms in reverse read order.
+    Shared by the VP8L chunk body (after its 5-byte header) and the
+    ALPH chunk's headerless lossless stream."""
+    xsize = w
+    transforms: list[tuple[int, object]] = []
+    seen: set[int] = set()
+    while br.read(1):
+        t = br.read(2)
+        if t in seen:
+            raise ValueError("VP8L: duplicate transform")
+        seen.add(t)
+        if t in (PREDICTOR_TRANSFORM, COLOR_TRANSFORM):
+            bits = br.read(3) + 2
+            tw = (xsize + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            tiles = _read_entropy_image(br, tw, th, False)
+            transforms.append((t, (bits, tiles)))
+        elif t == SUBTRACT_GREEN:
+            transforms.append((t, None))
+        else:  # COLOR_INDEXING
+            n_colors = br.read(8) + 1
+            deltas = _read_entropy_image(br, n_colors, 1, False)
+            palette = []
+            prev = 0
+            for d in deltas:
+                prev = _px_add(prev, d)
+                palette.append(prev)
+            transforms.append((t, palette))
+            xsize = (
+                (w + (1 << _palette_xbits(n_colors)) - 1)
+                >> _palette_xbits(n_colors)
+                if _palette_xbits(n_colors)
+                else w
+            )
+    pixels = _read_entropy_image(br, xsize, h, True)
+    cur_w = xsize
+    for t, payload in reversed(transforms):
+        if t == COLOR_INDEXING_TRANSFORM:
+            pixels = apply_palette_inverse(pixels, w, h, payload)
+            cur_w = w
+        elif t == SUBTRACT_GREEN:
+            apply_subtract_green_inverse(pixels)
+        elif t == PREDICTOR_TRANSFORM:
+            bits, tiles = payload
+            apply_predictor_inverse(pixels, cur_w, h, tiles, bits)
+        else:
+            bits, tiles = payload
+            apply_color_inverse(pixels, cur_w, h, tiles, bits)
+    return pixels
+
+
 def decode_vp8l(data: bytes) -> tuple[int, int, int, bytes] | None:
     """VP8L chunk payload -> (width, height, channels, pixels) with
     pixels top-down interleaved RGB (channels=3) or RGBA (channels=4,
@@ -712,51 +765,7 @@ def decode_vp8l(data: bytes) -> tuple[int, int, int, bytes] | None:
             return None  # unknown version
         if w * h > MAX_PIXELS:
             return None
-        xsize = w
-        transforms: list[tuple[int, object]] = []
-        seen: set[int] = set()
-        while br.read(1):
-            t = br.read(2)
-            if t in seen:
-                raise ValueError("VP8L: duplicate transform")
-            seen.add(t)
-            if t in (PREDICTOR_TRANSFORM, COLOR_TRANSFORM):
-                bits = br.read(3) + 2
-                tw = (xsize + (1 << bits) - 1) >> bits
-                th = (h + (1 << bits) - 1) >> bits
-                tiles = _read_entropy_image(br, tw, th, False)
-                transforms.append((t, (bits, tiles)))
-            elif t == SUBTRACT_GREEN:
-                transforms.append((t, None))
-            else:  # COLOR_INDEXING
-                n_colors = br.read(8) + 1
-                deltas = _read_entropy_image(br, n_colors, 1, False)
-                palette = []
-                prev = 0
-                for d in deltas:
-                    prev = _px_add(prev, d)
-                    palette.append(prev)
-                transforms.append((t, palette))
-                xsize = (
-                    (w + (1 << _palette_xbits(n_colors)) - 1)
-                    >> _palette_xbits(n_colors)
-                    if _palette_xbits(n_colors)
-                    else w
-                )
-        pixels = _read_entropy_image(br, xsize, h, True)
-        cur_w = xsize
-        for t, payload in reversed(transforms):
-            if t == COLOR_INDEXING_TRANSFORM:
-                pixels = apply_palette_inverse(pixels, w, h, payload)
-                cur_w = w
-            elif t == SUBTRACT_GREEN:
-                apply_subtract_green_inverse(pixels)
-            elif t == PREDICTOR_TRANSFORM:
-                bits, tiles = payload
-                apply_predictor_inverse(pixels, cur_w, h, tiles, bits)
-            else:
-                bits, tiles = payload
-                apply_color_inverse(pixels, cur_w, h, tiles, bits)
+        pixels = _decode_argb_stream(br, w, h)
         channels = 4 if has_alpha else 3
         out = bytearray()
         for p in pixels:
@@ -766,6 +775,63 @@ def decode_vp8l(data: bytes) -> tuple[int, int, int, bytes] | None:
             if channels == 4:
                 out.append((p >> 24) & 0xFF)
         return w, h, channels, bytes(out)
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _alpha_unfilter(plane: bytearray, w: int, h: int, method: int) -> None:
+    """WebP alpha-plane prediction filters (container spec §ALPH,
+    libwebp filters semantics): 1 = horizontal (left; first column of
+    later rows predicts from above), 2 = vertical (above; first row
+    predicts from left), 3 = gradient (clamp(left + above - aboveleft)).
+    In-place delta + prediction mod 256."""
+    if method == 0:
+        return
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0
+            elif method == 1:
+                pred = plane[i - w] if x == 0 else plane[i - 1]
+            elif method == 2:
+                pred = plane[i - 1] if y == 0 else plane[i - w]
+            else:
+                if y == 0:
+                    pred = plane[i - 1]
+                elif x == 0:
+                    pred = plane[i - w]
+                else:
+                    g = plane[i - 1] + plane[i - w] - plane[i - w - 1]
+                    pred = min(255, max(0, g))
+            plane[i] = (plane[i] + pred) & 0xFF
+
+
+def decode_webp_alpha(body: bytes, width: int, height: int) -> bytes | None:
+    """ALPH chunk -> the width*height alpha plane. Header byte:
+    2 reserved/preprocessing bits, 2 filtering bits, 2 compression bits
+    (0 = raw bytes, 1 = a HEADERLESS VP8L stream whose green channel
+    carries the alpha values) — the path real libwebp encoders take, so
+    a real .webp's ALPH chunk is third-party validation of the VP8L
+    decoder. None on malformed input."""
+    try:
+        if not body or width * height > MAX_PIXELS:
+            return None
+        method = body[0] & 3
+        filt = (body[0] >> 2) & 3
+        if method == 0:
+            raw = body[1 : 1 + width * height]
+            if len(raw) < width * height:
+                return None
+            plane = bytearray(raw)
+        elif method == 1:
+            br = BitReader(body[1:])
+            pixels = _decode_argb_stream(br, width, height)
+            plane = bytearray((p >> 8) & 0xFF for p in pixels)
+        else:
+            return None
+        _alpha_unfilter(plane, width, height, filt)
+        return bytes(plane)
     except (ValueError, IndexError, struct.error):
         return None
 

@@ -40,6 +40,11 @@ BATCH = [
     "doc_fingerprint",
     "quality_score",
     "lang_id",
+    # round-8 curation head (zero-shuffle scans; curate_crawl's own
+    # WARC-shard tile lives in scale_crawl.py)
+    "gopher_signals",
+    "c4_line_clean",
+    "url_normalize",
 ]
 
 

@@ -30,6 +30,10 @@ DEFAULT_ROOTS = [
     "/usr/share/doc",
     "/usr/share/gitweb",
     "/usr/lib/google-cloud-sdk",
+    # CPython test suites ship the container's only real .webp (lossy
+    # VP8X+VP8+ALPH; its VP8L-compressed alpha plane is decoded by
+    # tests/test_webpl_codec.py as third-party VP8L validation)
+    "/root/.pyenv/versions/3.13.0/lib",
 ]
 SUFFIXES = (
     ".jpg", ".jpeg", ".png", ".gif", ".bmp", ".ico", ".tif", ".tiff",
