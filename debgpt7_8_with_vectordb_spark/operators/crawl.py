@@ -17,7 +17,10 @@ corpus actually runs, all as one declarative DataFrame DAG:
 6. length floor on the surviving main text.
 
 Scale shape: the only shuffles are the two dedup groupBys (url_norm,
-content digest) and both are map-side-combinable window/rank cuts; the
+content digest), both expressed as ``min_by`` AGGREGATIONS rather than
+window rank cuts so the partial-aggregation pass collapses duplicates
+map-side — the shuffle carries ~unique volume, not fetch volume
+(round 8; a row_number window must shuffle and sort every row). The
 robots join broadcasts the (small) per-host policy table; everything
 else is zero-shuffle Arrow scans over the WARC files — the same unit
 of parallelism the crawl ships in.
@@ -26,7 +29,7 @@ of parallelism the crawl ships in.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from ..functions.web import normalize_url_column, robots_filter
 
@@ -62,14 +65,24 @@ def curate_crawl(
     pages = normalize_url_column(pages, "url").filter(
         F.col("url_norm").isNotNull()
     )
-    # same-URL dedup: deterministic first-fetch keep rule
-    by_url = Window.partitionBy("url_norm").orderBy(
-        F.col("fetched_at").asc_nulls_last(), F.col("url").asc()
+    # same-URL dedup: deterministic first-fetch keep rule. min_by
+    # instead of a window row_number: an aggregation gets MAP-SIDE
+    # partial combine, so the shuffle carries ~one row per distinct URL
+    # per mapper instead of every fetch sorted within partitions — the
+    # difference between shuffling the dup volume and the unique volume
+    # at crawl scale. NULL fetched_at sorts LAST (asc_nulls_last
+    # semantics) via a coalesce sentinel above any ISO-8601 date.
+    keep_cols = [c for c in pages.columns if c != "url_norm"]
+    order_key = F.struct(
+        F.coalesce(F.col("fetched_at"), F.lit("￿")).alias("_o1"),
+        F.col("url").alias("_o2"),
     )
     pages = (
-        pages.withColumn("_rn", F.row_number().over(by_url))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        pages.groupBy("url_norm")
+        .agg(
+            F.min_by(F.struct(*keep_cols), order_key).alias("_keep")
+        )
+        .select("url_norm", *[F.col(f"_keep.{c}").alias(c) for c in keep_cols])
     )
     # extract_main_content keys on long doc ids; crawl keys are md5
     # strings, so the pipeline uses a string-id twin of that stage
@@ -94,13 +107,14 @@ def curate_crawl(
         F.length(F.col("text")) >= min_text_chars
     )
     # exact content dedup across mirrors: keep the lexicographically
-    # first canonical URL per digest (deterministic)
-    by_digest = Window.partitionBy("digest").orderBy(F.col("url").asc())
+    # first canonical URL per digest (deterministic) — same min_by
+    # shape as the URL stage for the same map-side-combine reason
+    out_cols = [c for c in curated.columns if c != "html"]
     return (
         curated.withColumn("digest", F.md5("text"))
-        .withColumn("_rn", F.row_number().over(by_digest))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "digest", "html")
+        .groupBy("digest")
+        .agg(F.min_by(F.struct(*out_cols), F.col("url")).alias("_keep"))
+        .select(*[F.col(f"_keep.{c}").alias(c) for c in out_cols])
     )
 
 
