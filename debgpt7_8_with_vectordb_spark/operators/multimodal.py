@@ -1271,6 +1271,58 @@ def _png_deinterlace(raw: bytes, w: int, h: int, bpp: int) -> bytes | None:
     return bytes(out)
 
 
+def _png_deinterlace_packed(
+    raw: bytes, w: int, h: int, depth: int
+) -> bytes | None:
+    """Adam7 for sub-byte depths (1/2/4-bit gray or palette): each pass
+    packs ITS OWN rows MSB-first, so unfilter over the packed bytes
+    (bpp = 1), unpack per pass row, scatter samples (one byte per
+    sample) to the full grid."""
+    out = bytearray(w * h)
+    mask = (1 << depth) - 1
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        row_bytes = (pw * depth + 7) // 8
+        res = _png_unfilter(raw, row_bytes, ph, 1, pos)
+        if res is None:
+            return None
+        sub, pos = res
+        for py in range(ph):
+            row = sub[py * row_bytes : (py + 1) * row_bytes]
+            base = (y0 + py * dy) * w
+            for px in range(pw):
+                byte = row[(px * depth) // 8]
+                shift = 8 - depth - (px * depth) % 8
+                out[base + x0 + px * dx] = (byte >> shift) & mask
+    return bytes(out)
+
+
+def _png_raw_size(
+    w: int, h: int, depth: int, channels: int, sample_bytes: int,
+    interlace: int,
+) -> int:
+    """Exact inflated-stream size (filter byte + packed row data per
+    scanline, per Adam7 pass when interlaced) — the zip-bomb cap."""
+    def rb(px: int) -> int:
+        if depth < 8:
+            return (px * depth + 7) // 8
+        return px * channels * sample_bytes
+
+    if interlace == 0:
+        return h * (rb(w) + 1)
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw and ph:
+            total += ph * (rb(pw) + 1)
+    return total
+
+
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
@@ -1279,15 +1331,15 @@ def _decode_png_pixels(payload: bytes):
 
     w, h = struct.unpack(">II", payload[16:24])
     depth, ctype, comp, filt, interlace = payload[24:29]
-    low_depth = depth in (1, 2, 4) and ctype == 3 and interlace == 0
+    low_depth = depth in (1, 2, 4) and ctype in (0, 3)
     if (
         (depth not in (8, 16) and not low_depth)
         or ctype not in _PNG_CHANNELS
         or (depth == 16 and ctype == 3)  # 16-bit palette indices illegal
         or comp or filt or interlace > 1
     ):
-        return None  # subset: 8/16-bit (ordered or Adam7), or
-        # 1/2/4-bit palette non-interlaced
+        return None  # subset: 8/16-bit and 1/2/4-bit gray/palette,
+        # ordered or Adam7
     channels = _PNG_CHANNELS[ctype]
     sample_bytes = max(1, depth // 8)  # filters operate on BYTES
     if w * h * channels > 1 << 26:  # zip-bomb fence (see _lzw_decode note)
@@ -1307,20 +1359,22 @@ def _decode_png_pixels(payload: bytes):
             break
         pos += 12 + size  # len + tag + body + crc
     try:
-        # cap inflate output at the header-implied raw size (+ Adam7
-        # per-pass filter-byte slack): a crafted IDAT can otherwise
-        # expand ~1000x and OOM the task before any size check runs
-        stride = (
-            (w * depth + 7) // 8 if low_depth else w * channels * sample_bytes
+        # cap inflate output at the EXACT header-implied raw size
+        # (summed per Adam7 pass when interlaced): a crafted IDAT can
+        # otherwise expand ~1000x and OOM the task before any size
+        # check runs
+        cap = _png_raw_size(
+            int(w), int(h), depth, channels, sample_bytes, interlace
         )
-        cap = h * (stride + 1) + 2 * h + 64
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), cap + 1)
         if len(raw) > cap or not d.eof:  # over-cap bomb / truncated stream
             return None
     except zlib.error:
         return None
-    if interlace == 1:
+    if interlace == 1 and low_depth:
+        pixels = _png_deinterlace_packed(raw, int(w), int(h), depth)
+    elif interlace == 1:
         pixels = _png_deinterlace(raw, int(w), int(h), channels * sample_bytes)
     elif low_depth:  # filters act on the PACKED bytes (bpp = 1)
         res = _png_unfilter(raw, (w * depth + 7) // 8, int(h), 1)
@@ -1343,6 +1397,9 @@ def _decode_png_pixels(payload: bytes):
         return None
     if depth == 16:  # 8-bit presentation: keep the high (big-endian) byte
         pixels = pixels[0::2]
+    if ctype == 0 and depth < 8:  # low-depth gray: scale to 8-bit
+        mx = (1 << depth) - 1
+        pixels = bytes((v * 255) // mx for v in pixels)
     if ctype == 3:  # paletted: indices -> PLTE RGB triples (spec §11.2.3)
         if plte is None or len(plte) % 3:
             return None

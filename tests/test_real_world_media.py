@@ -190,3 +190,84 @@ def test_cross_codec_alpha_plane_identity():
         pos += 8 + size + (size & 1)
     assert webp_alpha is not None
     assert bmp_alpha == webp_alpha
+
+
+def test_real_1bit_interlaced_png():
+    """The one refusal in the pre-r8 container sweep: httplib2's ref
+    img1.png is 1-bit palette, Adam7-interlaced — the packed-bit
+    deinterlace path decodes it (closing the PNG subset)."""
+    raw = _load(
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+        "httplib2/ref/img1.png"
+    )
+    out = decode_image_pixels(raw)
+    assert out is not None
+    fmt, w, h, ch, px = out
+    assert (fmt, w, h, ch) == ("png", 556, 20, 3)
+    colors = {px[i : i + 3] for i in range(0, len(px), 3)}
+    assert len(colors) == 2  # bilevel art through a 2-entry palette
+
+
+def test_lowdepth_interlaced_png_roundtrip():
+    """Forward-written Adam7 packed-bit fixtures at every sub-byte
+    depth, gray AND palette: the writer packs each pass's rows
+    independently (MSB-first) exactly as the spec requires, so decode
+    must reproduce the sample grid."""
+    import struct as _struct
+    import zlib
+
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def chunk(tag, body):
+        return (
+            _struct.pack(">I", len(body)) + tag + body
+            + _struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def write_png(samples, w, h, depth, ctype, plte=None):
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if not pw or not ph:
+                continue
+            for py in range(ph):
+                raw.append(0)  # filter type none
+                acc = bits = 0
+                row = bytearray()
+                for px_ in range(pw):
+                    v = samples[(y0 + py * dy) * w + (x0 + px_ * dx)]
+                    acc = (acc << depth) | v
+                    bits += depth
+                    if bits == 8:
+                        row.append(acc)
+                        acc = bits = 0
+                if bits:
+                    row.append(acc << (8 - bits))
+                raw += row
+        ihdr = _struct.pack(">II", w, h) + bytes([depth, ctype, 0, 0, 1])
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(
+            b"IEND", b""
+        )
+
+    w, h = 13, 7  # odd dims: partial passes + partial final bytes
+    for depth in (1, 2, 4):
+        mask = (1 << depth) - 1
+        samples = [(x + 3 * y) & mask for y in range(h) for x in range(w)]
+        # palette: distinct triples per index
+        plte = b"".join(bytes((i * 17 % 256, i * 29 % 256, i * 43 % 256))
+                        for i in range(mask + 1))
+        got = decode_image_pixels(write_png(samples, w, h, depth, 3, plte))
+        assert got is not None and got[:4] == ("png", w, h, 3)
+        expect = b"".join(plte[3 * s : 3 * s + 3] for s in samples)
+        assert got[4] == expect
+        # gray: scaled 8-bit presentation
+        got = decode_image_pixels(write_png(samples, w, h, depth, 0))
+        assert got is not None and got[:4] == ("png", w, h, 1)
+        assert got[4] == bytes((s * 255) // mask for s in samples)
