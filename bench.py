@@ -135,6 +135,7 @@ HEADLINE = [
     "c4_line_clean",
     "url_normalize",
     "curate_crawl",
+    "sitemap_expand",
     # mapreduce reduce loops (round-2: measure the de-funneled rounds)
     "mapreduce_echo",
     "mapreduce_echo_compact",

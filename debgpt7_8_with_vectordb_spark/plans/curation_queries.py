@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.web import normalize_url_column
-from ..operators.crawl import curate_crawl
+from ..operators.crawl import curate_crawl, expand_sitemaps
 from ..operators.quality_rules import (
     GOPHER_STOPWORDS,
     c4_clean_lines,
@@ -416,3 +416,80 @@ def curate_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blocks_total",
         F.round("boilerplate_ratio", 6).alias("bp_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemap expansion (crawl discovery)
+# ---------------------------------------------------------------------------
+# Every doc becomes one synthesized sitemap document: urlset files with
+# two <url> entries (one fully-tagged, one loc-only) for most docs, and
+# a <sitemapindex> with two child sitemaps every 5th doc — covering the
+# kind switch, optional-field NULLs, and the regex walk's tolerance of
+# attribute-carrying tags. The oracle predicts every discovered row
+# from the same arithmetic.
+
+_SITEMAP_XML_SPARK = (
+    "CASE WHEN doc_id % 5 = 0 THEN concat("
+    "  '<?xml version=\"1.0\"?><sitemapindex xmlns=\"x\">',"
+    "  '<sitemap><loc>https://h', CAST(doc_id % 20 AS STRING),"
+    "  '.example.org/maps/a', CAST(doc_id AS STRING), '.xml</loc>',"
+    "  '<lastmod>2026-01-0', CAST(1 + doc_id % 9 AS STRING), '</lastmod>',"
+    "  '</sitemap>',"
+    "  '<sitemap><loc>https://h', CAST(doc_id % 20 AS STRING),"
+    "  '.example.org/maps/b', CAST(doc_id AS STRING), '.xml</loc></sitemap>',"
+    "  '</sitemapindex>') "
+    "ELSE concat("
+    "  '<?xml version=\"1.0\"?><urlset xmlns=\"x\">',"
+    "  '<url><loc>https://h', CAST(doc_id % 20 AS STRING),"
+    "  '.example.org/page', CAST(doc_id AS STRING), '</loc>',"
+    "  '<lastmod>2026-02-0', CAST(1 + doc_id % 9 AS STRING), '</lastmod>',"
+    "  '<changefreq>daily</changefreq>',"
+    "  '<priority>0.', CAST(doc_id % 10 AS STRING), '</priority></url>',"
+    "  '<url><loc>https://h', CAST(doc_id % 20 AS STRING),"
+    "  '.example.org/extra', CAST(doc_id AS STRING), '</loc></url>',"
+    "  '</urlset>') END"
+)
+
+
+@query(
+    "sitemap_expand",
+    oracle="""
+WITH hosts AS (
+  SELECT doc_id, 'h' || (doc_id % 20) || '.example.org' AS host FROM documents
+)
+SELECT host,
+       'https://' || host || '/maps/a' || doc_id || '.xml' AS loc,
+       '2026-01-0' || (1 + doc_id % 9) AS lastmod,
+       NULL AS changefreq, NULL AS priority, 'sitemap' AS kind
+FROM hosts WHERE doc_id % 5 = 0
+UNION ALL
+SELECT host, 'https://' || host || '/maps/b' || doc_id || '.xml',
+       NULL, NULL, NULL, 'sitemap'
+FROM hosts WHERE doc_id % 5 = 0
+UNION ALL
+SELECT host, 'https://' || host || '/page' || doc_id,
+       '2026-02-0' || (1 + doc_id % 9), 'daily', '0.' || (doc_id % 10), 'url'
+FROM hosts WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT host, 'https://' || host || '/extra' || doc_id,
+       NULL, NULL, NULL, 'url'
+FROM hosts WHERE doc_id % 5 <> 0
+""",
+)
+def sitemap_expand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap.org discovery walk (operators/crawl.py parse_sitemap /
+    expand_sitemaps — the frontier companion to robots.txt): synthesized
+    urlset and sitemapindex documents expand to one row per discovered
+    URL or child sitemap. Covers the kind switch, optional-tag NULLs and
+    attribute-bearing root tags; the oracle predicts every row. Scale
+    shape: one Arrow pass, zero shuffle, scan-parallel over fetched
+    sitemap bodies."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+        F.expr(_SITEMAP_XML_SPARK).alias("sitemap_xml"),
+    )
+    return expand_sitemaps(docs)

@@ -101,7 +101,24 @@ def test_curate_crawl_funnel_invariants(spark):
         assert r["fetched_at"].endswith("00Z")
 
 
+def test_sitemap_expand_kinds_and_fields(spark):
+    rows = QUERIES["sitemap_expand"](spark, SF).collect()
+    assert rows
+    by_kind = {"url": [], "sitemap": []}
+    for r in rows:
+        by_kind[r["kind"]].append(r)
+    assert by_kind["url"] and by_kind["sitemap"]
+    # index children never carry page-level tags
+    assert all(r["changefreq"] is None and r["priority"] is None
+               for r in by_kind["sitemap"])
+    # fully-tagged urlset entries exist alongside loc-only ones
+    assert any(r["changefreq"] == "daily" for r in by_kind["url"])
+    assert any(r["lastmod"] is None for r in by_kind["url"])
+    # discovery volume: two rows per source sitemap document
+    assert len(rows) == 2 * 500
+
+
 def test_new_curation_queries_are_oracled():
     for name in ("gopher_signals", "c4_line_clean", "url_normalize",
-                 "curate_crawl"):
+                 "curate_crawl", "sitemap_expand"):
         assert name in QUERIES and name in ORACLE
