@@ -14,6 +14,8 @@ Usage:
     python -m debgpt7_8_with_vectordb_spark dedup --sf-dir D --method exact|minhash|simhash
     python -m debgpt7_8_with_vectordb_spark query --sf-dir D --name <catalog-query>
     python -m debgpt7_8_with_vectordb_spark compact --path /corpus [--target-mb 128]
+    python -m debgpt7_8_with_vectordb_spark curate --warc /crawl/*.warc \
+        [--robots robots.parquet] [--quality] [--to-documents --out /corpus]
 """
 
 from __future__ import annotations
@@ -165,6 +167,50 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """WARC shards -> curated training documents: the full crawl head
+    (robots -> canonical-URL dedup -> boilerplate -> optional published
+    quality gates -> content dedup) as one CLI job. ``--to-documents``
+    writes the engine's documents-table shape (parquet) so every
+    downstream corpus operator applies; otherwise curated rows emit as
+    JSONL. ``--robots`` takes a parquet/JSON table of
+    (host, robots_txt)."""
+    spark = _spark(args)
+    from .operators.crawl import crawl_report, crawl_to_documents, curate_crawl
+    from .sources.readers import read_warc
+
+    warc = read_warc(spark, args.warc)
+    robots = None
+    if args.robots:
+        reader = spark.read
+        robots = (
+            reader.parquet(args.robots)
+            if args.robots.endswith(".parquet")
+            else reader.json(args.robots)
+        )
+    curated = curate_crawl(
+        warc,
+        robots,
+        agent=args.agent,
+        min_text_chars=args.min_chars,
+        quality=args.quality,
+    )
+    if args.report:
+        for row in crawl_report(curated).toJSON().collect():
+            print(row)
+    if args.to_documents:
+        if not args.out:
+            print(json.dumps({"error": "--to-documents requires --out"}))
+            _maybe_stop(spark)
+            return 2
+        crawl_to_documents(curated).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "format": "documents"}))
+    elif not args.report:
+        _emit(curated.drop("html"), args.limit, args.out)
+    _maybe_stop(spark)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="debgpt7_8_with_vectordb_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -223,6 +269,23 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--path", required=True, help="corpus root (has a manifest)")
     c.add_argument("--target-mb", type=int, default=128)
     c.set_defaults(fn=cmd_compact)
+
+    cu = sub.add_parser(
+        "curate", help="WARC shards -> curated training documents"
+    )
+    common(cu)
+    cu.add_argument("--warc", required=True, help="WARC file/dir/glob")
+    cu.add_argument("--robots", default=None,
+                    help="(host, robots_txt) table: .parquet or JSONL")
+    cu.add_argument("--agent", default="sparkbot")
+    cu.add_argument("--min-chars", type=int, default=100)
+    cu.add_argument("--quality", action="store_true",
+                    help="apply the C4 line + Gopher page gates")
+    cu.add_argument("--report", action="store_true",
+                    help="print the per-domain crawl report instead")
+    cu.add_argument("--to-documents", action="store_true",
+                    help="write the documents-table bridge as parquet to --out")
+    cu.set_defaults(fn=cmd_curate)
 
     return p
 

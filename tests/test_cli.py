@@ -80,3 +80,71 @@ def test_cli_compact(spark, sf_dir, tmp_path, capsys):
     assert summary["compacted"]  # tiny shards were merged
     assert summary["n_shards"] == len(summary["compacted"])
     assert summary["n_rows"] == spark.read.parquet(out).count()
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """WARC shard -> curated JSONL, report, and the documents-table
+    bridge — the crawl head as one CLI job (round 8)."""
+    import json
+
+    def rec(warc_type, body, **extra):
+        headers = [f"WARC-Type: {warc_type}", f"Content-Length: {len(body)}"]
+        headers += [f"{k.replace('_', '-')}: {v}" for k, v in extra.items()]
+        head = "WARC/1.0\r\n" + "\r\n".join(headers) + "\r\n\r\n"
+        return head.encode() + body + b"\r\n\r\n"
+
+    def http(doc):
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(doc)}\r\n\r\n"
+        ).encode() + doc
+
+    body = ("lorem " * 40).strip().encode()
+    page = b"<html><body><p>" + body + b"</p></body></html>"
+    other = b"<html><body><p>" + body + b" distinct</p></body></html>"
+    shard = (
+        rec("response", http(page),
+            WARC_Target_URI="https://ok.example.org/a",
+            WARC_Date="2024-01-01T00:00:00Z")
+        + rec("response", http(page),  # same content, later spelling
+              WARC_Target_URI="HTTPS://OK.example.org:443/a",
+              WARC_Date="2024-01-01T00:00:01Z")
+        + rec("response", http(other),  # distinct content: survives the
+              # mirror (content-digest) dedup when robots doesn't drop it
+              WARC_Target_URI="https://blocked.example.org/private/x",
+              WARC_Date="2024-01-01T00:00:02Z")
+    )
+    (tmp_path / "crawl.warc").write_bytes(shard)
+    robots = tmp_path / "robots.jsonl"
+    robots.write_text(json.dumps(
+        {"host": "blocked.example.org",
+         "robots_txt": "User-agent: *\nDisallow: /private"}) + "\n")
+
+    rc = main([
+        "curate", "--warc", str(tmp_path / "crawl.warc"),
+        "--robots", str(robots), "--sf-dir", "unused",
+    ])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l]
+    assert len(rows) == 1  # URL dedup collapsed the pair; robots dropped one
+    assert rows[0]["url"] == "https://ok.example.org/a"
+    assert rows[0]["fetched_at"] == "2024-01-01T00:00:00Z"  # first fetch won
+
+    out = str(tmp_path / "docs")
+    rc = main([
+        "curate", "--warc", str(tmp_path / "crawl.warc"),
+        "--to-documents", "--out", out, "--sf-dir", "unused",
+    ])
+    assert rc == 0
+    docs = spark.read.parquet(out)
+    assert docs.count() == 2  # no robots table -> /private page kept
+    assert set(docs.columns) == {"doc_id", "source", "lang", "ts", "text"}
+
+    rc = main([
+        "curate", "--warc", str(tmp_path / "crawl.warc"),
+        "--report", "--sf-dir", "unused",
+    ])
+    assert rc == 0
+    report = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l]
+    # the captured buffer still holds the prior run's {"written": ...}
+    assert any(r.get("domain") == "example.org" for r in report)
