@@ -34,6 +34,14 @@ FULL_SCAN_OK = {
     "provider_embedding",
     "image_pixels",  # stamps/decodes EVERY row by design
     "ingest_messages",
+    # round-8 curation head: every document is scored/cleaned/routed by
+    # design — the ONLY filterable predicate (the quality verdict) is
+    # computed, not stored, so there is nothing to push to the scan
+    "gopher_signals",
+    "c4_line_clean",
+    "url_normalize",
+    "curate_crawl",
+    "sitemap_expand",
     "text_stats",
     "quality_score",
     "lang_id",
