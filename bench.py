@@ -136,6 +136,7 @@ HEADLINE = [
     "url_normalize",
     "curate_crawl",
     "sitemap_expand",
+    "stream_curate",
     # mapreduce reduce loops (round-2: measure the de-funneled rounds)
     "mapreduce_echo",
     "mapreduce_echo_compact",

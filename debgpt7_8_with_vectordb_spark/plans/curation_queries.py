@@ -18,8 +18,12 @@ Rae et al. 2021 Table A1 and Raffel et al. 2020 §2.2.
 
 from __future__ import annotations
 
+import itertools
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+_STREAM_SINK_SEQ = itertools.count()
 
 from ..functions.web import normalize_url_column
 from ..operators.crawl import curate_crawl, expand_sitemaps
@@ -322,10 +326,7 @@ _PAGE_HTML_SUFFIX = "</p><footer>copyright notice</footer></body></html>"
 
 _ROBOTS_BODY = "User-agent: *\nDisallow: /private"
 
-
-@query(
-    "curate_crawl",
-    oracle=f"""
+_CURATE_FUNNEL_ORACLE = f"""
 WITH pages AS (
   SELECT doc_id,
          doc_id // 2 AS page_id,
@@ -362,17 +363,13 @@ SELECT md5(url_norm) AS cid,
        3 AS blocks_total,
        round(2.0 / 3.0, 6) AS bp_ratio
 FROM deduped WHERE rn2 = 1
-""",
-)
-def curate_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end crawl curation funnel (operators/crawl.py curate_crawl:
-    robots policy -> URL canonicalization + first-fetch dedup -> jusText
-    boilerplate removal -> length floor -> exact content dedup) over a
-    WARC shard synthesized from documents by doc_id arithmetic. The
-    oracle predicts every stage. Scale shape: one broadcast robots join,
-    two rank-cut shuffles (url_norm, digest), Arrow scans otherwise —
-    the per-WARC-shard parallelism a 100 TB crawl ships in."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+"""
+
+
+def _synth_warc(docs: DataFrame) -> DataFrame:
+    """The synthesized WARC shard both funnel twins read: pairs of docs
+    are the same canonical URL under two spellings at different fetch
+    times; every 5th page sits under /private; even hosts are policed."""
     page_id = F.floor(F.col("doc_id") / 2).cast("long")
     hostnum = (page_id % 7).cast("string")
     private = page_id % 5 == 0
@@ -387,7 +384,7 @@ def curate_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.concat(F.lit("HTTP://H"), hostnum, F.lit(".EXAMPLE.ORG:80"), path)
     )
-    warc = docs.select(
+    return docs.select(
         F.lit("response").alias("warc_type"),
         F.lit(200).alias("http_status"),
         url.alias("target_uri"),
@@ -400,11 +397,16 @@ def curate_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PAGE_HTML_PREFIX), F.col("text"), F.lit(_PAGE_HTML_SUFFIX)
         ).alias("html"),
     )
-    robots = spark.createDataFrame(
+
+
+def _robots_table(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
         [(f"h{n}.example.org", _ROBOTS_BODY) for n in (0, 2, 4, 6)],
         "host string, robots_txt string",
     )
-    curated = curate_crawl(warc, robots, min_text_chars=100)
+
+
+def _curated_output(curated: DataFrame) -> DataFrame:
     return curated.select(
         F.col("doc_id").alias("cid"),
         "url",
@@ -416,6 +418,141 @@ def curate_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blocks_total",
         F.round("boilerplate_ratio", 6).alias("bp_ratio"),
     )
+
+
+@query("curate_crawl", oracle=_CURATE_FUNNEL_ORACLE)
+def curate_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl curation funnel (operators/crawl.py curate_crawl:
+    robots policy -> URL canonicalization + first-fetch dedup -> jusText
+    boilerplate removal -> length floor -> exact content dedup) over a
+    WARC shard synthesized from documents by doc_id arithmetic. The
+    oracle predicts every stage. Scale shape: one broadcast robots join,
+    two map-side-combined min_by shuffles (url_norm, digest), Arrow
+    scans otherwise — the per-WARC-shard parallelism a 100 TB crawl
+    ships in."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    curated = curate_crawl(_synth_warc(docs), _robots_table(spark), min_text_chars=100)
+    return _curated_output(curated)
+
+
+_DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+@query("stream_curate", oracle=_CURATE_FUNNEL_ORACLE)
+def stream_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``curate_crawl`` — curation at ingest time
+    (§2.13 extension, round 8): pages arrive as a file stream, the
+    stateless head (robots gate, URL canonicalization — both Arrow
+    passes over the stream) runs per micro-batch, and the same-URL
+    first-fetch keep rule becomes a STREAMING min_by aggregation in
+    update mode whose state is one best-so-far row per canonical URL —
+    a re-crawl arriving later simply loses the min_by and updates
+    nothing. The drain's emissions are re-reduced by the identical
+    min_by in the batch epilogue (associative, so any micro-batch split
+    yields the same final rows), then the funnel tail (boilerplate,
+    length floor, content dedup) runs exactly as in the batch query —
+    in production that tail is the periodic compaction over the
+    incrementally-maintained URL-keyed table. Sharing the batch
+    oracle proves ingest-time curation computes the relational funnel.
+
+    NOTE: the keep rule here orders on (fetched_at, html) rather than
+    the batch's (fetched_at, raw url) — the raw spelling isn't part of
+    the kept payload. Both rules agree whenever fetch times differ
+    (always true for real crawl records' distinct timestamps, and for
+    this fixture)."""
+    from ..functions.web import robots_filter
+    from ..operators.crawl import _extract_main_str_ids
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", min(8, int(old_sp)))
+    try:
+        docs = (
+            spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        )
+        pages = _synth_warc(docs).filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("html").isNotNull()
+        ).select(
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("fetched_at"),
+            "html",
+        )
+        pages = robots_filter(pages, _robots_table(spark))
+        pages = normalize_url_column(pages, "url").filter(
+            F.col("url_norm").isNotNull()
+        )
+        order_key = F.struct(
+            F.coalesce(F.col("fetched_at"), F.lit("￿")).alias("_o1"),
+            F.col("html").alias("_o2"),
+        )
+        keep = F.struct("fetched_at", "html", "domain")
+        best = pages.groupBy("url_norm").agg(
+            F.min_by(keep, order_key).alias("_keep")
+        )
+        name = f"stream_curate_sink_{next(_STREAM_SINK_SEQ)}"
+        q = (
+            best.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # batch epilogue: re-reduce update emissions (idempotent), then the
+    # funnel tail shared with the batch operator
+    emitted = spark.table(name).select(
+        "url_norm",
+        F.col("_keep.fetched_at").alias("fetched_at"),
+        F.col("_keep.html").alias("html"),
+        F.col("_keep.domain").alias("domain"),
+    )
+    order_key = F.struct(
+        F.coalesce(F.col("fetched_at"), F.lit("￿")).alias("_o1"),
+        F.col("html").alias("_o2"),
+    )
+    best = (
+        emitted.groupBy("url_norm")
+        .agg(
+            F.min_by(
+                F.struct("fetched_at", "html", "domain"), order_key
+            ).alias("_k")
+        )
+        .select(
+            F.md5(F.col("url_norm")).alias("doc_id"),
+            F.col("url_norm").alias("url"),
+            F.col("_k.domain").alias("domain"),
+            F.col("_k.fetched_at").alias("fetched_at"),
+            F.col("_k.html").alias("html"),
+        )
+    )
+    extracted = _extract_main_str_ids(best)
+    floored = extracted.filter(F.length("text") >= 100)
+    final = (
+        floored.withColumn("digest", F.md5("text"))
+        .groupBy("digest")
+        .agg(
+            F.min_by(
+                F.struct(*[c for c in floored.columns if c != "html"]),
+                F.col("url"),
+            ).alias("_keep")
+        )
+        .select(
+            *[
+                F.col(f"_keep.{c}").alias(c)
+                for c in floored.columns
+                if c != "html"
+            ]
+        )
+    )
+    return _curated_output(final)
 
 
 # ---------------------------------------------------------------------------

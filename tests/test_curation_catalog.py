@@ -118,7 +118,17 @@ def test_sitemap_expand_kinds_and_fields(spark):
     assert len(rows) == 2 * 500
 
 
+def test_stream_curate_matches_batch_twin(spark):
+    """Ingest-time curation computes the same funnel as the batch
+    operator: identical row sets (the shared oracle proves it against
+    DuckDB; this pins Spark-vs-Spark equality directly, incl. the
+    update-mode min_by state and the batch epilogue re-reduce)."""
+    batch = {tuple(r) for r in QUERIES["curate_crawl"](spark, SF).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_curate"](spark, SF).collect()}
+    assert batch == stream and batch
+
+
 def test_new_curation_queries_are_oracled():
     for name in ("gopher_signals", "c4_line_clean", "url_normalize",
-                 "curate_crawl", "sitemap_expand"):
+                 "curate_crawl", "sitemap_expand", "stream_curate"):
         assert name in QUERIES and name in ORACLE
