@@ -1085,6 +1085,14 @@ def encode_vp8l(
     if palette and (subtract_green or predictor_mode is not None
                     or cross_color is not None):
         raise ValueError("palette composes with no other transform here")
+    if predictor_mode is not None or cross_color is not None:
+        # tile-carrying transforms interleave header bits with their
+        # entropy-coded tile images — the dedicated writer owns that
+        return _encode_with_tiles(
+            pixels, width, height, channels,
+            subtract_green, predictor_mode, cross_color,
+            cache_bits, use_lz77,
+        )
     argb = []
     step = channels
     for i in range(width * height):
@@ -1111,41 +1119,10 @@ def encode_vp8l(
                              for i in range(1, len(pal))]
         _write_entropy_image(bw, deltas, len(pal), False)
         argb, xsize = packed, pw
-    else:
-        tile_payloads = []
-        if predictor_mode is not None:
-            bw.write(1, 1)
-            bw.write(PREDICTOR_TRANSFORM, 2)
-            tile_payloads.append(("pred", predictor_mode))
-        if cross_color is not None:
-            bw.write(1, 1)
-            bw.write(COLOR_TRANSFORM, 2)
-            tile_payloads.append(("color", cross_color))
-        if subtract_green:
-            bw.write(1, 1)
-            bw.write(SUBTRACT_GREEN, 2)
-        # forward passes, reverse of write order
-        if subtract_green:
-            argb = apply_subtract_green_forward(argb)
-        for kind, arg in reversed(tile_payloads):
-            if kind == "color":
-                argb, tiles, tbits = apply_color_forward(
-                    argb, xsize, height, *arg
-                )
-            else:
-                argb, tiles, tbits = apply_predictor_forward(
-                    argb, xsize, height, arg
-                )
-        # tile images are written WITH their transform headers, in
-        # write order — re-emit bits matching the headers above
-        # (headers and tile data are contiguous per transform, so the
-        # loop above must interleave; rebuild the stream properly below)
-        if tile_payloads:
-            return _encode_with_tiles(
-                pixels, width, height, channels,
-                subtract_green, predictor_mode, cross_color,
-                cache_bits, use_lz77,
-            )
+    elif subtract_green:
+        bw.write(1, 1)
+        bw.write(SUBTRACT_GREEN, 2)
+        argb = apply_subtract_green_forward(argb)
     bw.write(0, 1)  # end of transforms
     _write_entropy_image(bw, argb, xsize, True, cache_bits, use_lz77)
     return bw.bytes()
