@@ -272,6 +272,10 @@ def decode_aiff_samples(payload: bytes):
                 samples = list(struct.unpack(f">{usable // 2}h", body[:usable]))
             else:  # AIFF 8-bit is SIGNED (unlike WAV)
                 samples = list(struct.unpack(f"{len(body)}b", body))
+            # parse_aiff_header's n_samples is already the TOTAL
+            # interleaved count (COMM frames x channels) — cap as-is;
+            # a short SSND (the truncated CPython sndhdr.aiff fixture)
+            # simply yields what the chunk carries
             return channels, rate, bits, samples[:n_samples]
         pos += 8 + size + (size & 1)
     return None

@@ -271,3 +271,68 @@ def test_lowdepth_interlaced_png_roundtrip():
         got = decode_image_pixels(write_png(samples, w, h, depth, 0))
         assert got is not None and got[:4] == ("png", w, h, 1)
         assert got[4] == bytes((s * 255) // mask for s in samples)
+
+
+# ---------------------------------------------------------------------------
+# Real-world AUDIO (round 8): the CPython test suite ships the same
+# recording quantized at four PCM depths — cross-depth consistency is
+# external validation no self-round-trip can give.
+# ---------------------------------------------------------------------------
+
+_AUDIODATA = "/root/.pyenv/versions/3.13.0/lib/python3.13/test/audiodata/"
+_SNDHDR = "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/"
+
+
+def test_real_wav_all_depths_and_extensible():
+    from debgpt7_8_with_vectordb_spark.operators.multimodal import (
+        decode_wav_samples,
+        parse_wav_header,
+    )
+
+    got = {}
+    for depth in (8, 16, 24, 32):
+        raw = _load(f"{_AUDIODATA}pluck-pcm{depth}.wav")
+        assert parse_wav_header(raw) == ("wav", 2, 11025, depth, 3307)
+        ch, rate, bits, samples = decode_wav_samples(raw)
+        assert (ch, rate, bits, len(samples)) == (2, 11025, depth, 6614)
+        got[depth] = samples
+    # WAVE_FORMAT_EXTENSIBLE container, same payload
+    ext = decode_wav_samples(_load(f"{_AUDIODATA}pluck-pcm24-ext.wav"))
+    assert ext[3] == got[24]
+    # the four depths quantize ONE master: scale-reduced samples agree
+    # within the dither budget (measured 7/32768 for 16-vs-24/32)
+    assert max(abs(a - (b >> 8)) for a, b in zip(got[16], got[24])) <= 8
+    assert max(abs(a - (b >> 16)) for a, b in zip(got[16], got[32])) <= 8
+    assert max(abs((a >> 8) + 128 - b) for a, b in zip(got[16], got[8])) <= 2
+
+
+def test_real_aiff_au_mp3_headers_and_samples():
+    from debgpt7_8_with_vectordb_spark.operators.audio_headers import (
+        decode_aiff_samples,
+        decode_au_samples,
+        parse_audio_header,
+        parse_mp3_header,
+    )
+
+    aiff = _load(f"{_SNDHDR}sndhdr.aiff")
+    assert parse_audio_header(aiff) == ("aiff", 2, 44100, 16, 10)
+    ch, rate, bits, samples = decode_aiff_samples(aiff)
+    # the header's 10 is TOTAL interleaved samples (5 frames x 2ch);
+    # the SSND carries exactly those 10 — a real stereo file pinning
+    # the frames-vs-samples accounting end to end
+    assert (ch, rate, bits, len(samples)) == (2, 44100, 16, 10)
+    # AIFF-C variant of the same header parses identically
+    assert parse_audio_header(_load(f"{_SNDHDR}sndhdr.aifc"))[:4] == (
+        "aiff", 2, 44100, 16,
+    )
+    # mu-law .au: header metadata parses; PCM sample decode honestly
+    # refuses the companded encoding
+    au = _load(f"{_SNDHDR}sndhdr.au")
+    assert parse_audio_header(au)[:3] == ("au", 1, 8012)
+    assert decode_au_samples(au) is None
+    # real MPEG-1 Layer III file: frame-walk metadata
+    mp3 = _load(
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+        "test_data/test.mp3"
+    )
+    assert parse_mp3_header(mp3) == ("mp3", 1, 22050, None, 25920)
