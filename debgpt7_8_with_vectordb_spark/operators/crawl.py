@@ -155,6 +155,26 @@ def _extract_main_str_ids(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(run, schema=schema)
 
 
+def finalize_curated(
+    best_pages: DataFrame, min_text_chars: int = 100
+) -> DataFrame:
+    """The funnel TAIL over an already URL-deduplicated page set
+    ``(doc_id, url, domain, fetched_at, html)``: boilerplate removal,
+    length floor, exact content dedup with the lexicographic keep rule.
+    Shared by the batch funnel epilogues (stream_curate's drain, the
+    curate_upsert snapshot reader) — in production this is the periodic
+    compaction pass over the incrementally maintained URL-keyed table."""
+    extracted = _extract_main_str_ids(best_pages)
+    floored = extracted.filter(F.length("text") >= min_text_chars)
+    cols = [c for c in floored.columns if c != "html"]
+    return (
+        floored.withColumn("digest", F.md5("text"))
+        .groupBy("digest")
+        .agg(F.min_by(F.struct(*cols), F.col("url")).alias("_keep"))
+        .select(*[F.col(f"_keep.{c}").alias(c) for c in cols])
+    )
+
+
 def crawl_to_documents(curated: DataFrame) -> DataFrame:
     """Bridge into the engine's ``documents`` table shape
     ``(doc_id long, source string, lang string, ts, text string)`` so

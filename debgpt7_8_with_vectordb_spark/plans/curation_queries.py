@@ -463,7 +463,7 @@ def stream_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (always true for real crawl records' distinct timestamps, and for
     this fixture)."""
     from ..functions.web import robots_filter
-    from ..operators.crawl import _extract_main_str_ids
+    from ..operators.crawl import finalize_curated
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", min(8, int(old_sp)))
@@ -533,26 +533,7 @@ def stream_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_k.html").alias("html"),
         )
     )
-    extracted = _extract_main_str_ids(best)
-    floored = extracted.filter(F.length("text") >= 100)
-    final = (
-        floored.withColumn("digest", F.md5("text"))
-        .groupBy("digest")
-        .agg(
-            F.min_by(
-                F.struct(*[c for c in floored.columns if c != "html"]),
-                F.col("url"),
-            ).alias("_keep")
-        )
-        .select(
-            *[
-                F.col(f"_keep.{c}").alias(c)
-                for c in floored.columns
-                if c != "html"
-            ]
-        )
-    )
-    return _curated_output(final)
+    return _curated_output(finalize_curated(best, min_text_chars=100))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,136 @@
+"""Incremental crawl curation sink: foreachBatch upsert into a
+URL-keyed snapshot table (the production shape of ``stream_curate``'s
+update-mode drain — NOTES round-9 candidate #5, built in round 8).
+
+Per micro-batch: reduce the batch to its best row per canonical URL
+(the first-fetch ``min_by``), merge with the current snapshot by the
+SAME reduce (associative, so batch splits cannot change the result),
+and publish a NEW versioned snapshot directory with an atomically
+renamed pointer file — the ``incremental_index_build`` idempotency
+discipline (streaming/sessionize.py): a replayed batch id observes the
+pointer already at-or-past it and SKIPS, so checkpoint replays after a
+crash never double-apply.
+
+The snapshot holds the RAW keep state ``(url_norm, fetched_at, html,
+domain)``; the funnel tail (boilerplate, length floor, content dedup)
+runs over it on read via ``read_curated`` — at 100 TB that tail is the
+periodic compaction job, not a per-batch cost, and the per-batch work
+is one keyed reduce over (batch + current-table) rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+
+
+def _order_key():
+    return F.struct(
+        F.coalesce(F.col("fetched_at"), F.lit("￿")).alias("_o1"),
+        F.col("html").alias("_o2"),
+    )
+
+
+def _reduce_best(pages: DataFrame) -> DataFrame:
+    keep = F.struct("fetched_at", "html", "domain")
+    return (
+        pages.groupBy("url_norm")
+        .agg(F.min_by(keep, _order_key()).alias("_k"))
+        .select(
+            "url_norm",
+            F.col("_k.fetched_at").alias("fetched_at"),
+            F.col("_k.html").alias("html"),
+            F.col("_k.domain").alias("domain"),
+        )
+    )
+
+
+def _latest_version(table_path: str) -> int | None:
+    try:
+        with open(os.path.join(table_path, _POINTER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _snapshot_dir(table_path: str, version: int) -> str:
+    return os.path.join(table_path, f"v_{version:020d}")
+
+
+def read_snapshot(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """The current URL-keyed keep state, or None before the first
+    published snapshot."""
+    v = _latest_version(table_path)
+    if v is None:
+        return None
+    return spark.read.parquet(_snapshot_dir(table_path, v))
+
+
+def curate_upsert_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, table_path: str
+) -> bool:
+    """One idempotent upsert; returns False when the batch id was
+    already applied (checkpoint replay after a crash)."""
+    latest = _latest_version(table_path)
+    if latest is not None and latest >= batch_id:
+        return False  # replay: snapshot already covers this batch
+    best = _reduce_best(batch_df)
+    current = read_snapshot(spark, table_path)
+    if current is not None:
+        best = _reduce_best(current.unionByName(best))
+    out = _snapshot_dir(table_path, batch_id)
+    best.write.mode("overwrite").parquet(out)
+    tmp = os.path.join(table_path, f".{_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, os.path.join(table_path, _POINTER))  # atomic publish
+    return True
+
+
+def curate_upsert_sink(
+    pages: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    query_name: str = "curate_upsert",
+):
+    """Attach the upsert handler to a normalized-page stream
+    ``(url_norm, fetched_at, html, domain)``; caller triggers/awaits.
+    Old snapshots are retained for time travel/debug — a production
+    deployment prunes them past a retention horizon (the compaction
+    sink's journaled-swap discipline applies if pruning must be crash-
+    safe)."""
+    os.makedirs(table_path, exist_ok=True)
+    spark = pages.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        curate_upsert_batch(spark, batch_df, batch_id, table_path)
+
+    return (
+        pages.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+
+
+def read_curated(
+    spark: SparkSession, table_path: str, min_text_chars: int = 100
+) -> DataFrame:
+    """Curated documents from the current snapshot: md5 ids + the
+    shared funnel tail (operators/crawl.finalize_curated)."""
+    from ..operators.crawl import finalize_curated
+
+    snap = read_snapshot(spark, table_path)
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot published under {table_path}")
+    best = snap.select(
+        F.md5(F.col("url_norm")).alias("doc_id"),
+        F.col("url_norm").alias("url"),
+        "domain",
+        "fetched_at",
+        "html",
+    )
+    return finalize_curated(best, min_text_chars=min_text_chars)

@@ -1,0 +1,130 @@
+"""foreachBatch upsert sink for incremental crawl curation
+(streaming/curate.py): cross-batch upsert semantics, crash-replay
+idempotency, restart-from-checkpoint across separate drains, ingestion-
+order invariance, and equality with the batch funnel."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from debgpt7_8_with_vectordb_spark.functions.web import (
+    normalize_url_column,
+    robots_filter,
+)
+from debgpt7_8_with_vectordb_spark.plans import QUERIES
+from debgpt7_8_with_vectordb_spark.plans.curation_queries import (
+    _curated_output,
+    _robots_table,
+    _synth_warc,
+)
+from debgpt7_8_with_vectordb_spark.streaming.curate import (
+    _latest_version,
+    curate_upsert_batch,
+    curate_upsert_sink,
+    read_curated,
+    read_snapshot,
+)
+from debgpt7_8_with_vectordb_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+PAGES_SCHEMA = "url_norm string, fetched_at string, html string, domain string"
+
+
+def _normalized_pages(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    pages = _synth_warc(docs).filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        "html",
+        # even docs carry the lowercase spelling (see _synth_warc)
+        F.col("target_uri").startswith("http://").alias("_even"),
+    )
+    pages = robots_filter(pages, _robots_table(spark))
+    pages = normalize_url_column(pages, "url").filter(
+        F.col("url_norm").isNotNull()
+    )
+    return pages.select("url_norm", "fetched_at", "html", "domain", "_even")
+
+
+def _drain(spark, src_dir, table, ckpt):
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        curate_upsert_sink(stream, table, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_upsert_restart_order_and_batch_equality(spark, tmp_path):
+    pages = _normalized_pages(spark).cache()
+    even = pages.filter("_even").drop("_even")
+    odd = pages.filter("NOT _even").drop("_even")
+
+    src = str(tmp_path / "feed")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0: only the even (earlier-fetch) spellings arrive
+    even.coalesce(1).write.mode("overwrite").parquet(src)
+    _drain(spark, src, table, ckpt)
+    v0 = _latest_version(table)
+    assert v0 is not None
+    n_even = read_snapshot(spark, table).count()
+    assert n_even == even.select("url_norm").distinct().count()
+
+    # RESTART: a new drain from the same checkpoint picks up only the
+    # newly arrived file (the odd spellings — all LOSE the min_by)
+    odd.coalesce(1).write.mode("append").parquet(src)
+    _drain(spark, src, table, ckpt)
+    assert _latest_version(table) > v0
+    snap = read_snapshot(spark, table)
+    assert snap.count() == n_even  # no new keys, no overwritten rows
+    assert snap.filter(~F.col("fetched_at").endswith("00Z")).count() == 0
+
+    # the snapshot's funnel tail == the batch operator end to end
+    stream_rows = {
+        tuple(r) for r in _curated_output(read_curated(spark, table)).collect()
+    }
+    batch_rows = {
+        tuple(r) for r in QUERIES["curate_crawl"](spark, SF).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
+
+    # crash replay: re-applying an already-published batch id is a
+    # no-op even with poisoned content
+    poison = spark.createDataFrame(
+        [("http://h1.example.org/page1", "1999-01-01T00:00:00Z", "x", "d")],
+        PAGES_SCHEMA,
+    )
+    applied = curate_upsert_batch(
+        spark, poison, _latest_version(table), table
+    )
+    assert applied is False
+    assert read_snapshot(spark, table).count() == n_even
+
+    # ingestion-order invariance: odd-first then even-first converges
+    # to the identical snapshot (min_by associativity)
+    table2 = str(tmp_path / "table2")
+    src2 = str(tmp_path / "feed2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    odd.coalesce(1).write.mode("overwrite").parquet(src2)
+    _drain(spark, src2, table2, ckpt2)
+    even.coalesce(1).write.mode("append").parquet(src2)
+    _drain(spark, src2, table2, ckpt2)
+    a = {tuple(r) for r in read_snapshot(spark, table).collect()}
+    b = {tuple(r) for r in read_snapshot(spark, table2).collect()}
+    assert a == b
+    pages.unpersist()
+
+
+def test_read_curated_without_snapshot_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_curated(spark, str(tmp_path / "nope"))
