@@ -41,6 +41,7 @@ class BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position
+        self.bitlen = len(data) * 8
 
     def read(self, n: int) -> int:
         v = 0
@@ -59,6 +60,14 @@ class BitReader:
         b = (self.data[byte] >> (self.pos & 7)) & 1
         self.pos += 1
         return b
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` stream bits without advancing, zero-padded past
+        the end (a short padded peek is fine: the root-table hit length
+        is validated against real reads by the decode fallback)."""
+        byte = self.pos >> 3
+        window = int.from_bytes(self.data[byte : byte + 3], "little")
+        return (window >> (self.pos & 7)) & ((1 << n) - 1)
 
 
 class BitWriter:
@@ -111,24 +120,47 @@ def canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
     return codes
 
 
+_ROOT_BITS = 8
+
+
 class PrefixDecoder:
-    """Bit-by-bit canonical decoder; ``single`` short-circuits the
-    0-bit one-symbol form."""
+    """Canonical decoder with a zlib-style root lookup table: codes of
+    length <= 8 resolve with ONE stream peek (the table is indexed by
+    the bit-REVERSED code so the LSB-first peek value indexes directly);
+    longer codes fall back to the bit-by-bit walk. ``single``
+    short-circuits the 0-bit one-symbol form."""
 
     def __init__(self, lengths: list[int]) -> None:
         used = [(s, l) for s, l in enumerate(lengths) if l > 0]
         if len(used) == 1:
             self.single: int | None = used[0][0]
             self.table: dict[tuple[int, int], int] = {}
-        else:
-            self.single = None
-            self.table = {
-                (l, c): s for s, (c, l) in canonical_codes(lengths).items()
-            }
+            self.root: list[tuple[int, int] | None] = []
+            return
+        self.single = None
+        codes = canonical_codes(lengths)
+        self.table = {(l, c): s for s, (c, l) in codes.items()}
+        root = [None] * (1 << _ROOT_BITS)
+        for s, (c, l) in codes.items():
+            if l > _ROOT_BITS:
+                continue
+            base = 0
+            for j in range(l):  # bit-reverse c into stream order
+                base |= ((c >> (l - 1 - j)) & 1) << j
+            entry = (s, l)
+            step = 1 << l
+            for i in range(base, 1 << _ROOT_BITS, step):
+                root[i] = entry
+        self.root = root
 
     def decode(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
+        p = br.peek(_ROOT_BITS)
+        hit = self.root[p]
+        if hit is not None and br.pos + hit[1] <= br.bitlen:
+            br.pos += hit[1]
+            return hit[0]
         code = 0
         for length in range(1, MAX_CODE_LENGTH + 1):
             code = (code << 1) | br.read_code_bit()
