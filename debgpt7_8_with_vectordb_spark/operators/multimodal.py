@@ -1152,28 +1152,59 @@ def synthesize_test_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def synthesize_test_video(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Video third of the synthesize family: minimal valid ISO BMFF
-    skeletons with parameters by id arithmetic."""
+    """Video third of the synthesize family: minimal valid skeletons
+    with parameters by id arithmetic. Round 8 widens the rotation from
+    ISO BMFF-only to the parser breadth — MP4 / AVI RIFF / Matroska /
+    WebM — mirroring the image/audio widenings. Per-format timescale
+    conventions the oracle replays: MP4 carries an explicit mvhd
+    timescale; AVI reports the microsecond clock (1e6) with duration =
+    usec-per-frame x frames; Matroska/WebM report ticks/second from
+    TimestampScale (1e9/1e6 ns = 1000) with the float Duration as
+    ticks."""
+    fmts = ("mp4", "avi", "mkv", "webm")
     scales = (600, 1000, 48000, 90000)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids_int = [int(i) for i in pdf[id_col]]
-            payloads = [
-                encode_test_mp4(
-                    timescale=scales[i % 4],
-                    duration=1000 + i * 37,
-                    width=320 + (i % 16) * 8,
-                    height=240 + (i % 16) * 8,
-                    n_tracks=1 + i % 3,
-                )
-                for i in ids_int
-            ]
+            payloads = []
+            for i in ids_int:
+                fmt = fmts[i % 4]
+                w, h = 320 + (i % 16) * 8, 240 + (i % 16) * 8
+                tracks = 1 + i % 3
+                if fmt == "mp4":
+                    payloads.append(
+                        encode_test_mp4(
+                            timescale=scales[(i // 4) % 4],
+                            duration=1000 + i * 37,
+                            width=w, height=h, n_tracks=tracks,
+                        )
+                    )
+                elif fmt == "avi":
+                    payloads.append(
+                        encode_test_avi(
+                            usec_per_frame=1000 * (1 + i % 4),
+                            total_frames=100 + i % 50,
+                            width=w, height=h, streams=tracks,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_test_mkv(
+                            "matroska" if fmt == "mkv" else "webm",
+                            w, h,
+                            ts_scale_ns=1_000_000,
+                            duration_ticks=1000 + i * 37,
+                            n_tracks=tracks,
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "payload": payloads,
-                    "media_type": ["video/mp4"] * len(ids_int),
+                    "media_type": [
+                        "video/" + fmts[i % 4] for i in ids_int
+                    ],
                 }
             )
 

@@ -585,10 +585,18 @@ def audio_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "video_metadata",
     oracle="""
-SELECT doc_id, 'mp4' AS fmt,
-       (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
-                        WHEN 2 THEN 48000 ELSE 90000 END)::INT AS timescale,
-       (1000 + doc_id * 37)::BIGINT AS duration,
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'avi'
+                       WHEN 2 THEN 'mkv' ELSE 'webm' END AS fmt,
+       (CASE doc_id % 4
+          WHEN 0 THEN CASE (doc_id // 4) % 4 WHEN 0 THEN 600
+                        WHEN 1 THEN 1000 WHEN 2 THEN 48000
+                        ELSE 90000 END
+          WHEN 1 THEN 1000000
+          ELSE 1000 END)::INT AS timescale,
+       (CASE doc_id % 4
+          WHEN 1 THEN (1000 * (1 + doc_id % 4)) * (100 + doc_id % 50)
+          ELSE 1000 + doc_id * 37 END)::BIGINT AS duration,
        (320 + (doc_id % 16) * 8)::INT AS width,
        (240 + (doc_id % 16) * 8)::INT AS height,
        (1 + doc_id % 3)::INT AS n_tracks
@@ -597,14 +605,18 @@ FROM documents
 )
 def video_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-metadata decode round-trip — the third of the trio
-    (multimodal_decode = images, audio_metadata = WAV): per document,
-    fabricate a minimal VALID ISO BMFF skeleton (ftyp + moov/mvhd +
-    n_tracks tkhd traks, parameters by doc_id arithmetic) and walk the
-    boxes back with the zero-dependency parser
-    (operators/multimodal.py parse_mp4_header — ISO/IEC 14496-12 box
-    layout, version 0/1 mvhd/tkhd). Duration stays in integer timescale
-    units so the oracle is exact. Same zero-shuffle two-Arrow-stage
-    shape; frame DECODE stays stubbed (frame_sample) — this is the
+    (multimodal_decode = images, audio_metadata = audio; rotation
+    widened round 8 to the parser breadth): per document, fabricate a
+    minimal VALID container (ISO BMFF ftyp+moov/mvhd+tkhd traks / AVI
+    RIFF hdrl+avih / Matroska and WebM EBML with TimestampScale +
+    float Duration — parameters by doc_id arithmetic) and walk it back
+    with the zero-dependency parsers (operators/multimodal.py
+    parse_video_header). The oracle predicts each container's
+    timescale convention: mvhd's explicit field, AVI's microsecond
+    clock with duration = usec-per-frame x frames, Matroska's
+    ticks-per-second with Duration as ticks. Durations stay integral
+    so the oracle is exact. Same zero-shuffle two-Arrow-stage shape;
+    frame DECODE stays stubbed (frame_sample) — this is the
     filter-by-duration/resolution pass a video corpus runs first."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_video_metadata(synthesize_test_video(docs))
