@@ -312,6 +312,8 @@ def main() -> None:
             "html_strip": "r7",
             "multimodal_decode": "r8",
             "image_pixels": "r8",
+            "audio_metadata": "r8",
+            "video_metadata": "r8",
         },
         # round-7 lesson: concurrent pytest contaminates min-of-3 by
         # 1.3-1.7x; the runner now waits for machine-quiet (see
