@@ -40,7 +40,7 @@ def read(spark: SparkSession, spec: str) -> DataFrame:
         prefix, rest = spec.split(":", 1)
         if prefix in _SOURCES:
             return _SOURCES[prefix](spark, rest)
-    from . import readers  # noqa: F401 — ensure built-ins registered
+    from . import debian, readers  # noqa: F401 — ensure built-ins registered
 
     if ":" in spec:
         prefix, rest = spec.split(":", 1)
