@@ -330,3 +330,42 @@ def read_sbuild(spark: SparkSession, rest: str) -> DataFrame:
     if m:
         text = m.group(1)
     return _one_doc(spark, f"sbuild:{path}", text)
+
+
+# ---------------------------------------------------------------------------
+# bare URLs (reference reader.py:834-841: file:// http:// https:// specs
+# route to read_url) — registered under their scheme so the registry's
+# prefix split lands here; `rest` arrives without the scheme
+# ---------------------------------------------------------------------------
+
+
+def _read_url_doc(spark: SparkSession, url: str) -> DataFrame:
+    status, body = _FETCHER(url)
+    if status != 200:
+        return spark.createDataFrame([], "path string, content string")
+    head = body.lstrip()[:256].lower()
+    if head.startswith("<") or "<html" in head:
+        body = html_to_text(body)
+    return _one_doc(spark, url, body)
+
+
+@register_source("http")
+def read_http(spark: SparkSession, rest: str) -> DataFrame:
+    """S11 bare-URL spec: ``http://...`` (the registry hands us
+    ``//...``). HTML bodies reduce to text; anything else passes raw."""
+    return _read_url_doc(spark, f"http:{rest}")
+
+
+@register_source("https")
+def read_https(spark: SparkSession, rest: str) -> DataFrame:
+    return _read_url_doc(spark, f"https:{rest}")
+
+
+@register_source("file")
+def read_file_url(spark: SparkSession, rest: str) -> DataFrame:
+    """``file://`` spec -> the plain path source (``file:///abs`` hands
+    ``///abs``; dropping the empty-authority slashes leaves ``/abs``)."""
+    from . import readers  # noqa: F401 — ensure "path" is registered
+    from .registry import _SOURCES
+
+    return _SOURCES["path"](spark, rest[2:] if rest.startswith("//") else rest)

@@ -42,6 +42,8 @@ def read(spark: SparkSession, spec: str) -> DataFrame:
             return _SOURCES[prefix](spark, rest)
     from . import debian, readers  # noqa: F401 — ensure built-ins registered
 
+    if spec == "-":  # reference reader.py:1018: '-' is stdin
+        return _SOURCES["stdin"](spark, "")
     if ":" in spec:
         prefix, rest = spec.split(":", 1)
         if prefix in _SOURCES:

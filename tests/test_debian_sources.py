@@ -197,3 +197,30 @@ def test_sbuild_newest_and_slice(spark, tmp_path, monkeypatch):
     assert rows[0]["content"].strip() == "the build body"
     explicit = read(spark, f"sbuild:{old}").collect()
     assert explicit[0]["content"] == "old log"  # no banners: whole file
+
+
+def test_bare_url_and_file_and_dash_dispatch(spark, tmp_path, monkeypatch):
+    """Reference reader.py:834-841 + 1018: bare http(s):// specs fetch
+    (HTML reduced to text, other bodies raw), file:// routes to the
+    path source, '-' is stdin."""
+    def fake(url):
+        if url.endswith(".html"):
+            return 200, "<html><body><p>web words</p></body></html>"
+        return 200, "plain body"
+
+    D.set_fetcher(fake)
+    rows = read(spark, "https://example.org/x.html").collect()
+    assert rows[0]["path"] == "https://example.org/x.html"
+    assert rows[0]["content"] == "web words"
+    rows = read(spark, "http://example.org/raw.txt").collect()
+    assert rows[0]["content"] == "plain body"
+
+    f = tmp_path / "doc.txt"
+    f.write_text("local file words")
+    rows = read(spark, f"file://{f}").collect()
+    assert rows[0]["content"].strip() == "local file words"
+
+    import io
+    monkeypatch.setattr("sys.stdin", io.StringIO("piped via dash"))
+    rows = read(spark, "-").collect()
+    assert rows[0]["content"] == "piped via dash"
