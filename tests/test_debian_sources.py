@@ -224,3 +224,79 @@ def test_bare_url_and_file_and_dash_dispatch(spark, tmp_path, monkeypatch):
     monkeypatch.setattr("sys.stdin", io.StringIO("piped via dash"))
     rows = read(spark, "-").collect()
     assert rows[0]["content"] == "piped via dash"
+
+
+def test_manual_split_properties():
+    """Hypothesis: for any generated manual (random section tree with
+    dotted numbering + matching underline levels), every emitted index
+    is unique, every body starts with its own header line, and the
+    level-1 bodies partition the document's section lines (no line of a
+    chapter appears in a sibling chapter)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seps = {1: "*", 2: "=", 3: "-"}
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=3), min_size=1,
+                    max_size=12))
+    def check(levels):
+        # force the tree to start at level 1 and never skip levels down
+        counters = [0, 0, 0]
+        lines = ["preamble text", ""]
+        indexes = []
+        for lv in levels:
+            lv = min(lv, 1 + max(
+                (i + 1 for i, c in enumerate(counters) if c), default=0))
+            counters[lv - 1] += 1
+            for j in range(lv, 3):
+                counters[j] = 0
+            idx = ".".join(str(c) for c in counters[:lv])
+            indexes.append(idx)
+            header = f"{idx}. Title"
+            lines += [header, seps[lv] * len(header), f"body of {idx}", ""]
+        sections = D.split_manual_sections("\n".join(lines))
+        got = [i for i, _ in sections]
+        assert got == indexes  # document order, all unique
+        assert len(set(got)) == len(got)
+        bodies = dict(sections)
+        for idx in got:
+            assert bodies[idx].startswith(f"{idx}. Title")
+            assert f"body of {idx}" in bodies[idx]
+        # level-1 partition: each section's own body line appears in
+        # exactly one chapter body
+        chapters = [b for i, b in sections if "." not in i]
+        for idx in got:
+            owners = sum(f"body of {idx}\n" in c + "\n" for c in chapters)
+            assert owners == 1
+
+    check()
+
+
+def test_ldo_expansion_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.sampled_from(["debian-ai", "debian-devel", "dpkg"]),
+                 min_size=1, max_size=3, unique=True),
+        st.integers(min_value=2020, max_value=2024),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=0, max_value=3),
+    )
+    def check(names, y0, yspan, m0, mspan):
+        spec = (
+            ",".join(names)
+            + f"/{y0}:{y0 + yspan}/{m0:02d}:{m0 + mspan:02d}"
+        )
+        out = D.expand_ldo_spec(spec)
+        assert len(out) == len(names) * (yspan + 1) * (mspan + 1)
+        assert len(set(out)) == len(out)
+        for comb in out:
+            n, y, m = comb.split("/")
+            assert n in names and y0 <= int(y) <= y0 + yspan
+            assert m0 <= int(m) <= m0 + mspan
+
+    check()
