@@ -292,7 +292,8 @@ def _select(l: int, t: int, tl: int) -> int:
         p = lc + tc - tlc
         pa += abs(p - lc)
         pt += abs(p - tc)
-    return l if pa <= pt else t
+    # ties resolve to T, matching libwebp Select: (pa - pb <= 0) ? top : left
+    return l if pa < pt else t
 
 
 def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:
@@ -595,11 +596,13 @@ def _read_prefix_code(br: BitReader, alphabet: int) -> PrefixDecoder:
         lengths = [0] * alphabet
         if num_symbols == 2:
             sym1 = br.read(8)
-            # codes follow TRANSMISSION order (first symbol = code 0),
-            # not canonical symbol order — build the table directly
+            # canonical assignment from lengths [1,1]: code 0 maps to the
+            # smaller symbol value regardless of transmission order
+            # (libwebp BuildHuffmanTable over sorted symbols)
+            lo, hi = (sym0, sym1) if sym0 <= sym1 else (sym1, sym0)
             dec = PrefixDecoder(lengths)
             dec.single = None
-            dec.table = {(1, 0): sym0, (1, 1): sym1}
+            dec.table = {(1, 0): lo, (1, 1): hi}
             return dec
         lengths[sym0] = 1
         dec = PrefixDecoder(lengths)
@@ -798,7 +801,12 @@ def decode_vp8l(data: bytes) -> tuple[int, int, int, bytes] | None:
         if w * h > MAX_PIXELS:
             return None
         pixels = _decode_argb_stream(br, w, h)
-        channels = 4 if has_alpha else 3
+        # the header alpha bit is only a hint (spec §3): libwebp emits
+        # whatever the literals carry, so keep the channel whenever any
+        # decoded pixel is non-opaque even with the hint unset
+        channels = 4 if has_alpha or any(
+            (p >> 24) & 0xFF != 0xFF for p in pixels
+        ) else 3
         out = bytearray()
         for p in pixels:
             out.append((p >> 16) & 0xFF)

@@ -304,10 +304,8 @@ def read_nm(spark: SparkSession, key: str) -> DataFrame:
     return _one_doc(spark, f"nm:{key}", _NM_TEMPLATES[key])
 
 
-_BUILD_SLICE = re.compile(
-    r"\+-+\+\n\| Build +\|\n\+-+\+(.*?)\+-+\+\n\| Changes +\|\n\+-+\+",
-    re.S,
-)
+_BUILD_BANNER = re.compile(r"\+-+\+\n\| Build +\|\n\+-+\+", re.S)
+_CHANGES_BANNER = re.compile(r"\+-+\+\n\| Changes +\|\n\+-+\+", re.S)
 
 
 @register_source("sbuild")
@@ -326,9 +324,13 @@ def read_sbuild(spark: SparkSession, rest: str) -> DataFrame:
         path = max(candidates, key=os.path.getmtime)
     with open(path, encoding="utf-8", errors="replace") as fh:
         text = fh.read()
-    m = _BUILD_SLICE.search(text)
+    # slice from the Build banner to the Changes banner when present,
+    # else to end-of-text (truncated/failed logs have no Changes table
+    # — reference reader.py extract_build_changes slices to EOF there)
+    m = _BUILD_BANNER.search(text)
     if m:
-        text = m.group(1)
+        end = _CHANGES_BANNER.search(text, m.end())
+        text = text[m.end():end.start()] if end else text[m.end():]
     return _one_doc(spark, f"sbuild:{path}", text)
 
 

@@ -103,8 +103,7 @@ def read_man(spark: SparkSession, page: str) -> DataFrame:
     here. Dumb terminal (MANPAGER=cat equivalent via MAN_KEEP_FORMATTING
     unset + col-safe plain capture)."""
     out = subprocess.run(
-        f"man {page}",
-        shell=True,
+        ["man", page],
         capture_output=True,
         text=True,
         timeout=60,
@@ -120,8 +119,7 @@ def read_tldr(spark: SparkSession, cmd_name: str) -> DataFrame:
     """``tldr:<cmd>`` sugar (reference reader.py:1010-1016): shell out to
     ``tldr <cmd>``; same cmd-source shape, page-name label."""
     out = subprocess.run(
-        f"tldr {cmd_name}",
-        shell=True,
+        ["tldr", cmd_name],
         capture_output=True,
         text=True,
         timeout=60,

@@ -198,6 +198,17 @@ def test_sbuild_newest_and_slice(spark, tmp_path, monkeypatch):
     explicit = read(spark, f"sbuild:{old}").collect()
     assert explicit[0]["content"] == "old log"  # no banners: whole file
 
+    # truncated/failed log: Build banner present but no Changes table —
+    # slice from the Build banner to EOF (reference
+    # reader.py:extract_build_changes), not the entire log
+    trunc = tmp_path / "trunc.build"
+    trunc.write_text(
+        "preamble noise\n" + banner("Build") + "\nfailed mid-build\ntail"
+    )
+    got = read(spark, f"sbuild:{trunc}").collect()
+    assert got[0]["content"].strip() == "failed mid-build\ntail"
+    assert "preamble noise" not in got[0]["content"]
+
 
 def test_bare_url_and_file_and_dash_dispatch(spark, tmp_path, monkeypatch):
     """Reference reader.py:834-841 + 1018: bare http(s):// specs fetch

@@ -468,10 +468,14 @@ def test_source_stdin(spark, monkeypatch):
 
 def test_source_man_tldr_prefixes(spark, monkeypatch):
     """S21 prefix parity (reference reader.py:962-969, 1010-1016):
-    ``man:X`` / ``tldr:X`` are ``cmd`` specializations shelling out to
+    ``man:X`` / ``tldr:X`` are ``cmd`` specializations running
     ``man X`` / ``tldr X`` with the page name as the document label.
     The binaries aren't in this container, so the subprocess seam is
-    stubbed and the constructed command line is pinned instead."""
+    stubbed and the constructed argv is pinned instead — argv form
+    (no shell) because the spec is a PAGE NAME, not a command: the
+    reference routes these through shlex.split + no-shell subprocess
+    (reader.py:546,964,1012), so ``man:x; rm -rf ~`` must never reach
+    a shell."""
     from debgpt7_8_with_vectordb_spark.sources import readers
     from debgpt7_8_with_vectordb_spark.sources.registry import read
 
@@ -481,19 +485,23 @@ def test_source_man_tldr_prefixes(spark, monkeypatch):
         stdout = "FAKE PAGE"
 
     def fake_run(cmd, **kw):
-        calls.append(cmd)
+        calls.append((cmd, kw.get("shell", False)))
         return _Out()
 
     monkeypatch.setattr(readers.subprocess, "run", fake_run)
     rows = read(spark, "man:grep").collect()
-    assert calls[-1] == "man grep"
+    assert calls[-1] == (["man", "grep"], False)
     assert len(rows) == 1
     assert rows[0]["path"] == "man:grep"
     assert rows[0]["content"] == "FAKE PAGE"
 
     rows = read(spark, "tldr:curl").collect()
-    assert calls[-1] == "tldr curl"
+    assert calls[-1] == (["tldr", "curl"], False)
     assert rows[0]["path"] == "tldr:curl" and rows[0]["content"] == "FAKE PAGE"
+
+    # a hostile page name stays a single argv element — never a shell line
+    read(spark, "man:x; rm -rf ~").collect()
+    assert calls[-1] == (["man", "x; rm -rf ~"], False)
 
 
 def test_generation_backend_registry_dispatch(spark):

@@ -303,10 +303,11 @@ def test_bomb_fence_and_truncation_fuzz():
         assert got is None or (got[0], got[1]) == (12, 9) or True
 
 
-def test_decoder_accepts_two_symbol_simple_code_in_stream_order():
-    """Spec: the 2-symbol simple code assigns code 0 to the FIRST
-    transmitted symbol even when it is numerically larger — a canonical
-    sort here would silently swap channels on real files."""
+def test_two_symbol_simple_code_is_canonical_over_symbol_values():
+    """libwebp builds the 2-symbol table canonically from lengths
+    [1, 1]: code 0 maps to the SMALLER symbol value regardless of
+    transmission order, so a stream transmitting the larger symbol
+    first must still decode code 0 as the smaller one."""
     from debgpt7_8_with_vectordb_spark.operators.webplcodec import (
         _read_prefix_code,
     )
@@ -315,10 +316,57 @@ def test_decoder_accepts_two_symbol_simple_code_in_stream_order():
     bw.write(1, 1)  # simple
     bw.write(1, 1)  # two symbols
     bw.write(1, 1)  # first is 8-bit
-    bw.write(200, 8)  # larger symbol FIRST
+    bw.write(200, 8)  # larger symbol transmitted FIRST
     bw.write(3, 8)
     bw.write(0b10, 2)  # body: code 0 then code 1 (LSB-first bits)
     br = BitReader(bw.bytes())
     dec = _read_prefix_code(br, 256)
-    assert dec.decode(br) == 200  # code 0 -> first transmitted
-    assert dec.decode(br) == 3
+    assert dec.decode(br) == 3  # code 0 -> min(sym0, sym1)
+    assert dec.decode(br) == 200
+
+
+def test_select_predictor_tie_resolves_to_top():
+    """Predictor 11 (Select) on a Manhattan-distance tie returns the
+    TOP pixel, matching libwebp's ``(pa - pb <= 0) ? top : left``; an
+    inverted tie-break propagates through every later prediction and
+    the encoder twin can't see it (both sides would share the bug)."""
+    from debgpt7_8_with_vectordb_spark.operators.webplcodec import _select
+
+    l = 0xFF0A0A0A
+    t = 0xFF141414
+    tl = 0xFF0F0F0F  # per-channel midpoint -> pa == pt exactly
+    assert _select(l, t, tl) == t
+    # non-tie sanity in both directions
+    assert _select(l, t, l) == t  # tl == l -> predict t exactly
+    assert _select(l, t, t) == l  # tl == t -> predict l exactly
+
+
+def test_vp8l_alpha_kept_when_header_hint_unset():
+    """The header alpha bit is a hint, not a mask: a stream whose
+    literals carry alpha != 255 with the hint cleared must still decode
+    to 4 channels (libwebp emits whatever the literals carry)."""
+    rng = random.Random(77)
+    w, h = 6, 5
+    px = bytearray(_rand_img(rng, w, h, 4))
+    px[3] = 0x40  # guarantee a non-opaque pixel
+    data = bytearray(encode_vp8l(bytes(px), w, h, 4))
+    # clear the alpha-hint bit: 8 (sig) + 14 (w) + 14 (h) = bit 36,
+    # LSB-first -> byte 4, bit 4
+    assert data[4] & 0x10, "encoder should have set the hint for RGBA"
+    data[4] &= ~0x10
+    got = decode_vp8l(bytes(data))
+    assert got is not None
+    gw, gh, ch, out = got
+    assert (gw, gh, ch) == (w, h, 4)
+    # full round-trip equality, RGBA order preserved
+    assert bytes(out) == bytes(px)
+
+
+def test_vp8l_opaque_stream_with_hint_unset_stays_rgb():
+    """All-opaque literals with the hint unset keep the 3-channel
+    contract (no spurious alpha channel from the hint fix)."""
+    rng = random.Random(78)
+    w, h = 4, 4
+    px = _rand_img(rng, w, h, 3)
+    got = decode_vp8l(encode_vp8l(px, w, h, 3))
+    assert got is not None and got[2] == 3 and bytes(got[3]) == px
