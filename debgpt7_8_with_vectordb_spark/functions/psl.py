@@ -1,0 +1,494 @@
+"""Public-Suffix-List registrable domains (VERDICT r8 #2).
+
+Implements the canonical publicsuffix.org matching algorithm — normal,
+wildcard (``*.``) and exception (``!``) rules, longest-match wins,
+default rule ``*`` — over an embedded SNAPSHOT of well-known PSL
+entries, with :func:`load_psl` to swap in the full published list at
+deploy time (the container has no network; the full list is ~10k lines
+of public MPL-2.0 data from https://publicsuffix.org/list/).
+
+Scale shape: the rule table is static data that ships WITH the package,
+so every executor process builds the lookup sets once, lazily, on first
+use — the moral equivalent of a broadcast table without driver round
+trips (code distribution already delivers it). Lookups are set
+membership over at most ``len(labels)`` suffix strings plus an LRU on
+the host (crawl workloads repeat hosts heavily), so the per-row cost
+inside the Arrow normalization pass stays sub-microsecond.
+
+Reference analog: none — the reference (RanRhoads84/debgpt7.8-with-
+vectorDB) has no crawl-curation machinery; this backs the extension
+crawl keep-rules and per-domain quota keys.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+# ---------------------------------------------------------------------------
+# Embedded snapshot of the Public Suffix List (publicsuffix.org, public
+# MPL-2.0 data). PARTIAL by necessity — the common multi-level ccTLD
+# registries, the classic wildcard/exception cases, and the high-traffic
+# private-section hosting suffixes. Single-label TLDs need no entry: the
+# algorithm's default rule ``*`` already treats an unmatched final label
+# as the public suffix. Production: call load_psl(full_list_text).
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT = """
+// ---- ICANN section (subset) ----
+// uk
+uk
+co.uk
+org.uk
+me.uk
+ltd.uk
+plc.uk
+net.uk
+sch.uk
+ac.uk
+gov.uk
+nhs.uk
+police.uk
+mod.uk
+// jp (incl. the city wildcard/exception family)
+jp
+ac.jp
+ad.jp
+co.jp
+ed.jp
+go.jp
+gr.jp
+lg.jp
+ne.jp
+or.jp
+*.kawasaki.jp
+*.kitakyushu.jp
+*.kobe.jp
+*.nagoya.jp
+*.sapporo.jp
+*.sendai.jp
+*.yokohama.jp
+!city.kawasaki.jp
+!city.kitakyushu.jp
+!city.kobe.jp
+!city.nagoya.jp
+!city.sapporo.jp
+!city.sendai.jp
+!city.yokohama.jp
+// au
+au
+com.au
+net.au
+org.au
+edu.au
+gov.au
+asn.au
+id.au
+// nz
+nz
+ac.nz
+co.nz
+geek.nz
+gen.nz
+govt.nz
+iwi.nz
+kiwi.nz
+maori.nz
+net.nz
+org.nz
+school.nz
+// br
+br
+com.br
+net.br
+org.br
+gov.br
+edu.br
+mil.br
+art.br
+blog.br
+eco.br
+// cn
+cn
+ac.cn
+com.cn
+edu.cn
+gov.cn
+net.cn
+org.cn
+mil.cn
+// in
+in
+co.in
+com.in
+firm.in
+net.in
+org.in
+gen.in
+ind.in
+ac.in
+edu.in
+res.in
+gov.in
+mil.in
+nic.in
+// za
+za
+ac.za
+co.za
+edu.za
+gov.za
+law.za
+mil.za
+net.za
+nom.za
+org.za
+school.za
+web.za
+// kr
+kr
+ac.kr
+co.kr
+es.kr
+go.kr
+hs.kr
+kg.kr
+mil.kr
+ms.kr
+ne.kr
+or.kr
+pe.kr
+re.kr
+sc.kr
+// mx
+mx
+com.mx
+org.mx
+gob.mx
+edu.mx
+net.mx
+// ar
+ar
+com.ar
+edu.ar
+gob.ar
+gov.ar
+int.ar
+mil.ar
+net.ar
+org.ar
+// tr
+tr
+av.tr
+bbs.tr
+bel.tr
+biz.tr
+com.tr
+dr.tr
+edu.tr
+gen.tr
+gov.tr
+info.tr
+mil.tr
+k12.tr
+kep.tr
+name.tr
+net.tr
+org.tr
+pol.tr
+tel.tr
+tsk.tr
+tv.tr
+web.tr
+// tw
+tw
+edu.tw
+gov.tw
+mil.tw
+com.tw
+net.tw
+org.tw
+idv.tw
+game.tw
+ebiz.tw
+club.tw
+// hk
+hk
+com.hk
+edu.hk
+gov.hk
+idv.hk
+net.hk
+org.hk
+// sg
+sg
+com.sg
+net.sg
+org.sg
+gov.sg
+edu.sg
+per.sg
+// il
+il
+ac.il
+co.il
+gov.il
+idf.il
+k12.il
+muni.il
+net.il
+org.il
+// id
+id
+ac.id
+biz.id
+co.id
+desa.id
+go.id
+mil.id
+my.id
+net.id
+or.id
+ponpes.id
+sch.id
+web.id
+// th
+th
+ac.th
+co.th
+go.th
+in.th
+mi.th
+net.th
+or.th
+// my
+my
+biz.my
+com.my
+edu.my
+gov.my
+mil.my
+name.my
+net.my
+org.my
+// ph
+ph
+com.ph
+net.ph
+org.ph
+gov.ph
+edu.ph
+ngo.ph
+mil.ph
+i.ph
+// vn
+vn
+com.vn
+net.vn
+org.vn
+edu.vn
+gov.vn
+int.vn
+ac.vn
+biz.vn
+info.vn
+name.vn
+pro.vn
+health.vn
+// ua
+ua
+com.ua
+edu.ua
+gov.ua
+in.ua
+net.ua
+org.ua
+// pl
+pl
+com.pl
+net.pl
+org.pl
+aid.pl
+agro.pl
+atm.pl
+auto.pl
+biz.pl
+edu.pl
+gmina.pl
+gsm.pl
+info.pl
+mail.pl
+miasta.pl
+media.pl
+mil.pl
+nieruchomosci.pl
+nom.pl
+pc.pl
+powiat.pl
+priv.pl
+realestate.pl
+rel.pl
+sex.pl
+shop.pl
+sklep.pl
+sos.pl
+szkola.pl
+targi.pl
+tm.pl
+tourism.pl
+travel.pl
+turystyka.pl
+gov.pl
+waw.pl
+// fr
+fr
+asso.fr
+com.fr
+gouv.fr
+nom.fr
+prd.fr
+tm.fr
+// it / de / nl / es have no generic second-level registrations
+it
+de
+nl
+es
+com.es
+nom.es
+org.es
+gob.es
+edu.es
+// ru
+ru
+com.ru
+net.ru
+org.ru
+pp.ru
+msk.ru
+spb.ru
+// the classic full-wildcard registry with exceptions
+ck
+*.ck
+!www.ck
+// bd / er / fk / mm style full wildcards
+*.bd
+*.er
+*.fk
+*.mm
+// generic TLD second levels that ARE suffixes
+co
+com.co
+edu.co
+gov.co
+mil.co
+net.co
+nom.co
+org.co
+// ---- Private section (subset) ----
+github.io
+githubusercontent.com
+gitlab.io
+blogspot.com
+blogspot.co.uk
+blogspot.com.au
+blogspot.com.br
+blogspot.de
+blogspot.fr
+blogspot.in
+blogspot.jp
+s3.amazonaws.com
+compute.amazonaws.com
+elb.amazonaws.com
+cloudfront.net
+herokuapp.com
+netlify.app
+vercel.app
+web.app
+firebaseapp.com
+azurewebsites.net
+cloudapp.azure.com
+appspot.com
+pages.dev
+workers.dev
+wordpress.com
+wixsite.com
+weebly.com
+tumblr.com
+fastly.net
+readthedocs.io
+"""
+
+_RULES: frozenset[str] = frozenset()
+_WILDCARD_PARENTS: frozenset[str] = frozenset()
+_EXCEPTIONS: frozenset[str] = frozenset()
+
+
+def load_psl(text: str) -> None:
+    """(Re)build the rule tables from PSL-format text — comments
+    (``//``), blanks, normal / ``*.`` wildcard / ``!`` exception rules.
+    Call once at startup with the full published list in production;
+    the embedded snapshot loads automatically otherwise. Resets the
+    lookup cache."""
+    global _RULES, _WILDCARD_PARENTS, _EXCEPTIONS
+    rules: set[str] = set()
+    wild: set[str] = set()
+    exc: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0].lower()  # spec: rule ends at whitespace
+        if line.startswith("!"):
+            exc.add(line[1:])
+        elif line.startswith("*."):
+            wild.add(line[2:])
+            rules.add(line[2:])  # implicit: the parent itself matches
+        else:
+            rules.add(line)
+    _RULES = frozenset(rules)
+    _WILDCARD_PARENTS = frozenset(wild)
+    _EXCEPTIONS = frozenset(exc)
+    _suffix_label_count.cache_clear()
+
+
+@lru_cache(maxsize=65536)
+def _suffix_label_count(host: str) -> int:
+    """Number of labels in ``host``'s public suffix per the canonical
+    algorithm: exception rules win outright (suffix = rule minus its
+    leftmost label), else the longest matching rule, else the default
+    rule ``*`` (final label)."""
+    labels = host.split(".")
+    n = len(labels)
+    for i in range(n):
+        if ".".join(labels[i:]) in _EXCEPTIONS:
+            return n - i - 1
+    best = 1  # default rule "*"
+    for i in range(n):
+        if ".".join(labels[i:]) in _RULES:
+            best = max(best, n - i)
+    for i in range(n - 1):
+        if ".".join(labels[i + 1:]) in _WILDCARD_PARENTS:
+            best = max(best, n - i)
+    return best
+
+
+def public_suffix(host: str) -> str:
+    """The public suffix of a (lowercased, dot-stripped) host."""
+    labels = host.split(".")
+    return ".".join(labels[len(labels) - _suffix_label_count(host):])
+
+
+def registrable_domain_of_host(host: str) -> str:
+    """Public suffix plus one label. TOTAL function by design: a host
+    that IS a public suffix (or has no dots) returns itself rather than
+    None — curation keep-rules and quota keys must never drop rows on a
+    NULL grouping key (the canonical algorithm's "no registrable
+    domain" case)."""
+    labels = host.split(".")
+    n = len(labels)
+    ps_n = _suffix_label_count(host)
+    if n > ps_n:
+        return ".".join(labels[n - ps_n - 1:])
+    return host
+
+
+load_psl(_SNAPSHOT)

@@ -10,10 +10,10 @@ and ``http://example.org/b``) and disallowed paths must be dropped.
   percent-encodings of unreserved characters decoded and the rest
   upper-cased, empty path -> "/" — plus the two curation-policy steps
   every pipeline applies (fragment dropped, query keys sorted stably).
-- ``url_host`` / ``registrable_domain``: host extraction and a
-  last-two-labels registrable-domain heuristic (the container has no
-  public-suffix list; the limitation is documented, and the function
-  takes an optional extra-suffix set for the common two-level ccTLDs).
+- ``url_host`` / ``registrable_domain``: host extraction and
+  Public-Suffix-List registrable domains (functions/psl.py: canonical
+  publicsuffix.org algorithm over an embedded snapshot, full-list
+  loadable at deploy time).
 - ``RobotsMatcher``: RFC 9309 robots.txt evaluation — group selection by
   longest user-agent product-token match, longest-path-match rule
   precedence with allow winning ties, ``*`` and ``$`` wildcards,
@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import re
 from urllib.parse import urlsplit
+
+from .psl import registrable_domain_of_host
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 _PCT = re.compile(r"%([0-9A-Fa-f]{2})")
@@ -118,27 +120,17 @@ def url_host(url: str) -> str | None:
     return host.rstrip(".").lower() if host else None
 
 
-_CC_SECOND_LEVEL = frozenset(
-    {"co", "com", "org", "net", "ac", "gov", "edu", "or", "ne"}
-)
-
-
 def registrable_domain(url: str) -> str | None:
-    """Last-two-labels heuristic, widened to three for the common
-    ``co.uk``-style two-level ccTLD suffixes. NOT a public-suffix-list
-    lookup (none in this container) — at production scale swap in the
-    PSL through this same function slot."""
+    """Public-Suffix-List registrable domain (psl.py: the canonical
+    publicsuffix.org algorithm over an embedded snapshot; swap in the
+    full published list via ``psl.load_psl`` at deploy time). Unknown
+    TLDs fall to the PSL default rule ``*`` — last-two-labels, the old
+    heuristic — so the upgrade only refines multi-level suffixes
+    (``co.uk``, ``github.io``, ``*.ck`` …)."""
     host = url_host(url)
     if not host or "." not in host:
         return host
-    labels = host.split(".")
-    if (
-        len(labels) >= 3
-        and len(labels[-1]) == 2
-        and labels[-2] in _CC_SECOND_LEVEL
-    ):
-        return ".".join(labels[-3:])
-    return ".".join(labels[-2:])
+    return registrable_domain_of_host(host)
 
 
 class RobotsMatcher:

@@ -62,6 +62,61 @@ def test_domain_heuristic():
     assert registrable_domain("http://localhost/") == "localhost"
 
 
+def test_registrable_domain_psl_rules():
+    """VERDICT r8 #2: PSL-backed registrable domains — multi-level
+    suffixes, private-section hosting suffixes, wildcard and exception
+    rules, and the default ``*`` rule for unknown TLDs."""
+    # multi-level ICANN suffixes
+    assert registrable_domain("https://a.b.example.co.uk/") == "example.co.uk"
+    assert registrable_domain("https://x.gov.uk/") == "x.gov.uk"
+    # private section: each user site is its own registrable domain
+    assert registrable_domain("https://alice.github.io/p") == "alice.github.io"
+    assert (
+        registrable_domain("https://deep.alice.github.io/")
+        == "alice.github.io"
+    )
+    assert (
+        registrable_domain("http://bucket.s3.amazonaws.com/k")
+        == "bucket.s3.amazonaws.com"
+    )
+    # wildcard rule *.ck with exception !www.ck
+    assert registrable_domain("http://shop.biz.ck/") == "shop.biz.ck"
+    assert registrable_domain("http://www.ck/") == "www.ck"
+    assert registrable_domain("http://sub.www.ck/") == "www.ck"
+    # jp city wildcards + city.* exceptions
+    assert (
+        registrable_domain("http://a.b.kawasaki.jp/") == "a.b.kawasaki.jp"
+    )
+    assert (
+        registrable_domain("http://x.city.kawasaki.jp/")
+        == "city.kawasaki.jp"
+    )
+    # default rule "*": unknown TLD behaves as last-two-labels
+    assert registrable_domain("http://a.b.zz-unknown/") == "b.zz-unknown"
+    # a host that IS a public suffix stays total (never a NULL group key)
+    assert registrable_domain("http://co.uk/") == "co.uk"
+    assert registrable_domain("http://github.io/") == "github.io"
+
+
+def test_psl_load_full_list_roundtrip():
+    """load_psl swaps the rule tables wholesale (the production path
+    for the full published list) and the snapshot restores cleanly."""
+    from debgpt7_8_with_vectordb_spark.functions import psl
+
+    try:
+        psl.load_psl("// tiny list\nfoo\n*.bar\n!keep.bar\n")
+        assert psl.public_suffix("a.b.foo") == "foo"
+        assert psl.registrable_domain_of_host("a.b.foo") == "b.foo"
+        assert psl.public_suffix("x.any.bar") == "any.bar"
+        assert psl.registrable_domain_of_host("x.y.any.bar") == "y.any.bar"
+        assert psl.registrable_domain_of_host("z.keep.bar") == "keep.bar"
+        # co.uk is NOT in the tiny list -> default rule
+        assert psl.registrable_domain_of_host("news.bbc.co.uk") == "co.uk"
+    finally:
+        psl.load_psl(psl._SNAPSHOT)
+    assert psl.registrable_domain_of_host("news.bbc.co.uk") == "bbc.co.uk"
+
+
 ROBOTS = """
 # crawl policy
 User-agent: *
