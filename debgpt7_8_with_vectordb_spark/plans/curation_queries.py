@@ -487,11 +487,14 @@ def stream_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages = normalize_url_column(pages, "url").filter(
             F.col("url_norm").isNotNull()
         )
+        # order by (fetched_at, RAW url) — exactly the batch keep-rule
+        # (operators/crawl.py) so same-timestamp fetches of one
+        # canonical URL pick the same spelling in both engines
         order_key = F.struct(
             F.coalesce(F.col("fetched_at"), F.lit("￿")).alias("_o1"),
-            F.col("html").alias("_o2"),
+            F.col("url").alias("_o2"),
         )
-        keep = F.struct("fetched_at", "html", "domain")
+        keep = F.struct("url", "fetched_at", "html", "domain")
         best = pages.groupBy("url_norm").agg(
             F.min_by(keep, order_key).alias("_keep")
         )
@@ -510,13 +513,14 @@ def stream_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # funnel tail shared with the batch operator
     emitted = spark.table(name).select(
         "url_norm",
+        F.col("_keep.url").alias("url"),
         F.col("_keep.fetched_at").alias("fetched_at"),
         F.col("_keep.html").alias("html"),
         F.col("_keep.domain").alias("domain"),
     )
     order_key = F.struct(
         F.coalesce(F.col("fetched_at"), F.lit("￿")).alias("_o1"),
-        F.col("html").alias("_o2"),
+        F.col("url").alias("_o2"),
     )
     best = (
         emitted.groupBy("url_norm")

@@ -29,19 +29,23 @@ _POINTER = "_LATEST"
 
 
 def _order_key():
+    # (fetched_at, RAW url) — byte-identical to the batch keep-rule
+    # (operators/crawl.py), so same-timestamp fetches of one canonical
+    # URL pick the same spelling whether curated in batch or streamed
     return F.struct(
         F.coalesce(F.col("fetched_at"), F.lit("￿")).alias("_o1"),
-        F.col("html").alias("_o2"),
+        F.col("url").alias("_o2"),
     )
 
 
 def _reduce_best(pages: DataFrame) -> DataFrame:
-    keep = F.struct("fetched_at", "html", "domain")
+    keep = F.struct("url", "fetched_at", "html", "domain")
     return (
         pages.groupBy("url_norm")
         .agg(F.min_by(keep, _order_key()).alias("_k"))
         .select(
             "url_norm",
+            F.col("_k.url").alias("url"),
             F.col("_k.fetched_at").alias("fetched_at"),
             F.col("_k.html").alias("html"),
             F.col("_k.domain").alias("domain"),
@@ -98,7 +102,9 @@ def curate_upsert_sink(
     query_name: str = "curate_upsert",
 ):
     """Attach the upsert handler to a normalized-page stream
-    ``(url_norm, fetched_at, html, domain)``; caller triggers/awaits.
+    ``(url_norm, url, fetched_at, html, domain)`` — the raw ``url``
+    rides through the state struct as the keep-rule tiebreaker;
+    caller triggers/awaits.
     Old snapshots are retained for time travel/debug — a production
     deployment prunes them past a retention horizon (the compaction
     sink's journaled-swap discipline applies if pruning must be crash-

@@ -28,7 +28,10 @@ from debgpt7_8_with_vectordb_spark.streaming.curate import (
 from debgpt7_8_with_vectordb_spark.tables import load_table
 
 SF = "/root/testdata/sf0.001"
-PAGES_SCHEMA = "url_norm string, fetched_at string, html string, domain string"
+PAGES_SCHEMA = (
+    "url_norm string, url string, fetched_at string, html string, "
+    "domain string"
+)
 
 
 def _normalized_pages(spark):
@@ -46,7 +49,9 @@ def _normalized_pages(spark):
     pages = normalize_url_column(pages, "url").filter(
         F.col("url_norm").isNotNull()
     )
-    return pages.select("url_norm", "fetched_at", "html", "domain", "_even")
+    return pages.select(
+        "url_norm", "url", "fetched_at", "html", "domain", "_even"
+    )
 
 
 def _drain(spark, src_dir, table, ckpt):
@@ -101,7 +106,13 @@ def test_upsert_restart_order_and_batch_equality(spark, tmp_path):
     # crash replay: re-applying an already-published batch id is a
     # no-op even with poisoned content
     poison = spark.createDataFrame(
-        [("http://h1.example.org/page1", "1999-01-01T00:00:00Z", "x", "d")],
+        [(
+            "http://h1.example.org/page1",
+            "http://h1.example.org/page1",
+            "1999-01-01T00:00:00Z",
+            "x",
+            "d",
+        )],
         PAGES_SCHEMA,
     )
     applied = curate_upsert_batch(
@@ -128,3 +139,49 @@ def test_upsert_restart_order_and_batch_equality(spark, tmp_path):
 def test_read_curated_without_snapshot_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_curated(spark, str(tmp_path / "nope"))
+
+
+def test_same_timestamp_tiebreak_matches_batch(spark, tmp_path):
+    """NOTES r9 #4: two spellings of one canonical URL fetched at the
+    SAME instant — the streaming keep-rule must order by the raw url
+    exactly like the batch operator, so both engines keep the
+    lexicographically-first spelling regardless of arrival order."""
+    rows = [
+        ("http://h.example.org/p", "HTTP://H.Example.ORG:80/p",
+         "2024-01-01T00:00:00Z", "<p>B spelling</p>", "example.org"),
+        ("http://h.example.org/p", "http://h.example.org/p",
+         "2024-01-01T00:00:00Z", "<p>A spelling</p>", "example.org"),
+    ]
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "feed")
+    # adversarial arrival order: uppercase spelling lands in batch 0
+    spark.createDataFrame([rows[0]], PAGES_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame([rows[1]], PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _drain(spark, src, table, ckpt)
+    snap = read_snapshot(spark, table).collect()
+    assert len(snap) == 1
+    assert snap[0]["url"] == "HTTP://H.Example.ORG:80/p"  # min raw url
+    assert snap[0]["html"] == "<p>B spelling</p>"
+
+    # batch keep-rule on the same rows picks the identical spelling
+    batch = (
+        spark.createDataFrame(rows, PAGES_SCHEMA)
+        .groupBy("url_norm")
+        .agg(
+            F.min_by(
+                F.struct("url", "html"),
+                F.struct(
+                    F.coalesce(F.col("fetched_at"), F.lit("￿")),
+                    F.col("url"),
+                ),
+            ).alias("_k")
+        )
+        .collect()
+    )
+    assert batch[0]["_k"]["url"] == snap[0]["url"]
+    assert batch[0]["_k"]["html"] == snap[0]["html"]
