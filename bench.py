@@ -18,14 +18,81 @@ budget; "n_queries"/"detail" say where the rest live.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from debgpt7_8_with_vectordb_spark.session import get_spark  # noqa: E402
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+# fallback when BASELINE.json lacks (or loses) the machine-readable map
+_REBASE_FALLBACK = {
+    "html_strip": "r7",
+    "multimodal_decode": "r8",
+    "image_pixels": "r8",
+    "audio_metadata": "r8",
+    "video_metadata": "r8",
+}
+
+
+def load_rebase_map() -> dict[str, str]:
+    """query -> earliest valid anchor round, from BASELINE.json's
+    ``anchor_rebase`` key (VERDICT r8 #5: the rebase map must live in
+    the machine-readable baseline, not only in BENCH stdout). Queries
+    absent from the map anchor at their first recorded round."""
+    try:
+        with open(os.path.join(_REPO_DIR, "BASELINE.json")) as fh:
+            m = json.load(fh).get("anchor_rebase", {})
+        return {
+            str(k): str(v)
+            for k, v in m.items()
+            if not str(k).startswith("_") and re.fullmatch(r"r\d+", str(v))
+        }
+    except (OSError, ValueError, AttributeError):
+        return dict(_REBASE_FALLBACK)
+
+
+def _bench_rounds() -> list[tuple[int, dict]]:
+    """(round number, per-query seconds) for every recorded BENCH round,
+    ascending."""
+    out: list[tuple[int, dict]] = []
+    for p in glob.glob(os.path.join(_REPO_DIR, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r0*(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as fh:
+                q = json.load(fh)["parsed"]["queries"]
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+        if isinstance(q, dict):
+            out.append((int(m.group(1)), q))
+    return sorted(out)
+
+
+def resolve_anchors(names) -> dict[str, dict]:
+    """Per-query perf anchor: the FIRST recorded BENCH value, starting
+    at the rebase round when the query's semantics changed —
+    ``{query: {"sec": s, "round": "rN"}}``."""
+    rebase = load_rebase_map()
+    rounds = _bench_rounds()
+    anchors: dict[str, dict] = {}
+    for q in names:
+        floor = int(rebase[q][1:]) if q in rebase else 0
+        for rn, table in rounds:
+            if rn < floor:
+                continue
+            v = table.get(q)
+            if isinstance(v, (int, float)):
+                anchors[q] = {"sec": float(v), "round": f"r{rn}"}
+                break
+    return anchors
 
 HEADLINE = [
     # retrieval / vector core
@@ -289,6 +356,16 @@ def main() -> None:
         spreads[name] = samples
 
     total = round(sum(times.values()), 3)
+    anchors = resolve_anchors(times)
+    vs_anchor = {
+        q: round(times[q] / a["sec"], 3)
+        for q, a in anchors.items()
+        if a["sec"] > 0
+    }
+    ratios = sorted(vs_anchor.values())
+    vs_median = (
+        round(ratios[len(ratios) // 2], 3) if ratios else None
+    )
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -308,13 +385,13 @@ def main() -> None:
         # full codec breadth per VERDICT r7 #4 — multimodal_decode now
         # synthesizes+parses 8 containers (was 4), image_pixels decodes
         # TIFF strips and VP8L (pure-Python prefix codes) in rotation.
-        "rebased": {
-            "html_strip": "r7",
-            "multimodal_decode": "r8",
-            "image_pixels": "r8",
-            "audio_metadata": "r8",
-            "video_metadata": "r8",
-        },
+        "rebased": load_rebase_map(),
+        # per-query anchors resolved THROUGH the rebase map (first
+        # recorded round, or the rebase round after a semantics
+        # change); full tables detail-only, the median ratio on stdout
+        "vs_anchor_median": vs_median,
+        "anchors": anchors,
+        "vs_anchor": vs_anchor,
         # round-7 lesson: concurrent pytest contaminates min-of-3 by
         # 1.3-1.7x; the runner now waits for machine-quiet (see
         # wait_for_quiet) and flags runs that never got it
@@ -373,7 +450,11 @@ def _budgeted_line(payload: dict) -> str:
     """The stdout JSON line, shrunk to fit the driver's tail window:
     r1-anchor queries first, then the rest in headline order until the
     byte budget is hit. BENCH_DETAIL.json always has everything."""
-    payload = {k: v for k, v in payload.items() if k != "runs_detail"}
+    payload = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("runs_detail", "anchors", "vs_anchor")
+    }
     times = payload["queries"]
     ordered = [n for n in _R1_ANCHOR if n in times] + [
         n for n in times if n not in _R1_ANCHOR

@@ -22,6 +22,10 @@ def _payload(times):
         "agg": "min",
         "n_queries": len(times),
         "detail": "BENCH_DETAIL.json",
+        # the real stdout extras — the budget test must price them in
+        "rebased": dict(bench._REBASE_FALLBACK),
+        "vs_anchor_median": 0.574,
+        "quiet": True,
     }
 
 
@@ -101,3 +105,51 @@ def test_budget_invariants_hold_for_any_catalog():
         assert parsed["n_queries"] == len(times)
 
     prop()
+
+
+def test_rebase_map_lives_in_baseline_json():
+    """VERDICT r8 #5: the anchor rebase map is machine-readable in
+    BASELINE.json, bench.py reads it from there, and the in-code
+    fallback stays in sync."""
+    import os
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BASELINE.json")
+    recorded = json.load(open(path)).get("anchor_rebase", {})
+    recorded = {k: v for k, v in recorded.items() if not k.startswith("_")}
+    loaded = bench.load_rebase_map()
+    assert loaded == recorded
+    assert loaded == bench._REBASE_FALLBACK
+    # every rebased query must exist in the headline set
+    assert all(q in bench.HEADLINE for q in loaded)
+
+
+def test_anchors_resolve_through_rebase_map():
+    """A rebased query anchors at its rebase round (or later), never at
+    an earlier round whose semantics differ; an un-rebased query
+    anchors at its FIRST recorded round."""
+    import os
+
+    if not os.path.exists(
+        os.path.join(os.path.dirname(bench.__file__), "BENCH_r01.json")
+    ):
+        return
+    anchors = bench.resolve_anchors(
+        ["html_strip", "topk_retrieval", "no_such_query"]
+    )
+    rebase = bench.load_rebase_map()
+    hs = anchors["html_strip"]
+    assert int(hs["round"][1:]) >= int(rebase["html_strip"][1:])
+    assert anchors["topk_retrieval"]["round"] == "r1"
+    assert "no_such_query" not in anchors
+    for a in anchors.values():
+        assert a["sec"] > 0
+
+
+def test_anchor_tables_stripped_from_stdout_line():
+    payload = _payload({"a": 1.0})
+    payload["anchors"] = {"a": {"sec": 1.0, "round": "r1"}}
+    payload["vs_anchor"] = {"a": 1.0}
+    payload["vs_anchor_median"] = 1.0
+    parsed = json.loads(bench._budgeted_line(payload))
+    assert "anchors" not in parsed and "vs_anchor" not in parsed
+    assert parsed["vs_anchor_median"] == 1.0
