@@ -275,13 +275,28 @@ def provider_embed_fn(provider: str, model: str, dim: int):
     return embed
 
 
-def provider_generate_fn(provider: str, model: str, transport=None, **opts):
+def provider_generate_fn(
+    provider: str,
+    model: str,
+    transport=None,
+    max_attempts: int = 5,
+    backoff_s: float = 1.0,
+    **opts,
+):
     """Generation twin of ``provider_embed_fn``: returns a picklable
     ``list[str] -> list[str]`` closure over the config only; the HTTP
     client (and its key, read from the executor env) materializes
     lazily per executor and is cached. ``transport`` is the offline
     test seam — when injected it must itself be picklable (a closure),
     and it rides into the lazy constructor.
+
+    M5 bounded retry at per-prompt granularity (the chat surface is one
+    conversation per call): a 429 burst or malformed mid-batch response
+    retries with exponential backoff up to ``max_attempts``, then
+    raises to Spark's task-retry backstop — never the reference's
+    infinite retry_ratelimit loop (embeddings.py:28-59), which would
+    wedge an executor slot for the outage's duration. Completed prompts
+    in a batch are not re-generated on a later prompt's retry.
 
     Usage::
 
@@ -296,12 +311,27 @@ def provider_generate_fn(provider: str, model: str, transport=None, **opts):
     cfg = ("gen", provider, model, tuple(sorted(opts.items())))
 
     def generate(prompts: list[str]) -> list[str]:
+        import time as _time
+
         client = _CLIENTS.get(cfg)
         if client is None:
             client = _GEN_PROVIDERS[cfg[1]](
                 model=cfg[2], transport=transport, **dict(cfg[3])
             )
             _CLIENTS[cfg] = client
-        return client.batch_generate(prompts)
+        out: list[str] = []
+        for p in prompts:
+            last: Exception | None = None
+            for attempt in range(max_attempts):
+                try:
+                    out.append(client.generate(p))
+                    break
+                except Exception as exc:  # 429 / transport / bad shape
+                    last = exc
+                    if attempt < max_attempts - 1:
+                        _time.sleep(backoff_s * (2**attempt))
+            else:
+                raise last  # type: ignore[misc]
+        return out
 
     return generate
