@@ -92,6 +92,27 @@ def _with_global_rn(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
     )
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _unpersist_rdds(spark, ids: set[int]) -> None:
+    """Deterministically free SUPERSEDED reduce-round checkpoints. The
+    ContextCleaner would GC them eventually, but 'eventually' at the
+    100x tile meant carrying every round's blocks (~1 GB held for a
+    150 MB corpus, measured in tools/scale_mapreduce_100x.py) until JVM
+    GC — at 100 TB that is pure memory-pressure. Safe because round r+1
+    reads ONLY round r's checkpoint: blocks from r-1 can never be
+    recomputed (truncated lineage) but are never needed again either."""
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist(False)
+
+
 def echo_lossy(col: Column, rate: int = 2) -> Column:
     """Deterministic 'extraction': every rate-th char, as a Catalyst
     expression (filter over the char positions — no UDF)."""
@@ -125,9 +146,23 @@ def tree_reduce(
     Pairing key = rn//2 over the stable global (doc_id, start) order; the
     odd tail element rides along unmerged (reference mapreduce.py:337-350).
     The global index comes from ``_with_global_rn`` (per-partition rank +
-    broadcast offsets), so every round is fully parallel: a range shuffle,
-    a per-partition window, and a ⌈n/2⌉-group combine — never a
+    broadcast offsets), so every pass is fully parallel — never a
     single-partition funnel.
+
+    BLOCKED MULTI-ROUND execution (the r9 100x-tile fix): one Spark job
+    per ROUND paid ~n/2 two-row applyInPandas groups of Arrow/pandas
+    overhead — measured 147x wall for 100x rows. Instead, each pass
+    slices the surviving rows into exact contiguous aligned blocks of
+    ``_PACK_BLOCK_ROWS`` (= 2^12) and replays up to 12 adjacent-pairing
+    rounds INSIDE each task over plain Python lists. This is exactly the
+    global algorithm: a full 2^12 block's survivor count is even at
+    every level (2^12/2^r for r < 12), so pairing never crosses a block
+    boundary within a pass, and only the final partial block ever holds
+    the odd tail — the same tail the global rounds produce. Rounds
+    still total ceil(log2(n)) (12 + ceil(log2(ceil(n/4096))) ==
+    ceil(log2(n))), which the mapreduce_echo oracle pins, and the final
+    string is byte-identical (tests pin the digests). A 10^11-chunk
+    corpus now costs ~3 shuffle passes, not ~37 per-round jobs.
     """
     df = mapped.select(
         F.col("doc_id"), F.col("start"), F.col("val")
@@ -135,70 +170,60 @@ def tree_reduce(
     n = df.count()
     rounds = 0
     limit = max_rounds if max_rounds is not None else max(1, int(math.log2(max(n, 2))) + 2)
+    # block must hold >= 2 rows to guarantee progress; a 2-row block is
+    # exactly one distributed pairing round (the pre-r9 per-round shape)
+    block_rows = max(2, _PACK_BLOCK_ROWS)
+    block_levels = max(1, int(math.log2(block_rows)))
+    spark = mapped.sparkSession
+    prev_ids: set[int] = set()
     while n > 1 and rounds < limit:
-        if n <= _PACK_BLOCK_ROWS:
-            # END-GAME (RDD.treeAggregate's final-reduce move): the
-            # surviving tail fits one task, so finish ALL remaining
-            # rounds in a single applyInPandas pass instead of paying
-            # ~log2(n) more Spark jobs. The in-task loop replays the
-            # identical per-round adjacent pairing over the identical
-            # (doc_id, start) order, so the result is byte-for-byte the
-            # distributed result (tests pin the digests).
-            remaining = limit - rounds
+        cap = min(limit - rounds, block_levels)
+        before_ids = _persistent_rdd_ids(spark)
 
-            def finish_tree(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values(["doc_id", "start"]).reset_index(drop=True)
-                rows = list(zip(pdf["doc_id"], pdf["start"], pdf["val"]))
-                r = 0
-                while len(rows) > 1 and r < remaining:
-                    rows = [
-                        (
-                            rows[i][0],
-                            rows[i][1],
-                            combine.join(v for _, _, v in rows[i : i + 2]),
-                        )
-                        for i in range(0, len(rows), 2)
-                    ]
-                    r += 1
-                return pd.DataFrame(
-                    [(int(d), int(s), v, r) for d, s, v in rows],
-                    columns=["doc_id", "start", "val", "_rounds"],
-                )
-
-            done = (
-                df.withColumn("_g", F.lit(0))
-                .groupBy("_g")
-                .applyInPandas(
-                    finish_tree,
-                    schema="doc_id long, start int, val string, _rounds int",
-                )
-                .localCheckpoint(eager=True)
-            )
-            rounds += int(done.agg(F.max("_rounds")).head()[0])
-            df = done.select("doc_id", "start", "val")
-            n = df.count()
-            continue
-        paired = _with_global_rn(df, ["doc_id", "start"], n).withColumn(
-            "pair", (F.col("rn") / 2).cast("long")
-        )
-
-        def combine_pair(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("rn")
+        def reduce_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            # (doc_id, start) order == rn order within a block
+            pdf = pdf.sort_values(["doc_id", "start"]).reset_index(drop=True)
+            rows = list(zip(pdf["doc_id"], pdf["start"], pdf["val"]))
+            r = 0
+            while len(rows) > 1 and r < cap:
+                rows = [
+                    (
+                        rows[i][0],
+                        rows[i][1],
+                        combine.join(v for _, _, v in rows[i : i + 2]),
+                    )
+                    for i in range(0, len(rows), 2)
+                ]
+                r += 1
             return pd.DataFrame(
-                {
-                    "doc_id": [pdf["doc_id"].iloc[0]],
-                    "start": [pdf["start"].iloc[0]],
-                    "val": [combine.join(pdf["val"])],
-                }
+                [(int(d), int(s), v, r) for d, s, v in rows],
+                columns=["doc_id", "start", "val", "_rounds"],
             )
 
-        df = (
-            paired.groupBy("pair")
-            .applyInPandas(combine_pair, schema="doc_id long, start int, val string")
+        if n <= block_rows:
+            # end-game: the tail fits one task — no index pass needed
+            blocked = df.withColumn("_blk", F.lit(0))
+        else:
+            blocked = (
+                _with_global_rn(df, ["doc_id", "start"], n)
+                .withColumn(
+                    "_blk", (F.col("rn") / block_rows).cast("long")
+                )
+                .drop("rn")
+            )
+        done = (
+            blocked.groupBy("_blk")
+            .applyInPandas(
+                reduce_block,
+                schema="doc_id long, start int, val string, _rounds int",
+            )
             .localCheckpoint(eager=True)
         )
+        rounds += int(done.agg(F.max("_rounds")).head()[0])
+        df = done.select("doc_id", "start", "val")
         n = df.count()
-        rounds += 1
+        _unpersist_rdds(spark, prev_ids)
+        prev_ids = _persistent_rdd_ids(spark) - before_ids
     return df, rounds
 
 
@@ -230,7 +255,10 @@ def compact_reduce(
     n = df.count()
     rounds = 0
     limit = max_rounds if max_rounds is not None else max(1, int(math.log2(max(n, 2))) + 2)
+    spark = mapped.sparkSession
+    prev_ids: set[int] = set()
     while n > 1 and rounds < limit:
+        before_ids = _persistent_rdd_ids(spark)
         if n <= _PACK_BLOCK_ROWS:
             # END-GAME: the tail is a single packing block anyway, so
             # run ALL remaining pack→combine rounds in one task (see
@@ -277,6 +305,8 @@ def compact_reduce(
             rounds += int(done.agg(F.max("_rounds")).head()[0])
             df = done.select("doc_id", "start", "val")
             n = df.count()
+            _unpersist_rdds(spark, prev_ids)
+            prev_ids = _persistent_rdd_ids(spark) - before_ids
             continue
         keyed = _with_global_rn(df, ["doc_id", "start"], n).withColumn(
             "block", (F.col("rn") / _PACK_BLOCK_ROWS).cast("long")
@@ -307,6 +337,8 @@ def compact_reduce(
         )
         n = df.count()
         rounds += 1
+        _unpersist_rdds(spark, prev_ids)
+        prev_ids = _persistent_rdd_ids(spark) - before_ids
     return df, rounds
 
 

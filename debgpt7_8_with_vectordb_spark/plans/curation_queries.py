@@ -333,18 +333,25 @@ WITH pages AS (
          (doc_id // 2) % 7 AS hostnum,
          ((doc_id // 2) % 5 = 0) AS private,
          regexp_replace(trim(text), ' +', ' ', 'g') AS ptext,
-         '2026-01-01T00:00:0' || (doc_id % 2) || 'Z' AS fetched_at
+         '2026-01-01T00:00:0'
+         || (CASE WHEN (doc_id // 2) % 3 = 0 THEN 0 ELSE doc_id % 2 END)
+         || 'Z' AS fetched_at
   FROM documents
 ), canon AS (
   SELECT *,
          'http://h' || hostnum || '.example.org'
          || (CASE WHEN private THEN '/private' ELSE '' END)
-         || '/page' || page_id AS url_norm
+         || '/page' || page_id AS url_norm,
+         (CASE WHEN doc_id % 2 = 0
+               THEN 'http://h' || hostnum || '.example.org'
+               ELSE 'HTTP://H' || hostnum || '.EXAMPLE.ORG:80' END)
+         || (CASE WHEN private THEN '/private' ELSE '' END)
+         || '/page' || page_id AS raw_url
   FROM pages
   WHERE NOT (private AND hostnum % 2 = 0)      -- robots gate
 ), firsts AS (
   SELECT *, row_number() OVER (
-    PARTITION BY url_norm ORDER BY fetched_at, doc_id) AS rn
+    PARTITION BY url_norm ORDER BY fetched_at, raw_url) AS rn
   FROM canon
 ), floored AS (
   SELECT * FROM firsts WHERE rn = 1 AND length(ptext) >= 100
@@ -369,7 +376,11 @@ FROM deduped WHERE rn2 = 1
 def _synth_warc(docs: DataFrame) -> DataFrame:
     """The synthesized WARC shard both funnel twins read: pairs of docs
     are the same canonical URL under two spellings at different fetch
-    times; every 5th page sits under /private; even hosts are policed."""
+    times — except every 3rd page, whose two spellings fetch at the
+    SAME second, forcing the (fetched_at, raw url) tiebreak (the
+    uppercase spelling sorts first and must win in batch, stream, and
+    oracle alike); every 5th page sits under /private; even hosts are
+    policed."""
     page_id = F.floor(F.col("doc_id") / 2).cast("long")
     hostnum = (page_id % 7).cast("string")
     private = page_id % 5 == 0
@@ -390,7 +401,9 @@ def _synth_warc(docs: DataFrame) -> DataFrame:
         url.alias("target_uri"),
         F.concat(
             F.lit("2026-01-01T00:00:0"),
-            (F.col("doc_id") % 2).cast("string"),
+            F.when(page_id % 3 == 0, F.lit(0))
+            .otherwise(F.col("doc_id") % 2)
+            .cast("string"),
             F.lit("Z"),
         ).alias("warc_date"),
         F.concat(

@@ -53,6 +53,11 @@ def test_hazards_present():
         assert any(all(x == 0.0 for x in v) for v in vecs)  # zero vector
         keyed = [tuple(v) for v in vecs]
         assert len(set(keyed)) < len(keyed)  # duplicate vectors (ties)
+        # the hub tie class must straddle every catalog top-k cut
+        # (k <= 10): one exact-score group larger than k
+        from collections import Counter
+
+        assert max(Counter(keyed).values()) > 10
         ts = ev.column("ts").to_pylist()
         assert any(t is None for t in ts)
         seen = [t for t in ts if t is not None]

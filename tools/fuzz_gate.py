@@ -6,14 +6,21 @@ synthesizes fresh `documents` / `embeddings` / `events` tables — the
 three tables every custom operator reads — mixing the hazards the
 curated corpora plant by hand (NULL/empty/whitespace/multi-byte/giant
 texts, exact+near duplicates, NULL lang/source, zero AND duplicate
-vectors — exact score ties through every top-k tie-break — NULL
-timestamps, timestamp ties, malformed JSON, negative values) in random
+vectors — exact score ties through every top-k tie-break, plus a HUB
+vector class bigger than any catalog k so the tie group straddles the
+top-k/shortlist/rerank cut itself — NULL timestamps, timestamp ties,
+malformed JSON, negative values) in random
 proportions and combinations, then runs the FULL 125-query cross-engine comparison
 (tools/check_oracle.py) over the result. Different seeds exercise
 different boundary combinations the hand-written corpora can't
 enumerate: duplicate classes of random size and shape, hash/band
 collisions under random shingle overlap, tie-break stacks, skewed
 user histories, rounding numerators landing near half-boundaries.
+(Equal-fetched_at duplicate-URL hazards ride along automatically: the
+curation queries synthesize their WARC shard from `documents`, and
+every 3rd page's two spellings fetch at the same second — see
+plans/curation_queries.py _synth_warc — so every fuzz corpus exercises
+the raw-url keep-rule tiebreak too.)
 
 Everything is deterministic per seed (pinned by
 tests/test_fuzz_gate.py), so a failing seed is a reproducible bug
@@ -118,6 +125,11 @@ def gen_documents(rng: random.Random, n: int = 300):
 
 
 def gen_embeddings(rng: random.Random, n: int = 300):
+    # hub vector: ONE class repeated often enough (~5% of rows) that its
+    # exact-score tie group straddles every top-k / shortlist / rerank
+    # cut in the catalog (k <= 10) — pairwise duplicate ties alone never
+    # land ON the cut boundary (VERDICT r8 #7, the rerank cut point)
+    hub = [rng.gauss(0.0, 0.15) for _ in range(64)]
     vecs, labels = [], []
     for _ in range(n):
         r = rng.random()
@@ -127,7 +139,9 @@ def gen_embeddings(rng: random.Random, n: int = 300):
             v = [rng.uniform(-1e5, 1e5) for _ in range(64)]
         elif r < 0.08:  # tiny magnitudes
             v = [rng.uniform(-1e-6, 1e-6) for _ in range(64)]
-        elif r < 0.14 and vecs:  # exact duplicate vector: score ties
+        elif r < 0.13:  # hub member: the cut-straddling tie class
+            v = list(hub)
+        elif r < 0.19 and vecs:  # exact duplicate vector: score ties
             v = list(rng.choice(vecs))  # (top-k/ANN id tie-breaks)
         else:
             v = [rng.gauss(0.0, 0.15) for _ in range(64)]
