@@ -201,6 +201,7 @@ HEADLINE = [
     "gopher_signals",
     "c4_line_clean",
     "url_normalize",
+    "registrable_domains",
     "curate_crawl",
     "sitemap_expand",
     "stream_curate",
