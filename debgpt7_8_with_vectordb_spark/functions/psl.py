@@ -365,6 +365,210 @@ org.ru
 pp.ru
 msk.ru
 spb.ru
+// ke / ng / tz / ug / gh / eg / sa / ae / ma
+ke
+ac.ke
+co.ke
+go.ke
+info.ke
+me.ke
+mobi.ke
+ne.ke
+or.ke
+sc.ke
+ng
+com.ng
+edu.ng
+gov.ng
+i.ng
+mil.ng
+mobi.ng
+name.ng
+net.ng
+org.ng
+sch.ng
+tz
+ac.tz
+co.tz
+go.tz
+hotel.tz
+info.tz
+me.tz
+mil.tz
+mobi.tz
+ne.tz
+or.tz
+sc.tz
+tv.tz
+ug
+ac.ug
+co.ug
+com.ug
+go.ug
+ne.ug
+or.ug
+org.ug
+sc.ug
+gh
+com.gh
+edu.gh
+gov.gh
+mil.gh
+org.gh
+eg
+com.eg
+edu.eg
+eun.eg
+gov.eg
+mil.eg
+name.eg
+net.eg
+org.eg
+sci.eg
+sa
+com.sa
+net.sa
+org.sa
+gov.sa
+med.sa
+pub.sa
+edu.sa
+sch.sa
+ae
+co.ae
+net.ae
+org.ae
+sch.ae
+ac.ae
+gov.ae
+mil.ae
+ma
+ac.ma
+co.ma
+gov.ma
+net.ma
+org.ma
+press.ma
+// pe / cl / ec / uy / ve / bo / py / co-latam misc
+pe
+com.pe
+edu.pe
+gob.pe
+mil.pe
+net.pe
+nom.pe
+org.pe
+cl
+co.cl
+gob.cl
+gov.cl
+mil.cl
+ec
+com.ec
+info.ec
+net.ec
+fin.ec
+k12.ec
+med.ec
+pro.ec
+org.ec
+edu.ec
+gov.ec
+gob.ec
+mil.ec
+uy
+com.uy
+edu.uy
+gub.uy
+mil.uy
+net.uy
+org.uy
+ve
+arts.ve
+bib.ve
+co.ve
+com.ve
+e12.ve
+edu.ve
+firm.ve
+gob.ve
+gov.ve
+info.ve
+int.ve
+mil.ve
+net.ve
+nom.ve
+org.ve
+rec.ve
+store.ve
+tec.ve
+web.ve
+bo
+com.bo
+edu.bo
+gob.bo
+int.bo
+org.bo
+net.bo
+mil.bo
+tv.bo
+web.bo
+py
+com.py
+coop.py
+edu.py
+gov.py
+mil.py
+net.py
+org.py
+// lk / np / pk / kh / la / mn
+lk
+gov.lk
+sch.lk
+net.lk
+int.lk
+com.lk
+org.lk
+edu.lk
+ngo.lk
+soc.lk
+web.lk
+ltd.lk
+assn.lk
+grp.lk
+hotel.lk
+ac.lk
+np
+*.np
+pk
+com.pk
+net.pk
+edu.pk
+org.pk
+fam.pk
+biz.pk
+web.pk
+gov.pk
+gob.pk
+gok.pk
+gon.pk
+gop.pk
+gos.pk
+kh
+*.kh
+la
+int.la
+net.la
+info.la
+edu.la
+gov.la
+per.la
+com.la
+org.la
+mn
+gov.mn
+edu.mn
+org.mn
 // the classic full-wildcard registry with exceptions
 ck
 *.ck
@@ -415,6 +619,25 @@ weebly.com
 tumblr.com
 fastly.net
 readthedocs.io
+glitch.me
+repl.co
+onrender.com
+fly.dev
+deno.dev
+surge.sh
+neocities.org
+keybase.pub
+r2.dev
+b-cdn.net
+blob.core.windows.net
+run.app
+a.run.app
+cloudfunctions.net
+ghost.io
+notion.site
+webflow.io
+framer.app
+bubbleapps.io
 """
 
 _RULES: frozenset[str] = frozenset()

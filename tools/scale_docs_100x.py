@@ -45,6 +45,10 @@ BATCH = [
     "gopher_signals",
     "c4_line_clean",
     "url_normalize",
+    # round-9 PSL-backed registrable domains (zero-shuffle Arrow pass;
+    # rule sets per executor + host LRU — the LRU is the scale lever on
+    # a real crawl where hosts repeat heavily)
+    "registrable_domains",
 ]
 
 
