@@ -205,3 +205,32 @@ def test_robots_filter_stage(spark):
     )
     assert kept == [2, 3, 4]
     assert robots_filter(pages, robots).columns == ["doc_id", "url"]
+
+
+def test_psl_snapshot_structure():
+    """Structural lint of the embedded snapshot: valid rule syntax, no
+    duplicates, and every exception is covered by a wildcard rule on
+    its parent (an uncovered exception is a transcription typo — the
+    canonical algorithm only reaches an exception through a wildcard)."""
+    import re
+
+    from debgpt7_8_with_vectordb_spark.functions import psl
+
+    label = r"[a-z0-9]([a-z0-9-]*[a-z0-9])?"
+    rule_re = re.compile(rf"^(!|\*\.)?{label}(\.{label})*$")
+    seen = set()
+    for raw in psl._SNAPSHOT.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        assert rule_re.fullmatch(line), f"malformed PSL rule: {line!r}"
+        assert line not in seen, f"duplicate PSL rule: {line!r}"
+        seen.add(line)
+    for exc in psl._EXCEPTIONS:
+        parent = exc.split(".", 1)[1]
+        assert parent in psl._WILDCARD_PARENTS, (
+            f"exception !{exc} has no covering wildcard *.{parent}"
+        )
+    # wildcard parents must also exist as plain rules (load_psl adds
+    # them implicitly) so the bare parent is itself a suffix
+    assert psl._WILDCARD_PARENTS <= psl._RULES
