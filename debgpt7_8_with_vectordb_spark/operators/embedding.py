@@ -105,6 +105,8 @@ def provider_embed(
     def call_with_retry(batch: list[str]) -> list[list[float]]:
         import time as _time
 
+        from .providers import retry_delay
+
         last: Exception | None = None
         for attempt in range(max_attempts):
             try:
@@ -112,7 +114,8 @@ def provider_embed(
             except Exception as exc:  # rate limit / transient transport
                 last = exc
                 if attempt < max_attempts - 1:
-                    _time.sleep(backoff_s * (2**attempt))
+                    # exponential, raised to a server Retry-After, capped
+                    _time.sleep(retry_delay(exc, attempt, backoff_s))
         raise last  # type: ignore[misc]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

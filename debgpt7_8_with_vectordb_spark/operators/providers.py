@@ -36,6 +36,27 @@ import os
 import urllib.request
 
 
+def retry_delay(
+    exc: Exception, attempt: int, backoff_s: float, cap_s: float = 60.0
+) -> float:
+    """Backoff for one retry attempt: exponential in ``attempt``, raised
+    to a server-provided ``Retry-After`` (seconds form) when the error
+    carries one (HTTP 429/503 via urllib's HTTPError exposes response
+    headers), and capped so a hostile/buggy header can never park an
+    executor slot for hours — the bounded-retry contract stays bounded
+    in TIME as well as attempts. HTTP-date Retry-After forms fall back
+    to the exponential delay."""
+    delay = backoff_s * (2**attempt)
+    headers = getattr(exc, "headers", None)
+    ra = headers.get("Retry-After") if hasattr(headers, "get") else None
+    if ra:
+        try:
+            delay = max(delay, float(ra))
+        except (TypeError, ValueError):
+            pass
+    return min(delay, cap_s)
+
+
 def _http_post_json(url: str, body: dict, headers: dict) -> dict:
     """Minimal JSON POST; raises on non-2xx (urllib raises HTTPError)."""
     req = urllib.request.Request(
@@ -329,7 +350,7 @@ def provider_generate_fn(
                 except Exception as exc:  # 429 / transport / bad shape
                     last = exc
                     if attempt < max_attempts - 1:
-                        _time.sleep(backoff_s * (2**attempt))
+                        _time.sleep(retry_delay(exc, attempt, backoff_s))
             else:
                 raise last  # type: ignore[misc]
         return out

@@ -232,3 +232,63 @@ def test_generation_exhaustion_raises_not_loops(spark, kit):
         df.select(backend(F.col("prompt")).alias("r")).collect()
     assert kit.calls() % 2 == 0 and 2 <= kit.calls() <= 8
     assert spark.range(10).count() == 10
+
+
+def test_retry_delay_honors_retry_after_capped():
+    """retry_delay: exponential by default, raised to a server
+    Retry-After (seconds form), capped at 60 s even against a hostile
+    header, HTTP-date forms fall back to exponential."""
+    import urllib.error
+
+    from debgpt7_8_with_vectordb_spark.operators.providers import retry_delay
+
+    def err(headers):
+        import email.message
+
+        msg = email.message.Message()
+        for k, v in headers.items():
+            msg[k] = v
+        return urllib.error.HTTPError("http://x", 429, "rl", msg, None)
+
+    # plain exponential when no header
+    assert retry_delay(OSError("boom"), 0, 1.0) == 1.0
+    assert retry_delay(OSError("boom"), 3, 1.0) == 8.0
+    # Retry-After raises the delay
+    assert retry_delay(err({"Retry-After": "5"}), 0, 1.0) == 5.0
+    # exponential wins when larger
+    assert retry_delay(err({"Retry-After": "2"}), 3, 1.0) == 8.0
+    # hostile header capped
+    assert retry_delay(err({"Retry-After": "86400"}), 0, 1.0) == 60.0
+    # HTTP-date form: keep exponential
+    assert retry_delay(
+        err({"Retry-After": "Fri, 31 Dec 1999 23:59:59 GMT"}), 1, 1.0
+    ) == 2.0
+    # cap also bounds the exponential itself
+    assert retry_delay(OSError("boom"), 10, 1.0) == 60.0
+
+
+def test_retry_after_header_parses_through_spark_path(spark, kit):
+    """End-to-end: a 429 carrying a real Retry-After header heals inside
+    the executor (the header parse path runs worker-side, where a typo'd
+    attribute access would otherwise only surface in production)."""
+
+    def bursty(url, body, headers):
+        import email.message
+        import urllib.error
+
+        n = kit.count_call()
+        if n % 2 == 1:
+            msg = email.message.Message()
+            msg["Retry-After"] = "0"
+            raise urllib.error.HTTPError(url, 429, "rl", msg, None)
+        return kit.ok_embeddings(body)
+
+    client = OpenAIEmbeddingClient("m", dim=2, api_key="k", transport=bursty)
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "bb")], "doc_id long, content string"
+    ).coalesce(1)
+    rows = provider_embed(
+        docs, client.batch_embed, dim=2, backoff_s=0.0
+    ).collect()
+    assert len(rows) == 2
+    assert kit.calls() == 2  # one 429 + one success (single batch)
