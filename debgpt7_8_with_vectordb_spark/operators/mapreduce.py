@@ -104,7 +104,13 @@ def _unpersist_rdds(spark, ids: set[int]) -> None:
     150 MB corpus, measured in tools/scale_mapreduce_100x.py) until JVM
     GC — at 100 TB that is pure memory-pressure. Safe because round r+1
     reads ONLY round r's checkpoint: blocks from r-1 can never be
-    recomputed (truncated lineage) but are never needed again either."""
+    recomputed (truncated lineage) but are never needed again either.
+
+    Caveat: the before/after id snapshots assume reduce loops are not
+    interleaved on ONE SparkSession from multiple driver threads (a
+    concurrent loop's new checkpoint could be misattributed and freed).
+    Each reduce is inherently a sequential driver loop; run concurrent
+    reduces on separate sessions."""
     if not ids:
         return
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
