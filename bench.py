@@ -73,7 +73,9 @@ def _bench_rounds() -> list[tuple[int, dict]]:
             continue
         if isinstance(q, dict):
             out.append((int(m.group(1)), q))
-    return sorted(out)
+    # key on the round number only: padded+unpadded names can both
+    # resolve to one round, and tuple sort would then compare the dicts
+    return sorted(out, key=lambda t: t[0])
 
 
 def resolve_anchors(names) -> dict[str, dict]:

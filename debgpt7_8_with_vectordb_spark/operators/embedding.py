@@ -100,6 +100,8 @@ def provider_embed(
     hands over to Spark's task-retry as the backstop, keeping batches
     idempotent (pure function of the input rows).
     """
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     cols = docs.columns
 
     def call_with_retry(batch: list[str]) -> list[list[float]]:

@@ -208,11 +208,9 @@ class OpenAIChatClient:
             {"Authorization": f"Bearer {self.api_key}"},
         )
         return resp["choices"][0]["message"]["content"]
-
-    def batch_generate(self, prompts: list[str]) -> list[str]:
-        # the public contract is one conversation per call; batch
-        # parallelism comes from Spark's row partitioning, not the API
-        return [self.generate(p) for p in prompts]
+    # NOTE: no batch method — the public contract is one conversation
+    # per call; batch parallelism comes from Spark's row partitioning,
+    # and the per-prompt retry loop lives in provider_generate_fn
 
 
 class OllamaGenerateClient:
@@ -249,9 +247,6 @@ class OllamaGenerateClient:
         )
         out = resp.get("response") or resp.get("output") or resp.get("result")
         return out if out is not None else json.dumps(resp)
-
-    def batch_generate(self, prompts: list[str]) -> list[str]:
-        return [self.generate(p) for p in prompts]
 
 
 _PROVIDERS = {
@@ -329,6 +324,8 @@ def provider_generate_fn(
             f"unknown generation provider {provider!r}; "
             f"known: {sorted(_GEN_PROVIDERS)}"
         )
+    if max_attempts < 1:
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     cfg = ("gen", provider, model, tuple(sorted(opts.items())))
 
     def generate(prompts: list[str]) -> list[str]:

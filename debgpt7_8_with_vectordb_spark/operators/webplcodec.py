@@ -803,17 +803,22 @@ def decode_vp8l(data: bytes) -> tuple[int, int, int, bytes] | None:
         pixels = _decode_argb_stream(br, w, h)
         # the header alpha bit is only a hint (spec §3): libwebp emits
         # whatever the literals carry, so keep the channel whenever any
-        # decoded pixel is non-opaque even with the hint unset
-        channels = 4 if has_alpha or any(
-            (p >> 24) & 0xFF != 0xFF for p in pixels
-        ) else 3
+        # decoded pixel is non-opaque even with the hint unset. ONE
+        # traversal: emit RGBA while tracking opacity, then strip the
+        # alpha bytes C-side (del-slice) if it turns out unused.
         out = bytearray()
+        opaque = True
         for p in pixels:
+            a = (p >> 24) & 0xFF
+            if a != 0xFF:
+                opaque = False
             out.append((p >> 16) & 0xFF)
             out.append((p >> 8) & 0xFF)
             out.append(p & 0xFF)
-            if channels == 4:
-                out.append((p >> 24) & 0xFF)
+            out.append(a)
+        channels = 4 if has_alpha or not opaque else 3
+        if channels == 3:
+            del out[3::4]
         return w, h, channels, bytes(out)
     except (ValueError, IndexError, struct.error):
         return None

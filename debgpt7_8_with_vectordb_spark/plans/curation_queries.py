@@ -525,11 +525,11 @@ def stream_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally-maintained URL-keyed table. Sharing the batch
     oracle proves ingest-time curation computes the relational funnel.
 
-    NOTE: the keep rule here orders on (fetched_at, html) rather than
-    the batch's (fetched_at, raw url) — the raw spelling isn't part of
-    the kept payload. Both rules agree whenever fetch times differ
-    (always true for real crawl records' distinct timestamps, and for
-    this fixture)."""
+    The keep rule orders on (fetched_at, RAW url) — byte-identical to
+    the batch operator since r9, with the raw spelling carried through
+    the state struct — and the fixture deliberately contains
+    same-timestamp fetches (every 3rd page) so the tiebreak is
+    exercised, not just declared."""
     from ..functions.web import robots_filter
     from ..operators.crawl import finalize_curated
 

@@ -101,14 +101,24 @@ def read_man(spark: SparkSession, page: str) -> DataFrame:
     ``man <page>`` and label the document with the page name — the
     reference's create_wrapper labeling reduces to the path column
     here. Dumb terminal (MANPAGER=cat equivalent via MAN_KEEP_FORMATTING
-    unset + col-safe plain capture)."""
-    out = subprocess.run(
-        ["man", page],
-        capture_output=True,
-        text=True,
-        timeout=60,
-        env={**os.environ, "MANPAGER": "cat", "PAGER": "cat"},
-    ).stdout
+    unset + col-safe plain capture). shlex-split argv, NO shell — the
+    reference routes these through shlex.split + shell-less subprocess
+    (reader.py:546,964), so section-qualified specs like ``man:2 printf``
+    work while a hostile spec never reaches a shell; a container without
+    the binary degrades to an empty document (the old rc-127 behavior),
+    not a crash."""
+    import shlex
+
+    try:
+        out = subprocess.run(
+            ["man", *shlex.split(page)],
+            capture_output=True,
+            text=True,
+            timeout=60,
+            env={**os.environ, "MANPAGER": "cat", "PAGER": "cat"},
+        ).stdout
+    except FileNotFoundError:
+        out = ""
     return spark.createDataFrame(
         [(f"man:{page}", out)], "path string, content string"
     )
@@ -116,14 +126,20 @@ def read_man(spark: SparkSession, page: str) -> DataFrame:
 
 @register_source("tldr")
 def read_tldr(spark: SparkSession, cmd_name: str) -> DataFrame:
-    """``tldr:<cmd>`` sugar (reference reader.py:1010-1016): shell out to
-    ``tldr <cmd>``; same cmd-source shape, page-name label."""
-    out = subprocess.run(
-        ["tldr", cmd_name],
-        capture_output=True,
-        text=True,
-        timeout=60,
-    ).stdout
+    """``tldr:<cmd>`` sugar (reference reader.py:1010-1016): run
+    ``tldr <cmd>``; same cmd-source shape, page-name label. Same
+    shlex-argv + missing-binary tolerance as ``man:``."""
+    import shlex
+
+    try:
+        out = subprocess.run(
+            ["tldr", *shlex.split(cmd_name)],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        ).stdout
+    except FileNotFoundError:
+        out = ""
     return spark.createDataFrame(
         [(f"tldr:{cmd_name}", out)], "path string, content string"
     )

@@ -85,6 +85,11 @@ def curate_upsert_batch(
     best = _reduce_best(batch_df)
     current = read_snapshot(spark, table_path)
     if current is not None:
+        if "url" not in current.columns:
+            # migration: snapshots published before r9 carried no raw
+            # url; backfill with the canonical form (the best available
+            # spelling) so the keep-rule struct stays total
+            current = current.withColumn("url", F.col("url_norm"))
         best = _reduce_best(current.unionByName(best))
     out = _snapshot_dir(table_path, batch_id)
     best.write.mode("overwrite").parquet(out)

@@ -28,7 +28,7 @@ def test_openai_chat_request_shape():
         "gpt-4o-mini", api_key="k", max_tokens=32, temperature=0.0,
         transport=fake_transport,
     )
-    assert c.batch_generate(["hi", "yo"]) == ["REPLY:hi", "REPLY:yo"]
+    assert [c.generate(p) for p in ("hi", "yo")] == ["REPLY:hi", "REPLY:yo"]
     url, body, headers = calls[0]
     assert url.endswith("/chat/completions")
     assert body == {

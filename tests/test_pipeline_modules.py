@@ -471,11 +471,11 @@ def test_source_man_tldr_prefixes(spark, monkeypatch):
     ``man:X`` / ``tldr:X`` are ``cmd`` specializations running
     ``man X`` / ``tldr X`` with the page name as the document label.
     The binaries aren't in this container, so the subprocess seam is
-    stubbed and the constructed argv is pinned instead — argv form
-    (no shell) because the spec is a PAGE NAME, not a command: the
-    reference routes these through shlex.split + no-shell subprocess
-    (reader.py:546,964,1012), so ``man:x; rm -rf ~`` must never reach
-    a shell."""
+    stubbed and the constructed argv is pinned instead — shlex-split
+    argv, NO shell (reference reader.py:546,964,1012): section-qualified
+    specs like ``man:2 printf`` become separate argv elements, and a
+    hostile spec like ``man:x; rm -rf ~`` reaches man as arguments,
+    never a shell."""
     from debgpt7_8_with_vectordb_spark.sources import readers
     from debgpt7_8_with_vectordb_spark.sources.registry import read
 
@@ -499,9 +499,13 @@ def test_source_man_tldr_prefixes(spark, monkeypatch):
     assert calls[-1] == (["tldr", "curl"], False)
     assert rows[0]["path"] == "tldr:curl" and rows[0]["content"] == "FAKE PAGE"
 
-    # a hostile page name stays a single argv element — never a shell line
+    # section-qualified spec: separate argv elements (reference shlex)
+    read(spark, "man:2 printf").collect()
+    assert calls[-1] == (["man", "2", "printf"], False)
+
+    # a hostile page name becomes plain arguments — never a shell line
     read(spark, "man:x; rm -rf ~").collect()
-    assert calls[-1] == (["man", "x; rm -rf ~"], False)
+    assert calls[-1] == (["man", "x;", "rm", "-rf", "~"], False)
 
 
 def test_generation_backend_registry_dispatch(spark):

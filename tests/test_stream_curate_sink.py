@@ -5,6 +5,8 @@ order invariance, and equality with the batch funnel."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -185,3 +187,53 @@ def test_same_timestamp_tiebreak_matches_batch(spark, tmp_path):
     )
     assert batch[0]["_k"]["url"] == snap[0]["url"]
     assert batch[0]["_k"]["html"] == snap[0]["html"]
+
+
+def test_upsert_migrates_pre_r9_snapshot_without_url_column(spark, tmp_path):
+    """A snapshot published before the r9 state-struct widening carries
+    (url_norm, fetched_at, html, domain) only; the first upsert against
+    it must backfill the raw url (from url_norm) rather than fail
+    resolution — restart durability over persisted state is the sink's
+    whole contract."""
+    from debgpt7_8_with_vectordb_spark.streaming.curate import (
+        _snapshot_dir,
+    )
+
+    table = str(tmp_path / "table")
+    os.makedirs(table, exist_ok=True)
+    old = spark.createDataFrame(
+        [("http://h.example.org/p", "2024-01-01T00:00:01Z",
+          "<p>old</p>", "example.org")],
+        "url_norm string, fetched_at string, html string, domain string",
+    )
+    old.coalesce(1).write.parquet(_snapshot_dir(table, 0))
+    with open(os.path.join(table, "_LATEST"), "w") as fh:
+        fh.write("0")
+
+    batch = spark.createDataFrame(
+        [("http://h.example.org/p", "HTTP://H.Example.ORG:80/p",
+          "2024-01-01T00:00:00Z", "<p>new earlier</p>", "example.org")],
+        PAGES_SCHEMA,
+    )
+    assert curate_upsert_batch(spark, batch, 1, table) is True
+    snap = read_snapshot(spark, table).collect()
+    assert len(snap) == 1
+    # the earlier fetch wins; migrated rows carry url_norm as their url
+    assert snap[0]["html"] == "<p>new earlier</p>"
+    assert snap[0]["url"] == "HTTP://H.Example.ORG:80/p"
+
+    # and the migrated OLD row can also win: replay with a later fetch
+    table2 = str(tmp_path / "table2")
+    os.makedirs(table2, exist_ok=True)
+    old.coalesce(1).write.parquet(_snapshot_dir(table2, 0))
+    with open(os.path.join(table2, "_LATEST"), "w") as fh:
+        fh.write("0")
+    later = spark.createDataFrame(
+        [("http://h.example.org/p", "zzz://spelling",
+          "2024-01-01T00:00:02Z", "<p>late</p>", "example.org")],
+        PAGES_SCHEMA,
+    )
+    assert curate_upsert_batch(spark, later, 1, table2) is True
+    snap2 = read_snapshot(spark, table2).collect()
+    assert snap2[0]["html"] == "<p>old</p>"
+    assert snap2[0]["url"] == "http://h.example.org/p"  # backfilled
