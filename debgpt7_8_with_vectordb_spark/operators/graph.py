@@ -42,6 +42,9 @@ def connected_components(
     ``src``/``dst`` (long), assumed SYMMETRIC (caller unions both
     directions). Returns (labels(doc_id, lab), rounds_run).
     """
+    from .mapreduce import _persistent_rdd_ids, _unpersist_rdds
+
+    spark = edges.sparkSession
     sym = edges.select("src", "dst").localCheckpoint(eager=True)
     labels = nodes.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -49,7 +52,9 @@ def connected_components(
     ).localCheckpoint(eager=True)
     prev_sum = None
     rounds = 0
+    prev_ids: set[int] = set()
     for _ in range(max_rounds):
+        before_ids = _persistent_rdd_ids(spark)
         # 1. neighbor-min: each node sees the labels across its edges
         nbr = sym.join(
             labels.withColumnRenamed("doc_id", "dst"), "dst"
@@ -79,6 +84,14 @@ def connected_components(
         # exact convergence: labels only decrease, so an unchanged
         # decimal (overflow-proof) sum means a fixpoint
         cur_sum = labels.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).head()[0]
+        # round r reads ONLY labels_{r-1}: once labels_r is materialized
+        # (the sum action above), the previous round's checkpoint blocks
+        # (old labels + its cand) are dead — free them deterministically
+        # instead of carrying up to 2 x max_rounds block sets to JVM GC
+        # (the mapreduce 100x-tile lesson; `sym` and the initial labels
+        # predate the loop and are never touched)
+        _unpersist_rdds(spark, prev_ids)
+        prev_ids = _persistent_rdd_ids(spark) - before_ids
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
