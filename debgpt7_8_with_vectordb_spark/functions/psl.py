@@ -22,8 +22,6 @@ crawl keep-rules and per-domain quota keys.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 # ---------------------------------------------------------------------------
 # Embedded snapshot of the Public Suffix List (publicsuffix.org, public
 # MPL-2.0 data). PARTIAL by necessity — the common multi-level ccTLD
@@ -587,7 +585,48 @@ mil.co
 net.co
 nom.co
 org.co
+// us (states + k12/cc/lib families appended programmatically below)
+us
+dni.us
+fed.us
+isa.us
+kids.us
+nsn.us
+// cn IDN registry second levels (unicode AND punycode forms — hosts
+// arrive in either; the list itself publishes U-labels)
+公司.cn
+网络.cn
+xn--55qx5d.cn
+xn--io0a7i.cn
+// IDN TLDs 中国/中國
+中国
+中國
+xn--fiqs8s
+xn--fiqz9s
 // ---- Private section (subset) ----
+// CentralNic pseudo-ccTLD second levels
+ar.com
+br.com
+cn.com
+de.com
+eu.com
+jpn.com
+kr.com
+mex.com
+no.com
+qc.com
+ru.com
+sa.com
+se.com
+uk.com
+us.com
+uy.com
+za.com
+gb.net
+se.net
+uk.net
+jp.net
+in.net
 github.io
 githubusercontent.com
 gitlab.io
@@ -600,7 +639,8 @@ blogspot.fr
 blogspot.in
 blogspot.jp
 s3.amazonaws.com
-compute.amazonaws.com
+*.compute.amazonaws.com
+*.compute-1.amazonaws.com
 elb.amazonaws.com
 cloudfront.net
 herokuapp.com
@@ -640,18 +680,114 @@ framer.app
 bubbleapps.io
 """
 
-_RULES: frozenset[str] = frozenset()
-_WILDCARD_PARENTS: frozenset[str] = frozenset()
-_EXCEPTIONS: frozenset[str] = frozenset()
+# Mechanically generated families (as in the published list, which
+# generates these blocks): the US state registries (RFC 1480 — every
+# state code is a suffix, with k12/cc/lib third levels) and the 47
+# Japanese prefecture second-levels. Appended to the literal snapshot
+# so load_psl parses one uniform text.
+_US_STATES = (
+    "al ak az ar ca co ct dc de fl ga hi id il in ia ks ky la me md ma "
+    "mi mn ms mo mt ne nv nh nj nm ny nc nd oh ok or pa ri sc sd tn tx "
+    "ut vt va wa wv wi wy gu pr vi as"
+).split()
+_JP_PREFECTURES = (
+    "aichi akita aomori chiba ehime fukui fukuoka fukushima gifu gunma "
+    "hiroshima hokkaido hyogo ibaraki ishikawa iwate kagawa kagoshima "
+    "kanagawa kochi kumamoto kyoto mie miyagi miyazaki nagano nagasaki "
+    "nara niigata oita okayama okinawa osaka saga saitama shiga shimane "
+    "shizuoka tochigi tokushima tokyo tottori toyama wakayama yamagata "
+    "yamaguchi yamanashi"
+).split()
+_SNAPSHOT += "// us states (generated)\n"
+_SNAPSHOT += "".join(
+    f"{s}.us\nk12.{s}.us\ncc.{s}.us\nlib.{s}.us\n" for s in _US_STATES
+)
+_SNAPSHOT += "// jp prefectures (generated)\n"
+_SNAPSHOT += "".join(f"{p}.jp\n" for p in _JP_PREFECTURES)
+# one town third-level kept explicit: the canonical publicsuffix.org
+# test vectors exercise ide.kyoto.jp (the full list has ~1700 of these)
+_SNAPSHOT += "ide.kyoto.jp\n"
 
 
-def load_psl(text: str) -> None:
-    """(Re)build the rule tables from PSL-format text — comments
-    (``//``), blanks, normal / ``*.`` wildcard / ``!`` exception rules.
-    Call once at startup with the full published list in production;
-    the embedded snapshot loads automatically otherwise. Resets the
-    lookup cache."""
-    global _RULES, _WILDCARD_PARENTS, _EXCEPTIONS
+class PSLRules:
+    """Immutable rule tables + per-instance bounded host cache.
+
+    PICKLABLE BY DESIGN (cache dropped on serialization): distributed
+    passes must capture the driver's rules in the closure handed to
+    mapInPandas — executor Python workers import this module fresh, so
+    a driver-side :func:`load_psl` would otherwise never reach them
+    and the Arrow pass would silently keep using the embedded snapshot
+    (ADVICE r9). The three frozensets for the full published list are
+    a few hundred KB — well inside task-broadcast comfort."""
+
+    __slots__ = ("rules", "wildcard_parents", "exceptions", "_cache")
+
+    _CACHE_CAP = 65536
+
+    def __init__(
+        self,
+        rules: frozenset,
+        wildcard_parents: frozenset,
+        exceptions: frozenset,
+    ) -> None:
+        self.rules = rules
+        self.wildcard_parents = wildcard_parents
+        self.exceptions = exceptions
+        self._cache: dict[str, int] = {}
+
+    def __reduce__(self):
+        return (PSLRules, (self.rules, self.wildcard_parents, self.exceptions))
+
+    def suffix_label_count(self, host: str) -> int:
+        """Number of labels in ``host``'s public suffix per the
+        canonical algorithm: exception rules win outright (suffix =
+        rule minus its leftmost label), else the longest matching rule,
+        else the default rule ``*`` (final label)."""
+        cached = self._cache.get(host)
+        if cached is not None:
+            return cached
+        labels = host.split(".")
+        n = len(labels)
+        best = 0
+        for i in range(n):
+            if ".".join(labels[i:]) in self.exceptions:
+                best = n - i - 1
+                break
+        else:
+            best = 1  # default rule "*"
+            for i in range(n):
+                if ".".join(labels[i:]) in self.rules:
+                    best = max(best, n - i)
+            for i in range(n - 1):
+                if ".".join(labels[i + 1:]) in self.wildcard_parents:
+                    best = max(best, n - i)
+        if len(self._cache) >= self._CACHE_CAP:
+            self._cache.clear()
+        self._cache[host] = best
+        return best
+
+    def public_suffix(self, host: str) -> str:
+        """The public suffix of a (lowercased, dot-stripped) host."""
+        labels = host.split(".")
+        return ".".join(labels[len(labels) - self.suffix_label_count(host):])
+
+    def registrable_domain_of_host(self, host: str) -> str:
+        """Public suffix plus one label. TOTAL function by design: a
+        host that IS a public suffix (or has no dots) returns itself
+        rather than None — curation keep-rules and quota keys must
+        never drop rows on a NULL grouping key (the canonical
+        algorithm's "no registrable domain" case)."""
+        labels = host.split(".")
+        n = len(labels)
+        ps_n = self.suffix_label_count(host)
+        if n > ps_n:
+            return ".".join(labels[n - ps_n - 1:])
+        return host
+
+
+def parse_psl(text: str) -> PSLRules:
+    """Parse PSL-format text — comments (``//``), blanks, normal /
+    ``*.`` wildcard / ``!`` exception rules — into immutable tables."""
     rules: set[str] = set()
     wild: set[str] = set()
     exc: set[str] = set()
@@ -667,51 +803,51 @@ def load_psl(text: str) -> None:
             rules.add(line[2:])  # implicit: the parent itself matches
         else:
             rules.add(line)
-    _RULES = frozenset(rules)
-    _WILDCARD_PARENTS = frozenset(wild)
-    _EXCEPTIONS = frozenset(exc)
-    _suffix_label_count.cache_clear()
+    return PSLRules(frozenset(rules), frozenset(wild), frozenset(exc))
 
 
-@lru_cache(maxsize=65536)
-def _suffix_label_count(host: str) -> int:
-    """Number of labels in ``host``'s public suffix per the canonical
-    algorithm: exception rules win outright (suffix = rule minus its
-    leftmost label), else the longest matching rule, else the default
-    rule ``*`` (final label)."""
-    labels = host.split(".")
-    n = len(labels)
-    for i in range(n):
-        if ".".join(labels[i:]) in _EXCEPTIONS:
-            return n - i - 1
-    best = 1  # default rule "*"
-    for i in range(n):
-        if ".".join(labels[i:]) in _RULES:
-            best = max(best, n - i)
-    for i in range(n - 1):
-        if ".".join(labels[i + 1:]) in _WILDCARD_PARENTS:
-            best = max(best, n - i)
-    return best
+# Module-level active tables: the embedded snapshot by default,
+# replaced wholesale by load_psl. The bare-name mirrors (_RULES etc.)
+# are kept for introspection/back-compat.
+_ACTIVE: PSLRules
+_RULES: frozenset[str] = frozenset()
+_WILDCARD_PARENTS: frozenset[str] = frozenset()
+_EXCEPTIONS: frozenset[str] = frozenset()
+
+
+def load_psl(text: str) -> PSLRules:
+    """(Re)build the DRIVER-side rule tables from PSL-format text and
+    return the parsed :class:`PSLRules`. Call once at startup with the
+    full published list in production; the embedded snapshot loads
+    automatically otherwise.
+
+    DISTRIBUTION CAVEAT (ADVICE r9): this swaps this process's module
+    globals only. Distributed Arrow passes (``normalize_url_column``
+    and everything built on it) capture :func:`current_rules` at plan-
+    build time and ship the tables inside the task closure, so queries
+    BUILT AFTER a driver-side load_psl use the loaded list on every
+    executor; module-level convenience functions called inside worker
+    processes without an explicit rules object still see the snapshot."""
+    global _ACTIVE, _RULES, _WILDCARD_PARENTS, _EXCEPTIONS
+    _ACTIVE = parse_psl(text)
+    _RULES = _ACTIVE.rules
+    _WILDCARD_PARENTS = _ACTIVE.wildcard_parents
+    _EXCEPTIONS = _ACTIVE.exceptions
+    return _ACTIVE
+
+
+def current_rules() -> PSLRules:
+    """The active rule tables — capture this in closures handed to
+    distributed passes so executors use the driver's list."""
+    return _ACTIVE
 
 
 def public_suffix(host: str) -> str:
-    """The public suffix of a (lowercased, dot-stripped) host."""
-    labels = host.split(".")
-    return ".".join(labels[len(labels) - _suffix_label_count(host):])
+    return _ACTIVE.public_suffix(host)
 
 
 def registrable_domain_of_host(host: str) -> str:
-    """Public suffix plus one label. TOTAL function by design: a host
-    that IS a public suffix (or has no dots) returns itself rather than
-    None — curation keep-rules and quota keys must never drop rows on a
-    NULL grouping key (the canonical algorithm's "no registrable
-    domain" case)."""
-    labels = host.split(".")
-    n = len(labels)
-    ps_n = _suffix_label_count(host)
-    if n > ps_n:
-        return ".".join(labels[n - ps_n - 1:])
-    return host
+    return _ACTIVE.registrable_domain_of_host(host)
 
 
 load_psl(_SNAPSHOT)

@@ -29,7 +29,7 @@ from __future__ import annotations
 import re
 from urllib.parse import urlsplit
 
-from .psl import registrable_domain_of_host
+from .psl import PSLRules, current_rules, registrable_domain_of_host
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 _PCT = re.compile(r"%([0-9A-Fa-f]{2})")
@@ -120,16 +120,22 @@ def url_host(url: str) -> str | None:
     return host.rstrip(".").lower() if host else None
 
 
-def registrable_domain(url: str) -> str | None:
+def registrable_domain(
+    url: str, rules: "PSLRules | None" = None
+) -> str | None:
     """Public-Suffix-List registrable domain (psl.py: the canonical
     publicsuffix.org algorithm over an embedded snapshot; swap in the
     full published list via ``psl.load_psl`` at deploy time). Unknown
     TLDs fall to the PSL default rule ``*`` — last-two-labels, the old
     heuristic — so the upgrade only refines multi-level suffixes
-    (``co.uk``, ``github.io``, ``*.ck`` …)."""
+    (``co.uk``, ``github.io``, ``*.ck`` …). Distributed callers pass
+    ``rules`` explicitly (captured driver-side via ``current_rules``)
+    so a loaded full list reaches executor workers (ADVICE r9)."""
     host = url_host(url)
     if not host or "." not in host:
         return host
+    if rules is not None:
+        return rules.registrable_domain_of_host(host)
     return registrable_domain_of_host(host)
 
 
@@ -224,10 +230,15 @@ class RobotsMatcher:
 def normalize_url_column(df, url_col: str = "url"):
     """Arrow-batched stage: adds ``url_norm`` (canonical form or NULL)
     and ``domain`` (registrable-domain heuristic) columns — the keys a
-    crawl dedup / domain-quota pass groups on."""
+    crawl dedup / domain-quota pass groups on. The DRIVER's active PSL
+    tables are captured here at plan-build time and ride the task
+    closure, so a deploy-time ``psl.load_psl`` reaches every executor
+    worker (which would otherwise rebuild from the embedded snapshot —
+    ADVICE r9)."""
     import pandas as pd
 
     cols = df.columns
+    psl_rules = current_rules()  # driver-side snapshot, picklable
 
     def run(batches):
         for pdf in batches:
@@ -237,7 +248,9 @@ def normalize_url_column(df, url_col: str = "url"):
                 normalize_url(u) if isinstance(u, str) else None for u in urls
             ]
             pdf["domain"] = [
-                registrable_domain(u) if isinstance(u, str) else None
+                registrable_domain(u, psl_rules)
+                if isinstance(u, str)
+                else None
                 for u in urls
             ]
             yield pdf

@@ -308,10 +308,12 @@ def url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # hosts synthesized per doc_id class covering every PSL rule kind:
 # multi-level ICANN (co.uk), private-section (github.io, s3.amazonaws),
-# wildcard (*.ck), exceptions (!www.ck, !city.kawasaki.jp), and the
-# default '*' rule for an unknown TLD
+# wildcard (*.ck), exceptions (!www.ck, !city.kawasaki.jp), the default
+# '*' rule for an unknown TLD, and — since the r10 snapshot extension —
+# US k12 third levels, IDN punycode registries, the *.compute.amazonaws
+# wildcard (each EC2 hostname its own domain), and CentralNic uk.com
 _PSL_HOST_SPARK = (
-    "CASE CAST(doc_id % 8 AS INT) "
+    "CASE CAST(doc_id % 12 AS INT) "
     "WHEN 0 THEN concat('deep.www.example', CAST(doc_id % 20 AS STRING), "
     "  '.co.uk') "
     "WHEN 1 THEN concat('user', CAST(doc_id % 20 AS STRING), '.github.io') "
@@ -320,6 +322,13 @@ _PSL_HOST_SPARK = (
     "WHEN 4 THEN 'sub.www.ck' "
     "WHEN 5 THEN 'x.city.kawasaki.jp' "
     "WHEN 6 THEN concat('a.host', CAST(doc_id % 20 AS STRING), '.zzunk') "
+    "WHEN 7 THEN concat('www.school', CAST(doc_id % 20 AS STRING), "
+    "  '.k12.ak.us') "
+    "WHEN 8 THEN concat('www.shi', CAST(doc_id % 20 AS STRING), "
+    "  '.xn--55qx5d.cn') "
+    "WHEN 9 THEN concat('ec2-10-0-0-', CAST(doc_id % 20 AS STRING), "
+    "  '.us-east-1.compute.amazonaws.com') "
+    "WHEN 10 THEN concat('b.corp', CAST(doc_id % 20 AS STRING), '.uk.com') "
     "ELSE concat('bucket', CAST(doc_id % 20 AS STRING), "
     "  '.s3.amazonaws.com') END"
 )
@@ -329,7 +338,7 @@ _PSL_HOST_SPARK = (
     "registrable_domains",
     oracle="""
 SELECT doc_id,
-  CASE (doc_id % 8)
+  CASE (doc_id % 12)
     WHEN 0 THEN 'example' || (doc_id % 20) || '.co.uk'
     WHEN 1 THEN 'user' || (doc_id % 20) || '.github.io'
     WHEN 2 THEN 'site' || (doc_id % 20) || '.com'
@@ -337,6 +346,11 @@ SELECT doc_id,
     WHEN 4 THEN 'www.ck'
     WHEN 5 THEN 'city.kawasaki.jp'
     WHEN 6 THEN 'host' || (doc_id % 20) || '.zzunk'
+    WHEN 7 THEN 'school' || (doc_id % 20) || '.k12.ak.us'
+    WHEN 8 THEN 'shi' || (doc_id % 20) || '.xn--55qx5d.cn'
+    WHEN 9 THEN 'ec2-10-0-0-' || (doc_id % 20)
+      || '.us-east-1.compute.amazonaws.com'
+    WHEN 10 THEN 'corp' || (doc_id % 20) || '.uk.com'
     ELSE 'bucket' || (doc_id % 20) || '.s3.amazonaws.com'
   END AS domain
 FROM documents

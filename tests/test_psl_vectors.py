@@ -1,0 +1,133 @@
+"""Canonical publicsuffix.org test vectors (VERDICT r9 #3) + the
+executor-propagation fix for a deploy-time full-list load (ADVICE r9).
+
+The vector file is the public-domain checkPublicSuffix data published
+with the list; expected ``null`` means "no registrable domain" — the
+engine's registrable_domain_of_host is a TOTAL function by design
+(quota keys must never be NULL), so null vectors assert the
+host-is-its-own-suffix identity instead.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+
+from debgpt7_8_with_vectordb_spark.functions import psl
+
+VECTORS = Path(__file__).parent / "data" / "psl_test_vectors.txt"
+
+_LINE = re.compile(
+    r"checkPublicSuffix\((null|'(?P<host>[^']*)'),\s*"
+    r"(null|'(?P<want>[^']*)')\);"
+)
+
+
+def _load_vectors():
+    cases = []
+    for raw in VECTORS.read_text(encoding="utf-8").splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        m = _LINE.fullmatch(line)
+        assert m, f"unparseable vector line: {line!r}"
+        cases.append((m.group("host"), m.group("want")))
+    return cases
+
+
+def _norm(host: str) -> str:
+    # the engine's contract: hosts arrive lowercased and dot-stripped
+    # (url_host does this); the canonical file feeds raw spellings
+    return host.strip(".").lower()
+
+
+def test_canonical_psl_vectors():
+    cases = _load_vectors()
+    assert len(cases) >= 75  # the full published set (minus the commented-out 'local' block)
+    ran = 0
+    for host, want in cases:
+        if host is None:  # the null-input line: nothing to normalize
+            continue
+        h = _norm(host)
+        if not h:
+            continue  # '.com'-style inputs normalize to a bare suffix
+        got = psl.registrable_domain_of_host(h)
+        if want is None:
+            # canonical "no registrable domain": host IS a public
+            # suffix (or unlisted single label) — total-function
+            # semantics return the host itself
+            assert got == h, f"{host}: want self (null), got {got}"
+        else:
+            assert got == want, f"{host}: want {want}, got {got}"
+        ran += 1
+    assert ran >= 70
+
+
+def test_canonical_public_suffix_identity():
+    # every expected-null listed host must literally be a public suffix
+    # (leading-dot vectors are null for INVALIDITY, not suffix-ness —
+    # the engine's url_host normalization strips them upstream)
+    for host, want in _load_vectors():
+        if host is None or want is not None or host.startswith("."):
+            continue
+        h = _norm(host)
+        if h:
+            assert psl.public_suffix(h) == h
+
+
+def test_psl_rules_pickle_roundtrip():
+    import pickle
+
+    rules = psl.current_rules()
+    clone = pickle.loads(pickle.dumps(rules))
+    assert clone.rules == rules.rules
+    assert clone.wildcard_parents == rules.wildcard_parents
+    assert clone.exceptions == rules.exceptions
+    assert clone.registrable_domain_of_host("a.b.example.co.uk") == (
+        "example.co.uk"
+    )
+    # the per-instance cache is dropped on pickle, rebuilt on use
+    assert clone.suffix_label_count("x.ide.kyoto.jp") == 3
+
+
+def test_loaded_rules_reach_executors(spark):
+    """ADVICE r9 (medium): a driver-side load_psl must govern the
+    distributed Arrow pass — normalize_url_column captures the driver's
+    tables at plan-build time, so executor workers (which import psl
+    fresh and would otherwise fall back to the embedded snapshot) apply
+    the loaded list."""
+    from debgpt7_8_with_vectordb_spark.functions.web import (
+        normalize_url_column,
+    )
+
+    df = spark.createDataFrame(
+        [("https://a.b.custom-registry.zz/x",)], ["url"]
+    )
+    try:
+        # a private suffix that exists ONLY in the loaded list
+        psl.load_psl(psl._SNAPSHOT + "\ncustom-registry.zz\n")
+        got = normalize_url_column(df, "url").select("domain").collect()
+        assert got[0][0] == "b.custom-registry.zz"
+    finally:
+        psl.load_psl(psl._SNAPSHOT)
+    # and after restoring, a fresh plan uses the snapshot again
+    got = normalize_url_column(df, "url").select("domain").collect()
+    assert got[0][0] == "custom-registry.zz"
+
+
+def test_aws_compute_wildcard():
+    # the ADVICE example: EC2 public hostnames carry a REGION label
+    # under the wildcard — each instance hostname is its own
+    # registrable domain, region buckets are not merged
+    assert (
+        psl.registrable_domain_of_host(
+            "ec2-1-2-3-4.us-east-1.compute.amazonaws.com"
+        )
+        == "ec2-1-2-3-4.us-east-1.compute.amazonaws.com"
+    )
+    assert (
+        psl.public_suffix("ec2-1-2-3-4.us-east-1.compute.amazonaws.com")
+        == "us-east-1.compute.amazonaws.com"
+    )

@@ -216,7 +216,10 @@ def test_psl_snapshot_structure():
 
     from debgpt7_8_with_vectordb_spark.functions import psl
 
-    label = r"[a-z0-9]([a-z0-9-]*[a-z0-9])?"
+    # U-labels allowed: the published list carries IDN rules in
+    # unicode form (公司.cn, 中国) alongside their punycode twins
+    ch = "[a-z0-9\u00a1-\uffff]"
+    label = rf"{ch}((?:{ch}|-)*{ch})?"
     rule_re = re.compile(rf"^(!|\*\.)?{label}(\.{label})*$")
     seen = set()
     for raw in psl._SNAPSHOT.splitlines():
