@@ -42,7 +42,7 @@ def connected_components(
     ``src``/``dst`` (long), assumed SYMMETRIC (caller unions both
     directions). Returns (labels(doc_id, lab), rounds_run).
     """
-    from .mapreduce import _persistent_rdd_ids, _unpersist_rdds
+    from .mapreduce import _checkpoint_rdd_id, _unpersist_rdds
 
     spark = edges.sparkSession
     sym = edges.select("src", "dst").localCheckpoint(eager=True)
@@ -54,7 +54,6 @@ def connected_components(
     rounds = 0
     prev_ids: set[int] = set()
     for _ in range(max_rounds):
-        before_ids = _persistent_rdd_ids(spark)
         # 1. neighbor-min: each node sees the labels across its edges
         nbr = sym.join(
             labels.withColumnRenamed("doc_id", "dst"), "dst"
@@ -89,9 +88,12 @@ def connected_components(
         # (old labels + its cand) are dead — free them deterministically
         # instead of carrying up to 2 x max_rounds block sets to JVM GC
         # (the mapreduce 100x-tile lesson; `sym` and the initial labels
-        # predate the loop and are never touched)
+        # predate the loop and are never touched). Ids are extracted
+        # from the round's own DataFrames — exact, never a session diff
         _unpersist_rdds(spark, prev_ids)
-        prev_ids = _persistent_rdd_ids(spark) - before_ids
+        prev_ids = {
+            _checkpoint_rdd_id(cand), _checkpoint_rdd_id(labels)
+        } - {None}
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

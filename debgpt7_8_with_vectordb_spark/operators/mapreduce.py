@@ -92,9 +92,17 @@ def _with_global_rn(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
     )
 
 
-def _persistent_rdd_ids(spark) -> set[int]:
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    return {int(k) for k in jmap.keySet().toArray()}
+def _checkpoint_rdd_id(df: DataFrame) -> "int | None":
+    """The JVM RDD id that ``localCheckpoint(eager=True)`` persisted:
+    a checkpointed DataFrame's analyzed plan is a LogicalRDD wrapping
+    exactly that RDD. Extracting it from the DataFrame object makes
+    superseded-checkpoint freeing EXACT — no session-global
+    before/after id diffs that could misattribute (and free mid-use) a
+    concurrent job's blocks on a shared SparkSession (ADVICE r9)."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:  # not a LogicalRDD plan: nothing was persisted
+        return None
 
 
 def _unpersist_rdds(spark, ids: set[int]) -> None:
@@ -105,12 +113,9 @@ def _unpersist_rdds(spark, ids: set[int]) -> None:
     GC — at 100 TB that is pure memory-pressure. Safe because round r+1
     reads ONLY round r's checkpoint: blocks from r-1 can never be
     recomputed (truncated lineage) but are never needed again either.
-
-    Caveat: the before/after id snapshots assume reduce loops are not
-    interleaved on ONE SparkSession from multiple driver threads (a
-    concurrent loop's new checkpoint could be misattributed and freed).
-    Each reduce is inherently a sequential driver loop; run concurrent
-    reduces on separate sessions."""
+    ``ids`` are exact per-DataFrame checkpoint ids from
+    :func:`_checkpoint_rdd_id` — concurrent jobs on the same session
+    can never be misattributed."""
     if not ids:
         return
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -184,7 +189,6 @@ def tree_reduce(
     prev_ids: set[int] = set()
     while n > 1 and rounds < limit:
         cap = min(limit - rounds, block_levels)
-        before_ids = _persistent_rdd_ids(spark)
 
         def reduce_block(pdf: pd.DataFrame) -> pd.DataFrame:
             # (doc_id, start) order == rn order within a block
@@ -229,7 +233,7 @@ def tree_reduce(
         df = done.select("doc_id", "start", "val")
         n = df.count()
         _unpersist_rdds(spark, prev_ids)
-        prev_ids = _persistent_rdd_ids(spark) - before_ids
+        prev_ids = {_checkpoint_rdd_id(done)} - {None}
     return df, rounds
 
 
@@ -264,7 +268,6 @@ def compact_reduce(
     spark = mapped.sparkSession
     prev_ids: set[int] = set()
     while n > 1 and rounds < limit:
-        before_ids = _persistent_rdd_ids(spark)
         if n <= _PACK_BLOCK_ROWS:
             # END-GAME: the tail is a single packing block anyway, so
             # run ALL remaining pack→combine rounds in one task (see
@@ -312,7 +315,7 @@ def compact_reduce(
             df = done.select("doc_id", "start", "val")
             n = df.count()
             _unpersist_rdds(spark, prev_ids)
-            prev_ids = _persistent_rdd_ids(spark) - before_ids
+            prev_ids = {_checkpoint_rdd_id(done)} - {None}
             continue
         keyed = _with_global_rn(df, ["doc_id", "start"], n).withColumn(
             "block", (F.col("rn") / _PACK_BLOCK_ROWS).cast("long")
@@ -344,7 +347,7 @@ def compact_reduce(
         n = df.count()
         rounds += 1
         _unpersist_rdds(spark, prev_ids)
-        prev_ids = _persistent_rdd_ids(spark) - before_ids
+        prev_ids = {_checkpoint_rdd_id(df)} - {None}
     return df, rounds
 
 

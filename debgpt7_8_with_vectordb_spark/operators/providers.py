@@ -37,15 +37,18 @@ import urllib.request
 
 
 def retry_delay(
-    exc: Exception, attempt: int, backoff_s: float, cap_s: float = 60.0
+    exc: Exception, attempt: int, backoff_s: float, cap_s: float = 60.0,
+    _now=None,
 ) -> float:
     """Backoff for one retry attempt: exponential in ``attempt``, raised
-    to a server-provided ``Retry-After`` (seconds form) when the error
-    carries one (HTTP 429/503 via urllib's HTTPError exposes response
-    headers), and capped so a hostile/buggy header can never park an
-    executor slot for hours — the bounded-retry contract stays bounded
-    in TIME as well as attempts. HTTP-date Retry-After forms fall back
-    to the exponential delay."""
+    to a server-provided ``Retry-After`` when the error carries one
+    (HTTP 429/503 via urllib's HTTPError exposes response headers) in
+    EITHER RFC 7231 form — delay-seconds or HTTP-date (IMF-fixdate,
+    converted to a non-negative delta from now) — and capped so a
+    hostile/buggy header can never park an executor slot for hours: the
+    bounded-retry contract stays bounded in TIME as well as attempts.
+    A malformed header falls back to the exponential delay. ``_now`` is
+    the clock seam for tests (a tz-aware datetime)."""
     delay = backoff_s * (2**attempt)
     headers = getattr(exc, "headers", None)
     ra = headers.get("Retry-After") if hasattr(headers, "get") else None
@@ -53,8 +56,18 @@ def retry_delay(
         try:
             delay = max(delay, float(ra))
         except (TypeError, ValueError):
-            pass
-    return min(delay, cap_s)
+            from datetime import datetime, timezone
+            from email.utils import parsedate_to_datetime
+
+            try:
+                when = parsedate_to_datetime(ra)
+                if when.tzinfo is None:
+                    when = when.replace(tzinfo=timezone.utc)
+                now = _now or datetime.now(timezone.utc)
+                delay = max(delay, (when - now).total_seconds())
+            except (TypeError, ValueError):
+                pass
+    return min(max(delay, 0.0), cap_s)
 
 
 def _http_post_json(url: str, body: dict, headers: dict) -> dict:

@@ -117,7 +117,7 @@ def read_man(spark: SparkSession, page: str) -> DataFrame:
             timeout=60,
             env={**os.environ, "MANPAGER": "cat", "PAGER": "cat"},
         ).stdout
-    except FileNotFoundError:
+    except (FileNotFoundError, ValueError):
         out = ""
     return spark.createDataFrame(
         [(f"man:{page}", out)], "path string, content string"
@@ -128,7 +128,8 @@ def read_man(spark: SparkSession, page: str) -> DataFrame:
 def read_tldr(spark: SparkSession, cmd_name: str) -> DataFrame:
     """``tldr:<cmd>`` sugar (reference reader.py:1010-1016): run
     ``tldr <cmd>``; same cmd-source shape, page-name label. Same
-    shlex-argv + missing-binary tolerance as ``man:``."""
+    shlex-argv + missing-binary + unbalanced-quote tolerance as
+    ``man:``."""
     import shlex
 
     try:
@@ -138,7 +139,7 @@ def read_tldr(spark: SparkSession, cmd_name: str) -> DataFrame:
             text=True,
             timeout=60,
         ).stdout
-    except FileNotFoundError:
+    except (FileNotFoundError, ValueError):
         out = ""
     return spark.createDataFrame(
         [(f"tldr:{cmd_name}", out)], "path string, content string"

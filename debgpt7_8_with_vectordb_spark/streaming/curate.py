@@ -29,16 +29,24 @@ _POINTER = "_LATEST"
 
 
 def _order_key():
-    # (fetched_at, RAW url) — byte-identical to the batch keep-rule
-    # (operators/crawl.py), so same-timestamp fetches of one canonical
-    # URL pick the same spelling whether curated in batch or streamed
+    # (fetched_at, migrated-flag, RAW url) — byte-identical to the batch
+    # keep-rule (operators/crawl.py) for real rows: the flag is a
+    # constant False on every non-migrated row, so it never reorders
+    # them. Rows whose url was BACKFILLED by the pre-r9 snapshot
+    # migration carry True and therefore lose every exact fetched_at
+    # tie to a genuine raw spelling (ADVICE r9: the synthetic lowercase
+    # canonical form must never beat a real spelling batch curation
+    # would have kept).
     return F.struct(
         F.coalesce(F.col("fetched_at"), F.lit("￿")).alias("_o1"),
+        F.coalesce(F.col("_mig"), F.lit(False)).alias("_om"),
         F.col("url").alias("_o2"),
     )
 
 
 def _reduce_best(pages: DataFrame) -> DataFrame:
+    if "_mig" not in pages.columns:
+        pages = pages.withColumn("_mig", F.lit(False))
     keep = F.struct("url", "fetched_at", "html", "domain")
     return (
         pages.groupBy("url_norm")
@@ -88,9 +96,15 @@ def curate_upsert_batch(
         if "url" not in current.columns:
             # migration: snapshots published before r9 carried no raw
             # url; backfill with the canonical form (the best available
-            # spelling) so the keep-rule struct stays total
-            current = current.withColumn("url", F.col("url_norm"))
-        best = _reduce_best(current.unionByName(best))
+            # spelling) so the keep-rule struct stays total, and flag
+            # the rows so a backfilled spelling loses fetched_at ties
+            # to any genuine raw spelling (ADVICE r9)
+            current = current.withColumn(
+                "url", F.col("url_norm")
+            ).withColumn("_mig", F.lit(True))
+        best = _reduce_best(
+            current.unionByName(best, allowMissingColumns=True)
+        )
     out = _snapshot_dir(table_path, batch_id)
     best.write.mode("overwrite").parquet(out)
     tmp = os.path.join(table_path, f".{_POINTER}.tmp")

@@ -507,6 +507,13 @@ def test_source_man_tldr_prefixes(spark, monkeypatch):
     read(spark, "man:x; rm -rf ~").collect()
     assert calls[-1] == (["man", "x;", "rm", "-rf", "~"], False)
 
+    # unbalanced quotes (shlex ValueError) degrade to an empty document
+    # like a missing binary — graceful, never a crash (ADVICE r9)
+    rows = read(spark, "man:don't").collect()
+    assert rows[0]["path"] == "man:don't" and rows[0]["content"] == ""
+    rows = read(spark, "tldr:it's").collect()
+    assert rows[0]["path"] == "tldr:it's" and rows[0]["content"] == ""
+
 
 def test_generation_backend_registry_dispatch(spark):
     """Reference backends.py:121-139: dispatch by (case-insensitive)

@@ -259,10 +259,25 @@ def test_retry_delay_honors_retry_after_capped():
     assert retry_delay(err({"Retry-After": "2"}), 3, 1.0) == 8.0
     # hostile header capped
     assert retry_delay(err({"Retry-After": "86400"}), 0, 1.0) == 60.0
-    # HTTP-date form: keep exponential
+    # HTTP-date form in the PAST: non-negative delta loses to exponential
     assert retry_delay(
         err({"Retry-After": "Fri, 31 Dec 1999 23:59:59 GMT"}), 1, 1.0
     ) == 2.0
+    # HTTP-date form in the FUTURE: honored as a delta from now
+    from datetime import datetime, timezone
+
+    now = datetime(2026, 8, 15, 12, 0, 0, tzinfo=timezone.utc)
+    assert retry_delay(
+        err({"Retry-After": "Sat, 15 Aug 2026 12:00:10 GMT"}), 0, 1.0,
+        _now=now,
+    ) == 10.0
+    # ... but still capped against a far-future hostile date
+    assert retry_delay(
+        err({"Retry-After": "Sun, 15 Aug 2027 12:00:00 GMT"}), 0, 1.0,
+        _now=now,
+    ) == 60.0
+    # malformed date: exponential fallback
+    assert retry_delay(err({"Retry-After": "not-a-date"}), 2, 1.0) == 4.0
     # cap also bounds the exponential itself
     assert retry_delay(OSError("boom"), 10, 1.0) == 60.0
 
@@ -279,7 +294,9 @@ def test_retry_after_header_parses_through_spark_path(spark, kit):
         n = kit.count_call()
         if n % 2 == 1:
             msg = email.message.Message()
-            msg["Retry-After"] = "0"
+            # HTTP-date form (RFC 7231's second shape): a past date
+            # parses worker-side to a non-negative bounded wait of 0
+            msg["Retry-After"] = "Mon, 01 Jan 2024 00:00:00 GMT"
             raise urllib.error.HTTPError(url, 429, "rl", msg, None)
         return kit.ok_embeddings(body)
 

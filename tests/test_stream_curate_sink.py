@@ -237,3 +237,22 @@ def test_upsert_migrates_pre_r9_snapshot_without_url_column(spark, tmp_path):
     snap2 = read_snapshot(spark, table2).collect()
     assert snap2[0]["html"] == "<p>old</p>"
     assert snap2[0]["url"] == "http://h.example.org/p"  # backfilled
+
+    # EXACT fetched_at tie between a migrated (backfilled) row and a
+    # genuine raw spelling: the genuine spelling must win even when the
+    # synthetic lowercase form sorts lexicographically first — batch
+    # parity on tie rows (ADVICE r9)
+    table3 = str(tmp_path / "table3")
+    os.makedirs(table3, exist_ok=True)
+    old.coalesce(1).write.parquet(_snapshot_dir(table3, 0))
+    with open(os.path.join(table3, "_LATEST"), "w") as fh:
+        fh.write("0")
+    tied = spark.createDataFrame(
+        [("http://h.example.org/p", "HTTP://H.Example.ORG/p",
+          "2024-01-01T00:00:01Z", "<p>tied real</p>", "example.org")],
+        PAGES_SCHEMA,
+    )
+    assert curate_upsert_batch(spark, tied, 1, table3) is True
+    snap3 = read_snapshot(spark, table3).collect()
+    assert snap3[0]["url"] == "HTTP://H.Example.ORG/p"
+    assert snap3[0]["html"] == "<p>tied real</p>"
