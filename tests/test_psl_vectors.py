@@ -13,8 +13,6 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-import pytest
-
 from debgpt7_8_with_vectordb_spark.functions import psl
 
 VECTORS = Path(__file__).parent / "data" / "psl_test_vectors.txt"

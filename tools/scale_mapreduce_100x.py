@@ -126,8 +126,22 @@ def run(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     one_x = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_mr100"
-    spark = get_spark(app_name="scale_mapreduce_100x")
+    # event log on: the blocked tree_reduce packs 4096-row blocks per
+    # task, so ONE slow block would serialize a whole pass — audit
+    # max/median task time per stage like the other tiles (VERDICT r9 #5)
+    from tools.scale_events_100x import EVENT_DIR, task_skew
+
+    os.makedirs(EVENT_DIR, exist_ok=True)
+    spark = get_spark(
+        app_name="scale_mapreduce_100x",
+        extra_confs={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": EVENT_DIR,
+            "spark.eventLog.compress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
     build(spark, one_x, out_dir)
     # warm the python worker pool + codegen
     spark.read.parquet(f"{one_x}/region.parquet").groupBy(
@@ -135,12 +149,21 @@ def main() -> None:
     ).count().count()
     r1 = run(spark, one_x)
     print("1x  ", r1, flush=True)
+    t_from = time.time()
     r100 = run(spark, out_dir)
+    t_to = time.time()
     print("100x", r100, flush=True)
     for k in ("tree_reduce_sec", "compact_reduce_sec", "chunk_and_pack_sec"):
         if r1.get(k):
             print(f"growth {k}: {round(r100[k] / r1[k], 1)}x wall for 100x rows")
     spark.stop()
+    print("\nstage skew (100x run; straggler = max > 4x median):", flush=True)
+    skew = task_skew(app_id, t_from, t_to)
+    worst = max((mx / med for _, med, mx, _ in skew), default=0.0)
+    print(f"worst max/median {worst:.1f}x over {len(skew)} audited stages")
+    for n, med, mx, sname in skew:
+        flag = "  <-- STRAGGLER" if mx > 4 * med else ""
+        print(f"  tasks={n:>3} median={med:.0f}ms max={mx:.0f}ms{flag}  {sname[:70]}")
 
 
 if __name__ == "__main__":
