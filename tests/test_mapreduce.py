@@ -187,3 +187,29 @@ def test_tree_reduce_endgame_matches_distributed(spark):
         finally:
             mr._PACK_BLOCK_ROWS = old
     assert finals["mixed"] == finals["endgame"]
+
+
+def test_checkpoint_freeing_is_exact_not_session_global(spark):
+    """ADVICE r9: superseded-round checkpoint freeing must attribute
+    blocks by the exact RDD id of the round's own DataFrame — a
+    concurrent job's persisted/checkpointed blocks on the SAME session
+    must survive the reduce loop untouched."""
+    from debgpt7_8_with_vectordb_spark.operators.mapreduce import (
+        _checkpoint_rdd_id,
+    )
+
+    bystander = spark.range(100).localCheckpoint(eager=True)
+    by_id = _checkpoint_rdd_id(bystander)
+    assert by_id is not None
+
+    mapped = chunks_df(spark, [f"t{i}" for i in range(9)]).select(
+        "doc_id", "start", F.col("content").alias("val")
+    )
+    out, rounds = tree_reduce(mapped)
+    assert out.count() == 1 and rounds >= 1
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    live = {int(k) for k in jmap.keySet().toArray()}
+    assert by_id in live, "reduce loop freed a concurrent job's blocks"
+    assert bystander.count() == 100
+    bystander.unpersist()

@@ -40,6 +40,7 @@ FULL_SCAN_OK = {
     "gopher_signals",
     "c4_line_clean",
     "url_normalize",
+    "registrable_domains",  # synthesizes + PSL-keys EVERY row by design
     "curate_crawl",
     "sitemap_expand",
     "text_stats",
