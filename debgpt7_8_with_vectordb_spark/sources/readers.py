@@ -591,17 +591,60 @@ _PDF_OBJ = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _PDF_HEXSTR = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
 
-def _pdf_object_index(payload: bytes) -> dict[int, bytes]:
-    """obj number → object bytes (between `N G obj` and `endobj`), by
-    scan — the same linearization-tolerant approach as the stream walk
-    (no xref table needed)."""
+def _pdf_object_index(payload: bytes) -> tuple[dict[int, bytes], list[bytes]]:
+    """(obj number → object bytes, decoded ObjStm bodies), by scan —
+    the same linearization-tolerant approach as the stream walk (no
+    xref table needed).
+
+    PDF 1.5+ files with cross-reference streams pack most NON-stream
+    objects (font dicts, page dicts with /Font resources) into
+    compressed /Type /ObjStm streams (§7.5.7): the decoded stream
+    opens with N whitespace-separated (objnum, offset) integer pairs,
+    then the object bodies start at /First + offset, unwrapped (no
+    `N G obj`/`endobj`). Expanding them here is what makes font/CMap
+    resolution work on born-digital modern PDFs — the reference's
+    pypdf path walks these natively. Bomb-fenced: the object COUNT is
+    capped (a hostile /N can't allocate unbounded slices; the filter
+    chain itself is already size-fenced). The decoded bodies are also
+    returned so callers can pattern-scan them like the raw payload."""
     objs: dict[int, bytes] = {}
+    slices: list[tuple[int, bytes]] = []
     for m in _PDF_OBJ.finditer(payload):
         end = payload.find(b"endobj", m.end())
         if end < 0:
             continue
-        objs.setdefault(int(m.group(1)), payload[m.end() : end])
-    return objs
+        body = payload[m.end() : end]
+        objs.setdefault(int(m.group(1)), body)
+        if b"/ObjStm" in body:
+            slices.append((int(m.group(1)), body))
+    spaces: list[bytes] = []
+    for _num, body in slices:
+        nm = re.search(rb"/N\s+(\d+)", body)
+        fm = re.search(rb"/First\s+(\d+)", body)
+        if not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        if not (0 < n <= 65536) or first > (1 << 31):
+            continue
+        data = _decode_object_stream(body)
+        if data is None or first > len(data):
+            continue
+        nums = re.findall(rb"\d+", data[:first])
+        pairs = [
+            (int(nums[i]), int(nums[i + 1]))
+            for i in range(0, min(len(nums) - 1, 2 * n - 1), 2)
+        ]
+        for idx, (objnum, off) in enumerate(pairs):
+            start = first + off
+            stop = (
+                first + pairs[idx + 1][1]
+                if idx + 1 < len(pairs)
+                else len(data)
+            )
+            if 0 <= start <= stop <= len(data):
+                objs.setdefault(objnum, data[start:stop])
+        spaces.append(data)
+    return objs, spaces
 
 
 def _decode_object_stream(obj: bytes) -> bytes | None:
@@ -683,30 +726,43 @@ def _pdf_font_cmaps(
 ) -> dict[bytes, tuple[int, dict[int, str]]]:
     """Resource name (b"F1") → ToUnicode CMap, resolved through the
     scanned object index: /Font <</F1 5 0 R>> → object 5's /ToUnicode
-    N 0 R → object N's decoded stream → parsed CMap."""
-    if b"/ToUnicode" not in payload:
+    N 0 R → object N's decoded stream → parsed CMap. Both the /Font
+    resource dicts and the font dicts themselves may live inside
+    /ObjStm object streams in modern xref-stream PDFs — the index
+    expands those, and the decoded ObjStm bodies are scanned for
+    /Font dicts alongside the raw payload (the /ToUnicode early-out
+    must also consider them: in an ObjStm file the marker only exists
+    compressed). The CMap stream itself is always a top-level stream
+    object (streams cannot nest in an ObjStm, §7.5.7)."""
+    if b"/ToUnicode" not in payload and b"/ObjStm" not in payload:
         return {}
-    objs = _pdf_object_index(payload)
+    objs, objstm_bodies = _pdf_object_index(payload)
+    spaces = [payload, *objstm_bodies]
+    if not any(b"/ToUnicode" in s for s in spaces):
+        return {}
     fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
-    for fm in re.finditer(rb"/Font\s*<<(.*?)>>", payload, re.DOTALL):
-        for rm in re.finditer(rb"/([^\s<>\[\]()/%]+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
-            name, objnum = rm.group(1), int(rm.group(2))
-            font_obj = objs.get(objnum)
-            if font_obj is None or name in fonts:
-                continue
-            tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_obj)
-            if not tm:
-                continue
-            cm_obj = objs.get(int(tm.group(1)))
-            if cm_obj is None:
-                continue
-            cmap_data = _decode_object_stream(cm_obj)
-            if cmap_data is None:
-                continue
-            try:
-                fonts[name] = _parse_tounicode_cmap(cmap_data)
-            except Exception:
-                continue
+    for space in spaces:
+        for fm in re.finditer(rb"/Font\s*<<(.*?)>>", space, re.DOTALL):
+            for rm in re.finditer(
+                rb"/([^\s<>\[\]()/%]+)\s+(\d+)\s+\d+\s+R", fm.group(1)
+            ):
+                name, objnum = rm.group(1), int(rm.group(2))
+                font_obj = objs.get(objnum)
+                if font_obj is None or name in fonts:
+                    continue
+                tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_obj)
+                if not tm:
+                    continue
+                cm_obj = objs.get(int(tm.group(1)))
+                if cm_obj is None:
+                    continue
+                cmap_data = _decode_object_stream(cm_obj)
+                if cmap_data is None:
+                    continue
+                try:
+                    fonts[name] = _parse_tounicode_cmap(cmap_data)
+                except Exception:
+                    continue
     return fonts
 
 
@@ -733,13 +789,15 @@ def pdf_extract_text(payload: bytes) -> str:
 
     Honest limits vs pypdf (the reference's decoder, reader.py:310-333):
     fonts with a custom /Encoding//Differences but NO /ToUnicode still
-    decode as raw bytes, no sub-byte predictor components,
-    no cross-reference-
-    stream object walking (streams are found by scan, which also finds
-    them in linearized files; bodies are delimited by the dict's direct
-    /Length when present, so compressed bytes that happen to contain
-    the 'endstream' token no longer truncate — the token scan remains
-    only the indirect-/Length fallback). For born-digital PDFs with
+    decode as raw bytes, and no sub-byte predictor components. Objects
+    are found by scan, not by xref walking — which also finds them in
+    linearized files, and since r10 the scan EXPANDS /Type /ObjStm
+    object streams (§7.5.7), so font/page dicts packed compressed in
+    modern xref-stream PDFs resolve to their CMaps too; stream bodies
+    are delimited by the dict's direct /Length when present, so
+    compressed bytes that happen to contain the 'endstream' token no
+    longer truncate (the token scan remains only the indirect-/Length
+    fallback). For born-digital PDFs with
     standard encodings — the common curation case — output matches
     pypdf's. Golden-byte tests pin uncompressed, Flate, LZW, A85, hex,
     RunLength, chained-filter, TJ-kerned, escaped and hex-string
