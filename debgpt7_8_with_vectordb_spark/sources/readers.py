@@ -669,6 +669,106 @@ def _hexbytes(tok: bytes) -> bytes:
     return bytes.fromhex(h.decode("ascii"))
 
 
+# Adobe Glyph List subset: the multi-char names real /Differences
+# arrays use (ASCII punctuation by name, Latin-1 accents arrive as
+# single-char or uniXXXX names far more often and are handled
+# algorithmically in _glyph_to_char). Public AGL data (Adobe, BSD).
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "fi": "ﬁ", "fl": "ﬂ", "florin": "ƒ",
+    "copyright": "©", "registered": "®",
+    "trademark": "™", "degree": "°", "plusminus": "±",
+    "multiply": "×", "divide": "÷", "Euro": "€",
+    "sterling": "£", "yen": "¥", "cent": "¢",
+    "section": "§", "paragraph": "¶", "middot": "·",
+    "periodcentered": "·", "guillemotleft": "«",
+    "guillemotright": "»", "exclamdown": "¡",
+    "questiondown": "¿", "germandbls": "ß",
+    "dotlessi": "ı", "OE": "Œ", "oe": "œ",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "Ydieresis": "Ÿ", "minus": "−",
+    "fraction": "⁄", "perthousand": "‰",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "circumflex": "ˆ", "tilde": "˜", "nbspace": " ",
+}
+
+
+def _glyph_to_char(name: bytes) -> "str | None":
+    """Glyph name → character per the AGL conventions: single-char
+    names are themselves, uniXXXX / uXXXX(XX) parse as code points,
+    the rest come from the table; unknown (subset gNN) names map to
+    None and keep the latin-1 fallback."""
+    try:
+        n = name.decode("ascii")
+    except UnicodeDecodeError:
+        return None
+    if len(n) == 1:
+        return n
+    if n.startswith("uni") and len(n) >= 7:
+        try:
+            return chr(int(n[3:7], 16))
+        except ValueError:
+            return None
+    if n.startswith("u") and 5 <= len(n) <= 7:
+        try:
+            return chr(int(n[1:], 16))
+        except ValueError:
+            return None
+    return _GLYPH_NAMES.get(n)
+
+
+def _parse_differences(arr: bytes) -> dict[int, str]:
+    """/Differences array → {code: char}: an integer sets the next
+    code, each glyph name consumes one code (PDF 1.7 §9.6.6.3)."""
+    table: dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s<>\[\]()/%]+)", arr):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            ch = _glyph_to_char(tok.group(2))
+            if ch is not None:
+                table[code] = ch
+            code += 1
+    return table
+
+
+def _font_differences(
+    font_obj: bytes, objs: dict[int, bytes]
+) -> "tuple[int, dict[int, str]] | None":
+    """Simple-font /Encoding <</Differences [...]>> (inline or via an
+    indirect encoding object, possibly ObjStm-packed) → a 1-byte-wide
+    decode table — the parity path for fonts that carry a custom
+    encoding but NO /ToUnicode (the reference's pypdf decodes these;
+    unmapped codes keep the latin-1 fallback in _map_codes)."""
+    em = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", font_obj)
+    enc = objs.get(int(em.group(1))) if em else None
+    if enc is None:
+        im = re.search(rb"/Encoding\s*<<(.*?)>>", font_obj, re.DOTALL)
+        enc = im.group(1) if im else None
+    if enc is None:
+        return None
+    dm = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.DOTALL)
+    if not dm:
+        return None
+    table = _parse_differences(dm.group(1))
+    return (1, table) if table else None
+
+
 def _parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
     """ToUnicode CMap → (code byte-width, {code: unicode string}).
     Handles begincodespacerange (code width), beginbfchar pairs and
@@ -734,11 +834,15 @@ def _pdf_font_cmaps(
     must also consider them: in an ObjStm file the marker only exists
     compressed). The CMap stream itself is always a top-level stream
     object (streams cannot nest in an ObjStm, §7.5.7)."""
-    if b"/ToUnicode" not in payload and b"/ObjStm" not in payload:
+    markers = (b"/ToUnicode", b"/Differences")
+    if (
+        not any(mk in payload for mk in markers)
+        and b"/ObjStm" not in payload
+    ):
         return {}
     objs, objstm_bodies = _pdf_object_index(payload)
     spaces = [payload, *objstm_bodies]
-    if not any(b"/ToUnicode" in s for s in spaces):
+    if not any(mk in s for mk in markers for s in spaces):
         return {}
     fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
     for space in spaces:
@@ -752,6 +856,11 @@ def _pdf_font_cmaps(
                     continue
                 tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_obj)
                 if not tm:
+                    # no ToUnicode: a custom /Encoding /Differences
+                    # still yields a 1-byte decode table
+                    diff = _font_differences(font_obj, objs)
+                    if diff is not None:
+                        fonts[name] = diff
                     continue
                 cm_obj = objs.get(int(tm.group(1)))
                 if cm_obj is None:

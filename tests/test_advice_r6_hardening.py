@@ -523,3 +523,68 @@ def test_pdf_objstm_corrupt_stream_degrades():
     good = _objstm_pdf(CMAP_2BYTE, b"BT (ok) Tj ET")
     corrupt = good.replace(b"stream\n\x78", b"stream\n\x00", 1)
     assert pdf_extract_text(corrupt) == "ok"
+
+
+def _diff_font_pdf(encoding: bytes, content: bytes, indirect: bool = False) -> bytes:
+    """Simple font with a custom /Encoding /Differences and NO
+    /ToUnicode — the scanned-object shape pypdf decodes via the Adobe
+    Glyph List."""
+    if indirect:
+        font = b"<</Type /Font /Subtype /Type1 /Encoding 8 0 R>>"
+        enc_obj = b"8 0 obj\n<</Type /Encoding /Differences " + encoding + b">>\nendobj\n"
+    else:
+        font = (
+            b"<</Type /Font /Subtype /Type1 /Encoding "
+            b"<</Type /Encoding /Differences " + encoding + b">>>>"
+        )
+        enc_obj = b""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Page /Resources <</Font <</F1 5 0 R>>>>>>\nendobj\n"
+        b"5 0 obj\n" + font + b"\nendobj\n" + enc_obj +
+        b"2 0 obj\n<</Length " + str(len(content)).encode() + b">>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"trailer\n<<>>\n%%EOF"
+    )
+
+
+def test_pdf_differences_encoding_inline():
+    """Codes 1..3 remapped via glyph names: table name (ampersand),
+    single-char name (Z), uniXXXX form; unmapped bytes keep latin-1."""
+    enc = b"[1 /ampersand /Z /uni20AC]"
+    p = _diff_font_pdf(enc, b"BT /F1 9 Tf (\x01\x02\x03 ok) Tj ET")
+    assert pdf_extract_text(p) == "&Z€ ok"
+
+
+def test_pdf_differences_encoding_indirect_and_repositioning():
+    """Indirect /Encoding object; integers reposition the code counter
+    mid-array (PDF 1.7 §9.6.6.3); unknown subset names (g12) are
+    skipped and keep the latin-1 fallback."""
+    enc = b"[65 /bullet /g12 128 /emdash /quotedblleft]"
+    # A(65)->bullet, B(66)->unknown g12 stays 'B', 0x80->emdash, 0x81->ldquo
+    p = _diff_font_pdf(
+        enc, b"BT /F1 9 Tf (AB\x80\x81) Tj ET", indirect=True
+    )
+    assert pdf_extract_text(p) == "•B—“"
+
+
+def test_pdf_tounicode_wins_over_differences():
+    """When a font has BOTH, ToUnicode takes precedence (it is the
+    authoritative extraction table per the spec)."""
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <0051>\nendbfchar\n"
+        b"endcmap\n"
+    )
+    p = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Page /Resources <</Font <</F1 5 0 R>>>>>>\nendobj\n"
+        b"5 0 obj\n<</Type /Font /ToUnicode 7 0 R /Encoding "
+        b"<</Differences [65 /bullet]>>>>\nendobj\n"
+        b"7 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<</Length 24>>\nstream\nBT /F1 9 Tf (A) Tj ET\nendstream\nendobj\n"
+        b"trailer\n<<>>\n%%EOF"
+    )
+    assert pdf_extract_text(p) == "Q"
