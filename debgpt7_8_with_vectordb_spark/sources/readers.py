@@ -310,6 +310,12 @@ def _map_codes(raw: bytes, cmap: "tuple[int, dict[int, str]]") -> str:
 
 
 _PDF_IMG_WS = frozenset(b"\x00\t\n\x0c\r ")
+# compiled once and matched AT POSITION (pattern.match(data, i)) — a
+# `re.match(pat, data[i:])` per token would copy the remaining buffer
+# each time, turning graphics-heavy streams (hundreds of thousands of
+# path operators) quadratic
+_PDF_NAME_RE = re.compile(rb"/([^\s<>\[\]()/%]*)")
+_PDF_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
 def _pdf_skip_inline_image(data: bytes, i: int) -> int:
@@ -388,14 +394,14 @@ def _content_stream_text(
             j = data.find(b"\n", i)
             i = n if j < 0 else j + 1
         elif c == 0x2F:  # /Name token (font resource selectors)
-            nm = re.match(rb"/([^\s<>\[\]()/%]*)", data[i:])
+            nm = _PDF_NAME_RE.match(data, i)
             last_name = nm.group(1)
-            i += nm.end()
+            i = nm.end()
         else:
-            om = re.match(rb"[A-Za-z'\"*]+", data[i:])
+            om = _PDF_OP_RE.match(data, i)
             if om:
                 op = om.group(0)
-                i += len(op)
+                i = om.end()
                 if in_image:
                     if op == b"ID":
                         i = _pdf_skip_inline_image(data, i)
@@ -634,7 +640,16 @@ def _pdf_object_index(payload: bytes) -> tuple[dict[int, bytes], list[bytes]]:
             (int(nums[i]), int(nums[i + 1]))
             for i in range(0, min(len(nums) - 1, 2 * n - 1), 2)
         ]
+        # the spec requires offsets in increasing order (§7.5.7) —
+        # ENFORCING it is also the byte bound: ascending offsets make
+        # the slices disjoint, so total expansion <= len(data); a
+        # hostile pair table that rewinds offsets (each slice nearly
+        # the whole stream) is cut off at the first violation
+        prev_off = -1
         for idx, (objnum, off) in enumerate(pairs):
+            if off <= prev_off:
+                break
+            prev_off = off
             start = first + off
             stop = (
                 first + pairs[idx + 1][1]
@@ -854,24 +869,27 @@ def _pdf_font_cmaps(
                 font_obj = objs.get(objnum)
                 if font_obj is None or name in fonts:
                     continue
+                cmap = None
                 tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_obj)
-                if not tm:
-                    # no ToUnicode: a custom /Encoding /Differences
-                    # still yields a 1-byte decode table
-                    diff = _font_differences(font_obj, objs)
-                    if diff is not None:
-                        fonts[name] = diff
-                    continue
-                cm_obj = objs.get(int(tm.group(1)))
-                if cm_obj is None:
-                    continue
-                cmap_data = _decode_object_stream(cm_obj)
-                if cmap_data is None:
-                    continue
-                try:
-                    fonts[name] = _parse_tounicode_cmap(cmap_data)
-                except Exception:
-                    continue
+                if tm:
+                    cm_obj = objs.get(int(tm.group(1)))
+                    cmap_data = (
+                        _decode_object_stream(cm_obj)
+                        if cm_obj is not None
+                        else None
+                    )
+                    if cmap_data is not None:
+                        try:
+                            cmap = _parse_tounicode_cmap(cmap_data)
+                        except Exception:
+                            cmap = None
+                if cmap is None:
+                    # no ToUnicode — or a dangling/undecodable one: a
+                    # custom /Encoding /Differences still yields a
+                    # 1-byte decode table
+                    cmap = _font_differences(font_obj, objs)
+                if cmap is not None:
+                    fonts[name] = cmap
     return fonts
 
 

@@ -45,9 +45,18 @@ def _order_key():
 
 
 def _reduce_best(pages: DataFrame) -> DataFrame:
-    if "_mig" not in pages.columns:
-        pages = pages.withColumn("_mig", F.lit(False))
-    keep = F.struct("url", "fetched_at", "html", "domain")
+    # _mig RIDES THE SNAPSHOT (selected into the keep struct and back
+    # out): a backfilled synthetic spelling must keep losing exact
+    # fetched_at ties to genuine raw spellings in EVERY later merge,
+    # not just the first post-migration one — dropping the flag at
+    # write time would launder the backfill into a "real" url
+    pages = pages.withColumn(
+        "_mig",
+        F.coalesce(F.col("_mig"), F.lit(False))
+        if "_mig" in pages.columns
+        else F.lit(False),
+    )
+    keep = F.struct("url", "fetched_at", "html", "domain", "_mig")
     return (
         pages.groupBy("url_norm")
         .agg(F.min_by(keep, _order_key()).alias("_k"))
@@ -57,6 +66,7 @@ def _reduce_best(pages: DataFrame) -> DataFrame:
             F.col("_k.fetched_at").alias("fetched_at"),
             F.col("_k.html").alias("html"),
             F.col("_k.domain").alias("domain"),
+            F.col("_k._mig").alias("_mig"),
         )
     )
 

@@ -588,3 +588,32 @@ def test_pdf_tounicode_wins_over_differences():
         b"trailer\n<<>>\n%%EOF"
     )
     assert pdf_extract_text(p) == "Q"
+
+
+def test_pdf_objstm_rewinding_offsets_cut_off():
+    """Code-review r10 finding: ascending offsets are the byte bound —
+    a hostile pair table that rewinds offsets (each slice ~ the whole
+    decoded stream) is cut off at the first violation instead of
+    multiplying allocations; extraction degrades gracefully."""
+    import zlib as _z
+
+    from debgpt7_8_with_vectordb_spark.sources.readers import (
+        _pdf_object_index,
+    )
+
+    inner = b"<</Type /Page>>"
+    # offsets: 0, big, 0, big, ... (rewinds after the second pair)
+    header = b"10 0 11 16 12 0 13 16"
+    first = len(header) + 1
+    body = _z.compress(header + b"\n" + inner + b"\n" + inner)
+    payload = (
+        b"%PDF-1.5\n3 0 obj\n<</Type /ObjStm /N 4 /First "
+        + str(first).encode() + b" /Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode>>\nstream\n" + body
+        + b"\nendstream\nendobj\ntrailer\n<<>>\n%%EOF"
+    )
+    objs, spaces = _pdf_object_index(payload)
+    # pairs 1 and 2 accepted (0 -> 16), pair 3 rewinds to 0: cut off
+    assert 10 in objs and 11 in objs
+    assert 12 not in objs and 13 not in objs
+    assert len(spaces) == 1

@@ -256,3 +256,46 @@ def test_upsert_migrates_pre_r9_snapshot_without_url_column(spark, tmp_path):
     snap3 = read_snapshot(spark, table3).collect()
     assert snap3[0]["url"] == "HTTP://H.Example.ORG/p"
     assert snap3[0]["html"] == "<p>tied real</p>"
+
+
+def test_migration_flag_persists_across_batches(spark, tmp_path):
+    """Code-review r10 finding: _mig must RIDE THE SNAPSHOT — a
+    backfilled spelling that won batch 1 unopposed must STILL lose an
+    exact fetched_at tie to a genuine raw spelling arriving batches
+    later (dropping the flag at write time would let the synthetic
+    lowercase form beat 'HTTP://...' on the raw-url tiebreak)."""
+    from debgpt7_8_with_vectordb_spark.streaming.curate import (
+        _snapshot_dir,
+    )
+
+    table = str(tmp_path / "table")
+    os.makedirs(table, exist_ok=True)
+    old = spark.createDataFrame(
+        [("http://h.example.org/p", "2024-01-01T00:00:01Z",
+          "<p>old</p>", "example.org")],
+        "url_norm string, fetched_at string, html string, domain string",
+    )
+    old.coalesce(1).write.parquet(_snapshot_dir(table, 0))
+    with open(os.path.join(table, "_LATEST"), "w") as fh:
+        fh.write("0")
+
+    # batch 1: unrelated URL — the migrated row wins its group unopposed
+    other = spark.createDataFrame(
+        [("http://other.example.org/x", "http://other.example.org/x",
+          "2024-01-01T00:00:01Z", "<p>other</p>", "example.org")],
+        PAGES_SCHEMA,
+    )
+    assert curate_upsert_batch(spark, other, 1, table) is True
+
+    # batch 2: genuine raw spelling at the EXACT same fetched_at as the
+    # (now snapshot-persisted) backfill — the genuine spelling must win
+    tied = spark.createDataFrame(
+        [("http://h.example.org/p", "HTTP://H.Example.ORG/p",
+          "2024-01-01T00:00:01Z", "<p>tied real</p>", "example.org")],
+        PAGES_SCHEMA,
+    )
+    assert curate_upsert_batch(spark, tied, 2, table) is True
+    rows = {r["url_norm"]: r for r in read_snapshot(spark, table).collect()}
+    assert rows["http://h.example.org/p"]["url"] == "HTTP://H.Example.ORG/p"
+    assert rows["http://h.example.org/p"]["html"] == "<p>tied real</p>"
+    assert rows["http://other.example.org/x"]["html"] == "<p>other</p>"
