@@ -613,7 +613,8 @@ def test_pdf_objstm_rewinding_offsets_cut_off():
         + b"\nendstream\nendobj\ntrailer\n<<>>\n%%EOF"
     )
     objs, spaces = _pdf_object_index(payload)
-    # pairs 1 and 2 accepted (0 -> 16), pair 3 rewinds to 0: cut off
-    assert 10 in objs and 11 in objs
+    # pair 1 registers; pair 2's slice is invalidated by the rewinding
+    # NEXT offset (start > stop); pair 3 rewinds -> expansion cut off
+    assert 10 in objs
     assert 12 not in objs and 13 not in objs
     assert len(spaces) == 1
