@@ -511,3 +511,21 @@ def test_pdf_source_end_to_end_default_decoder(spark, tmp_path):
         for r in read_pdf(spark, str(tmp_path / "*.pdf")).collect()
     }
     assert got == {"a.pdf": "alpha doc", "b.pdf": "beta\ncompressed"}
+
+
+def test_graphics_heavy_stream_linear_scan():
+    """Perf canary (code-review r10): the token scanner must match at
+    position, not slice data[i:] per token — 100k path operators around
+    one text block finish in seconds, not hours (the quadratic regime
+    was ~terabytes of memcpy on real vector-graphics pages)."""
+    import time
+
+    from debgpt7_8_with_vectordb_spark.sources.readers import (
+        _content_stream_text,
+    )
+
+    ops = b"0 0 m 10 10 l S\n" * 50_000
+    data = ops + b"BT (hello) Tj ET\n" + ops
+    t0 = time.time()
+    assert _content_stream_text(data) == ["hello"]
+    assert time.time() - t0 < 30  # generous; quadratic would be hours
