@@ -321,6 +321,22 @@ def main() -> None:
     )
     KMeans(k=2, seed=1, maxIter=1, initMode="random").fit(tiny)
 
+    # Machine-speed calibration: a FIXED pure-JVM workload (codegen'd
+    # range sum + a small fixed shuffle), min-of-3, stamped on the
+    # bench line as calib_sec. Makes lines comparable ACROSS sessions:
+    # r10's quiet wall ran ~1.24x r9's uniformly — including untouched
+    # pure-JVM TPC-H queries — which only a box-speed reference can
+    # distinguish from a code regression at a glance.
+    def _calib_once() -> float:
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        spark.range(4_000_000).selectExpr("id % 1000 AS k").groupBy(
+            "k"
+        ).count().count()
+        return time.time() - t0
+
+    calib_sec = round(min(_calib_once() for _ in range(3)), 3)
+
     # min-of-N per query (default 3 since round 7 — VERDICT r6 #3: two
     # queries drifted two rounds running under min-of-2; N=3 plus the
     # per-run spread recorded in BENCH_DETAIL.json separates timing
@@ -399,6 +415,9 @@ def main() -> None:
         # 1.3-1.7x; the runner now waits for machine-quiet (see
         # wait_for_quiet) and flags runs that never got it
         "quiet": quiet,
+        # fixed pure-JVM reference workload (see _calib_once): divide
+        # walls by this before comparing across sessions/boxes
+        "calib_sec": calib_sec,
         # per-run samples land only in BENCH_DETAIL.json (stdout line is
         # byte-budgeted); the judge reads the spread to separate noise
         # from drift

@@ -26,6 +26,7 @@ def _payload(times):
         "rebased": dict(bench._REBASE_FALLBACK),
         "vs_anchor_median": 0.574,
         "quiet": True,
+        "calib_sec": 12.345,
     }
 
 
