@@ -329,7 +329,7 @@ def main() -> None:
     # distinguish from a code regression at a glance.
     def _calib_once() -> float:
         t0 = time.time()
-        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        spark.range(2_000_000_000).selectExpr("sum(id * 2 + 1)").collect()
         spark.range(4_000_000).selectExpr("id % 1000 AS k").groupBy(
             "k"
         ).count().count()
