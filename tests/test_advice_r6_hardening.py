@@ -618,3 +618,57 @@ def test_pdf_objstm_rewinding_offsets_cut_off():
     assert 10 in objs
     assert 12 not in objs and 13 not in objs
     assert len(spaces) == 1
+
+
+def test_differences_parser_properties():
+    """Property: for ANY interleaving of code-setters and glyph names,
+    the table equals the straightforward reference walk — integers set
+    the counter, every name consumes one code, unknown names leave
+    gaps (PDF 1.7 §9.6.6.3)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from debgpt7_8_with_vectordb_spark.sources.readers import (
+        _glyph_to_char,
+        _parse_differences,
+    )
+
+    tokens = st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=255),
+            st.sampled_from(
+                ["A", "z", "ampersand", "bullet", "uni20AC", "g7",
+                 "emdash", "nosuchglyph", "u1F600", "space"]
+            ),
+        ),
+        max_size=24,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(tokens)
+    def check(toks):
+        arr = b" ".join(
+            str(t).encode() if isinstance(t, int) else b"/" + t.encode()
+            for t in toks
+        )
+        got = _parse_differences(arr)
+        want = {}
+        code = 0
+        for t in toks:
+            if isinstance(t, int):
+                code = t
+            else:
+                ch = _glyph_to_char(t.encode())
+                if ch is not None:
+                    want[code] = ch
+                code += 1
+        assert got == want
+
+    check()
+    # the algorithmic name forms
+    assert _glyph_to_char(b"uni0041") == "A"
+    assert _glyph_to_char(b"u1F600") == "😀"
+    assert _glyph_to_char(b"Q") == "Q"
+    assert _glyph_to_char(b"g42") is None  # subset glyph: no mapping
+    assert _glyph_to_char(b"uniXYZW") is None
+    assert _glyph_to_char(b"\xff\xfe") is None  # non-ascii name bytes
