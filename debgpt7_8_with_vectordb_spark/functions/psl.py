@@ -345,8 +345,53 @@ gouv.fr
 nom.fr
 prd.fr
 tm.fr
-// it / de / nl / es have no generic second-level registrations
+// it: flat generic registrations PLUS the geographic second levels
+// (regions and major provinces — the published list carries all ~130;
+// this snapshot ships the canonical region names and the largest
+// provinces; de / nl / es are flat aside from the es block below)
 it
+gov.it
+edu.it
+abruzzo.it
+basilicata.it
+calabria.it
+campania.it
+emilia-romagna.it
+friuli-venezia-giulia.it
+lazio.it
+liguria.it
+lombardia.it
+marche.it
+molise.it
+piemonte.it
+puglia.it
+sardegna.it
+sicilia.it
+toscana.it
+trentino-alto-adige.it
+umbria.it
+valle-aosta.it
+roma.it
+rome.it
+milano.it
+milan.it
+torino.it
+turin.it
+napoli.it
+naples.it
+bologna.it
+firenze.it
+florence.it
+genova.it
+genoa.it
+venezia.it
+venice.it
+palermo.it
+bari.it
+catania.it
+verona.it
+padova.it
+trieste.it
 de
 nl
 es
