@@ -844,8 +844,18 @@ def parse_psl(text: str) -> PSLRules:
         if line.startswith("!"):
             exc.add(line[1:])
         elif line.startswith("*."):
-            wild.add(line[2:])
-            rules.add(line[2:])  # implicit: the parent itself matches
+            parent = line[2:]
+            wild.add(parent)
+            # The canonical algorithm gives a wildcard rule NO say over
+            # its own parent: for ``*.compute.amazonaws.com`` the host
+            # ``compute.amazonaws.com`` matches only the default rule,
+            # so its registrable domain is ``amazonaws.com`` — NOT
+            # itself (ADVICE r10). Only a single-label parent (the
+            # ``*.ck``-style TLD wildcards) is registered as a normal
+            # rule, where it is indistinguishable from the default
+            # ``*`` rule anyway and keeps public_suffix('ck') total.
+            if "." not in parent:
+                rules.add(parent)
         else:
             rules.add(line)
     return PSLRules(frozenset(rules), frozenset(wild), frozenset(exc))

@@ -129,3 +129,27 @@ def test_aws_compute_wildcard():
         psl.public_suffix("ec2-1-2-3-4.us-east-1.compute.amazonaws.com")
         == "us-east-1.compute.amazonaws.com"
     )
+
+
+def test_wildcard_parent_is_not_its_own_suffix():
+    # ADVICE r10: the canonical algorithm gives a wildcard rule no say
+    # over its own parent — host == the multi-label wildcard parent
+    # matches only the default rule, so 'compute.amazonaws.com' under
+    # '*.compute.amazonaws.com' (with 'com' a normal rule) registers
+    # as 'amazonaws.com', not as itself.
+    assert "compute.amazonaws.com" in psl._WILDCARD_PARENTS
+    assert psl.public_suffix("compute.amazonaws.com") == "com"
+    assert (
+        psl.registrable_domain_of_host("compute.amazonaws.com")
+        == "amazonaws.com"
+    )
+    # but a single-label wildcard parent stays total: the host IS the
+    # suffix (same answer the default '*' rule gives)
+    assert "ck" in psl._WILDCARD_PARENTS
+    assert psl.public_suffix("ck") == "ck"
+    assert psl.registrable_domain_of_host("ck") == "ck"
+    # and one label under a multi-label wildcard parent is a suffix
+    assert (
+        psl.public_suffix("us-east-1.compute.amazonaws.com")
+        == "us-east-1.compute.amazonaws.com"
+    )

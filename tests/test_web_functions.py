@@ -234,6 +234,15 @@ def test_psl_snapshot_structure():
         assert parent in psl._WILDCARD_PARENTS, (
             f"exception !{exc} has no covering wildcard *.{parent}"
         )
-    # wildcard parents must also exist as plain rules (load_psl adds
-    # them implicitly) so the bare parent is itself a suffix
-    assert psl._WILDCARD_PARENTS <= psl._RULES
+    # a multi-label wildcard parent must NOT be a plain rule (ADVICE
+    # r10: the canonical algorithm gives the wildcard no say over its
+    # own parent — 'compute.amazonaws.com' registers as
+    # 'amazonaws.com'); single-label parents are registered but are
+    # indistinguishable from the default '*' rule
+    for parent in psl._WILDCARD_PARENTS:
+        if "." in parent:
+            assert parent not in psl._RULES, (
+                f"multi-label wildcard parent leaked into rules: {parent}"
+            )
+        else:
+            assert parent in psl._RULES
