@@ -316,18 +316,39 @@ _PDF_IMG_WS = frozenset(b"\x00\t\n\x0c\r ")
 # path operators) quadratic
 _PDF_NAME_RE = re.compile(rb"/([^\s<>\[\]()/%]*)")
 _PDF_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+# numeric operand — matched only between BI and ID to capture the
+# inline-image /L length; ordinary content-stream numbers stay on the
+# cheap byte-skip path
+_PDF_NUM_RE = re.compile(rb"[+-]?\d+(?:\.\d*)?")
 
 
-def _pdf_skip_inline_image(data: bytes, i: int) -> int:
+def _pdf_skip_inline_image(
+    data: bytes, i: int, length: "int | None" = None
+) -> int:
     """Skip an inline image's binary payload: ``i`` points just past
     the ``ID`` operator. Per PDF 1.7 §8.9.7 exactly one whitespace byte
     follows ``ID``, then raw sample data runs until an ``EI`` operator
     delimited by whitespace (or EOF) on both sides — the payload may
     contain any bytes, including ``ET``/``BT``/parens. Returns the
-    index just after ``EI``."""
+    index just after ``EI``.
+
+    ``length`` is the image dict's declared ``/L`` (PDF 2.0 §8.9.5.1,
+    long form ``/Length``) sample-byte count: when present the payload
+    is skipped EXACTLY, so binary data that coincidentally contains a
+    whitespace-delimited ``EI`` byte pair cannot truncate the skip and
+    leak garbage operators into the token stream (ADVICE r10). A
+    declared length that does not land on an ``EI`` operator is
+    distrusted and the delimiter scan below remains the fallback."""
     n = len(data)
     if i < n and data[i] in _PDF_IMG_WS:
         i += 1
+    if length is not None and 0 <= length and i + length <= n:
+        j = i + length
+        while j < n and data[j] in _PDF_IMG_WS:
+            j += 1
+        after = data[j + 2 : j + 3]
+        if data[j : j + 2] == b"EI" and (not after or after[0] in _PDF_IMG_WS):
+            return j + 2
     k = i
     while True:
         k = data.find(b"EI", k)
@@ -367,6 +388,7 @@ def _content_stream_text(
     i, n = 0, len(data)
     in_text = False
     in_image = False  # between BI and ID: dict params of an inline image
+    img_len: int | None = None  # the image dict's declared /L byte count
     line: list[str] = []
     strings: list[bytes] = []  # pending, not yet consumed by an op
     last_name: bytes | None = None
@@ -398,17 +420,29 @@ def _content_stream_text(
             last_name = nm.group(1)
             i = nm.end()
         else:
+            if in_image:
+                nm2 = _PDF_NUM_RE.match(data, i)
+                if nm2:
+                    if last_name in (b"L", b"Length"):
+                        try:
+                            img_len = int(float(nm2.group(0)))
+                        except ValueError:
+                            img_len = None
+                        last_name = None
+                    i = nm2.end()
+                    continue
             om = _PDF_OP_RE.match(data, i)
             if om:
                 op = om.group(0)
                 i = om.end()
                 if in_image:
                     if op == b"ID":
-                        i = _pdf_skip_inline_image(data, i)
+                        i = _pdf_skip_inline_image(data, i, img_len)
                         in_image = False
                     continue
                 if op == b"BI":
                     in_image = True
+                    img_len = None
                 elif op == b"BT":
                     in_text = True
                     strings.clear()

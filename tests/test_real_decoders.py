@@ -458,6 +458,32 @@ def test_pdf_inline_image_binary_containing_et():
     assert pdf_extract_text(p3) == "x"
 
 
+def test_pdf_inline_image_honors_declared_length():
+    """ADVICE r10: sample data containing a whitespace-delimited 'EI'
+    byte pair must not truncate the skip when the image dict declares
+    its byte count (/L, PDF 2.0 §8.9.5.1; long form /Length) — the
+    leaked tail would otherwise be tokenized as operators and can
+    fabricate a whole BT block."""
+    payload = b"\x00 EI BT (garbage) Tj ET \xff"  # 25 bytes, hostile
+    assert len(payload) == 25
+    img = b"BI /W 2 /H 1 /L 25 /BPC 8 /CS /G ID " + payload + b" EI"
+    p = _mkpdf(b"BT (before) Tj ET " + img + b" BT (after) Tj ET")
+    assert pdf_extract_text(p) == "before\nafter"
+    # long-form /Length, and /L position anywhere in the dict
+    img2 = b"BI /Length 25 /W 2 ID " + payload + b" EI"
+    p2 = _mkpdf(b"BT (a) Tj " + img2 + b" (b) Tj ET")
+    assert pdf_extract_text(p2) == "ab"
+    # a WRONG declared length that lands mid-payload is distrusted:
+    # the delimiter scan fallback still finds the real EI
+    img3 = b"BI /L 3 ID \x00\x01\x02\x03\x04\x05 EI"
+    p3 = _mkpdf(b"BT (x) Tj ET " + img3 + b" BT (y) Tj ET")
+    assert pdf_extract_text(p3) == "x\ny"
+    # declared length beyond EOF (truncated file): no crash, text
+    # before the image survives
+    p4 = _mkpdf(b"BT (z) Tj ET BI /L 9999 ID \x00\x01 EI")
+    assert pdf_extract_text(p4) == "z"
+
+
 def test_pdf_operator_string_roundtrip_property():
     """Property (500 examples): any text built from operator-shaped
     words (ET/BT/Tj/TJ/ID/EI/BI/T*), parens, backslashes, and spaces
