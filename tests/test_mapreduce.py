@@ -213,3 +213,48 @@ def test_checkpoint_freeing_is_exact_not_session_global(spark):
     assert by_id in live, "reduce loop freed a concurrent job's blocks"
     assert bystander.count() == 100
     bystander.unpersist()
+
+
+def _live_checkpoint_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def test_superseded_round_checkpoints_are_actually_freed(spark):
+    """ADVICE r10: the exact-freeing test above proves a bystander
+    SURVIVES, but must also prove superseded rounds were UNPERSISTED —
+    _checkpoint_rdd_id fails open (any exception -> None -> freeing
+    no-ops), so a Spark-internal API change in
+    queryExecution().analyzed().rdd() would silently reintroduce the
+    per-round block pile-up (the 923 MB r9 scale bug) with the old
+    test still green. Forcing one distributed pairing round per pass
+    (block=2) makes a 9-row reduce run 4 passes, so 3 superseded
+    checkpoints MUST have existed — afterwards only the bystander and
+    the final pass's checkpoint may remain."""
+    import debgpt7_8_with_vectordb_spark.operators.mapreduce as mr
+
+    live_before = _live_checkpoint_ids(spark)
+    bystander = spark.range(50).localCheckpoint(eager=True)
+    by_id = mr._checkpoint_rdd_id(bystander)
+    assert by_id is not None
+
+    mapped = chunks_df(spark, [f"t{i}" for i in range(9)]).select(
+        "doc_id", "start", F.col("content").alias("val")
+    )
+    old = mr._PACK_BLOCK_ROWS
+    mr._PACK_BLOCK_ROWS = 2
+    try:
+        out, rounds = mr.tree_reduce(mapped)
+        assert out.count() == 1
+        assert rounds == 4  # 9 -> 5 -> 3 -> 2 -> 1: 3 superseded ckpts
+    finally:
+        mr._PACK_BLOCK_ROWS = old
+
+    new_ids = _live_checkpoint_ids(spark) - live_before
+    assert by_id in new_ids
+    # exactly {bystander, final pass}: every intermediate pass's
+    # checkpoint id must be gone from the block manager
+    assert len(new_ids) == 2, (
+        f"superseded round checkpoints leaked: {sorted(new_ids)}"
+    )
+    bystander.unpersist()
