@@ -11,11 +11,22 @@ discipline (streaming/sessionize.py): a replayed batch id observes the
 pointer already at-or-past it and SKIPS, so checkpoint replays after a
 crash never double-apply.
 
-The snapshot holds the RAW keep state ``(url_norm, fetched_at, html,
-domain)``; the funnel tail (boilerplate, length floor, content dedup)
-runs over it on read via ``read_curated`` — at 100 TB that tail is the
-periodic compaction job, not a per-batch cost, and the per-batch work
-is one keyed reduce over (batch + current-table) rows.
+SNAPSHOT SCHEMA (external contract — anything reading the snapshot
+directories or ``read_snapshot`` output sees these columns):
+``(url_norm, url, fetched_at, html, domain, _mig)``. The underscore
+column ``_mig boolean`` was added in round 9: it marks rows whose raw
+``url`` was BACKFILLED by the pre-r9 snapshot migration (synthetic
+lowercase spelling) rather than observed, and it must ride every
+merge so a backfilled spelling keeps losing exact ``fetched_at`` ties
+to genuine raw spellings — on every real (non-migrated) row it is
+constant ``false``. Downstream consumers should treat ``_mig`` as
+internal bookkeeping and may drop it; ``read_curated`` already does.
+
+The snapshot holds the RAW keep state; the funnel tail (boilerplate,
+length floor, content dedup) runs over it on read via
+``read_curated`` — at 100 TB that tail is the periodic compaction
+job, not a per-batch cost, and the per-batch work is one keyed reduce
+over (batch + current-table) rows.
 """
 
 from __future__ import annotations
