@@ -753,6 +753,258 @@ _SNAPSHOT += "".join(f"{p}.jp\n" for p in _JP_PREFECTURES)
 # test vectors exercise ide.kyoto.jp (the full list has ~1700 of these)
 _SNAPSHOT += "ide.kyoto.jp\n"
 
+# r11 breadth extension (VERDICT r9 missing #2): further ICANN ccTLD
+# second-level families and the high-traffic private dynamic-DNS /
+# blogging families, all as published on publicsuffix.org.
+_SNAPSHOT += """
+// ca (provinces + federal)
+ab.ca
+bc.ca
+mb.ca
+nb.ca
+nf.ca
+nl.ca
+ns.ca
+nt.ca
+nu.ca
+on.ca
+pe.ca
+qc.ca
+sk.ca
+yk.ca
+gc.ca
+// gr
+com.gr
+edu.gr
+net.gr
+org.gr
+gov.gr
+// ro
+com.ro
+org.ro
+tm.ro
+nt.ro
+nom.ro
+info.ro
+rec.ro
+arts.ro
+firm.ro
+store.ro
+www.ro
+// hu
+co.hu
+info.hu
+org.hu
+priv.hu
+sport.hu
+tm.hu
+2000.hu
+agrar.hu
+bolt.hu
+city.hu
+erotica.hu
+erotika.hu
+film.hu
+forum.hu
+games.hu
+hotel.hu
+ingatlan.hu
+jogasz.hu
+konyvelo.hu
+lakas.hu
+media.hu
+news.hu
+reklam.hu
+sex.hu
+shop.hu
+suli.hu
+szex.hu
+tozsde.hu
+utazas.hu
+video.hu
+// at
+ac.at
+co.at
+gv.at
+or.at
+// pt
+net.pt
+gov.pt
+org.pt
+edu.pt
+int.pt
+publ.pt
+com.pt
+nome.pt
+// ee
+com.ee
+org.ee
+fie.ee
+med.ee
+riik.ee
+lib.ee
+edu.ee
+gov.ee
+aip.ee
+pri.ee
+// lv
+com.lv
+edu.lv
+gov.lv
+org.lv
+mil.lv
+id.lv
+net.lv
+asn.lv
+conf.lv
+// is
+net.is
+com.is
+edu.is
+gov.is
+org.is
+int.is
+// rs
+ac.rs
+co.rs
+edu.rs
+gov.rs
+in.rs
+org.rs
+// hr
+com.hr
+iz.hr
+from.hr
+name.hr
+// ie / lt
+gov.ie
+gov.lt
+// ---- Private section (r11 additions) ----
+// blogspot per-country registrations (Google; the published list
+// carries ~70 — this block adds the widely-used ones to the 8 above)
+blogspot.be
+blogspot.ca
+blogspot.ch
+blogspot.cl
+blogspot.co.at
+blogspot.co.id
+blogspot.co.il
+blogspot.co.ke
+blogspot.co.nz
+blogspot.co.za
+blogspot.com.ar
+blogspot.com.by
+blogspot.com.co
+blogspot.com.cy
+blogspot.com.eg
+blogspot.com.es
+blogspot.com.mt
+blogspot.com.ng
+blogspot.com.tr
+blogspot.com.uy
+blogspot.cz
+blogspot.dk
+blogspot.fi
+blogspot.gr
+blogspot.hk
+blogspot.hu
+blogspot.ie
+blogspot.it
+blogspot.kr
+blogspot.mx
+blogspot.nl
+blogspot.no
+blogspot.pt
+blogspot.ro
+blogspot.ru
+blogspot.se
+blogspot.sg
+blogspot.tw
+// dyn.com dynamic-DNS hostname families
+dyndns.org
+dyndns.biz
+dyndns.info
+dyndns.tv
+dyndns-at-home.com
+dyndns-at-work.com
+dyndns-blog.com
+dyndns-free.com
+dyndns-home.com
+dyndns-ip.com
+dyndns-mail.com
+dyndns-office.com
+dyndns-pics.com
+dyndns-remote.com
+dyndns-server.com
+dyndns-web.com
+dyndns-wiki.com
+dyndns-work.com
+ath.cx
+gotdns.com
+gotdns.org
+homeip.net
+homelinux.com
+homelinux.net
+homelinux.org
+homeunix.com
+homeunix.net
+homeunix.org
+is-a-geek.com
+is-a-geek.net
+is-a-geek.org
+kicks-ass.net
+kicks-ass.org
+mine.nu
+selfip.com
+selfip.net
+selfip.org
+webhop.net
+webhop.org
+dnsalias.com
+dnsalias.net
+dnsalias.org
+// no-ip dynamic-DNS families
+ddns.net
+bounceme.net
+myftp.biz
+myftp.org
+myvnc.com
+no-ip.biz
+no-ip.info
+no-ip.net
+no-ip.org
+noip.me
+onthewifi.com
+redirectme.net
+servebeer.com
+serveblog.net
+servecounterstrike.com
+serveftp.com
+servegame.com
+servehalflife.com
+servehttp.com
+serveirc.com
+servemp3.com
+servepics.com
+servequake.com
+sytes.net
+webhop.me
+zapto.org
+hopto.org
+// misc high-traffic private suffixes
+duckdns.org
+dynv6.net
+nsupdate.info
+spdns.de
+spdns.org
+ngrok.io
+pythonanywhere.com
+eu.pythonanywhere.com
+bitbucket.io
+sourceforge.io
+translate.goog
+"""
+
 
 class PSLRules:
     """Immutable rule tables + per-instance bounded host cache.
