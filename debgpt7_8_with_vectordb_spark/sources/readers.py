@@ -590,30 +590,76 @@ def _pdf_unpredict(d: bytes, data: bytes) -> bytes | None:
     """Undo a /Predictor post-pass on a decoded stream (§7.4.4.4).
     Predictor 1 = none; 2 = TIFF horizontal differencing; >= 10 = the
     PNG filter set, one tag byte per row — which is exactly the PNG
-    scanline unfilter the multimodal codec already implements, applied
-    with width=/Columns and bpp=/Colors*/BitsPerComponent/8."""
+    scanline unfilter the multimodal codec already implements.
+
+    All legal /BitsPerComponent values (1, 2, 4, 8, 16) are handled
+    (NOTES r10 honest-limit closure): PNG filtering is BYTE-wise
+    regardless of component depth (PNG §9.2: bpp = bytes per complete
+    pixel, rounded up to one), so sub-byte rows just run with bpp=1
+    over the byte stride; TIFF differencing at sub-byte operates on
+    the SAMPLES, so rows are bit-unpacked, cumulative-summed mod
+    2^bpc per color channel, and repacked (rows stay byte-aligned per
+    the TIFF row padding rule)."""
     pred = _pdf_int(d, "Predictor", 1)
     if pred == 1:
         return data
     columns = _pdf_int(d, "Columns", 1)
     colors = _pdf_int(d, "Colors", 1)
     bpc = _pdf_int(d, "BitsPerComponent", 8)
-    if bpc != 8 or columns <= 0 or colors <= 0:
-        return None  # sub-byte components: outside the subset
-    bpp = colors
-    if pred == 2:  # TIFF: each byte += byte one pixel to the left
-        row_len = columns * bpp
-        out = bytearray(data)
-        for r in range(0, len(out) - row_len + 1, row_len):
-            for i in range(bpp, row_len):
-                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+    if bpc not in (1, 2, 4, 8, 16) or columns <= 0 or colors <= 0:
+        return None
+    bits = colors * bpc
+    stride = (columns * bits + 7) // 8  # row bytes, bit-padded
+    if pred == 2:  # TIFF: each sample += sample one pixel to the left
+        if bpc == 8:
+            out = bytearray(data)
+            for r in range(0, len(out) - stride + 1, stride):
+                for i in range(colors, stride):
+                    out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+            return bytes(out)
+        if bpc == 16:
+            out = bytearray(data)
+            step = 2 * colors
+            for r in range(0, len(out) - stride + 1, stride):
+                for i in range(step, stride - 1, 2):
+                    v = (
+                        int.from_bytes(out[r + i : r + i + 2], "big")
+                        + int.from_bytes(
+                            out[r + i - step : r + i - step + 2], "big"
+                        )
+                    ) & 0xFFFF
+                    out[r + i : r + i + 2] = v.to_bytes(2, "big")
+            return bytes(out)
+        # sub-byte: unpack each row's samples, undo per-channel
+        # differencing mod 2^bpc, repack MSB-first
+        mask = (1 << bpc) - 1
+        nsamp = columns * colors
+        out = bytearray()
+        for r in range(0, len(data) - stride + 1, stride):
+            row = data[r : r + stride]
+            acc = int.from_bytes(row, "big")
+            pad = stride * 8 - nsamp * bpc
+            samples = [
+                (acc >> (pad + (nsamp - 1 - s) * bpc)) & mask
+                for s in range(nsamp)
+            ]
+            for s in range(colors, nsamp):
+                samples[s] = (samples[s] + samples[s - colors]) & mask
+            packed = 0
+            for v in samples:
+                packed = (packed << bpc) | v
+            packed <<= pad
+            out += packed.to_bytes(stride, "big")
         return bytes(out)
     if pred >= 10:
         from ..operators.multimodal import _png_unfilter
 
-        stride = columns * bpp
+        # PNG filtering is byte-wise: bpp = bytes per pixel, min 1
+        bpp = max(1, (bits + 7) // 8)
+        if stride % bpp:  # e.g. colors=3,bpc=4: 12-bit pixels on an
+            return None  # odd byte stride — not expressible as rows
         rows = len(data) // (stride + 1)
-        res = _png_unfilter(data, columns, rows, bpp)
+        res = _png_unfilter(data, stride // bpp, rows, bpp)
         return res[0] if res else None
     return None
 
@@ -940,8 +986,10 @@ def pdf_extract_text(payload: bytes) -> str:
     with newlines in stream order.
 
     /Predictor post-passes are undone too (TIFF differencing and the
-    PNG filter set at 8 bits/component — the PNG case reuses the
-    multimodal codec's scanline unfilter). ToUnicode CMaps are applied:
+    PNG filter set at every legal /BitsPerComponent 1/2/4/8/16 — the
+    PNG case reuses the multimodal codec's scanline unfilter byte-wise
+    over the bit-padded stride; sub-byte TIFF unpacks, cumulative-sums
+    per channel mod 2^bpc, and repacks). ToUnicode CMaps are applied:
     the scanned object index resolves /Font resources to their
     /ToUnicode streams, bfchar/bfrange (incrementing and array forms)
     build per-font glyph-code→unicode tables, and the content walk
@@ -950,7 +998,8 @@ def pdf_extract_text(payload: bytes) -> str:
 
     Honest limits vs pypdf (the reference's decoder, reader.py:310-333):
     fonts with a custom /Encoding//Differences but NO /ToUnicode still
-    decode as raw bytes, and no sub-byte predictor components. Objects
+    decode as raw bytes, and 12-bit-pixel PNG predictors (colors=3,
+    bpc=4 — an odd byte stride) are skipped rather than garbled. Objects
     are found by scan, not by xref walking — which also finds them in
     linearized files, and since r10 the scan EXPANDS /Type /ObjStm
     object streams (§7.5.7), so font/page dicts packed compressed in

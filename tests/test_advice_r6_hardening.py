@@ -672,3 +672,119 @@ def test_differences_parser_properties():
     assert _glyph_to_char(b"g42") is None  # subset glyph: no mapping
     assert _glyph_to_char(b"uniXYZW") is None
     assert _glyph_to_char(b"\xff\xfe") is None  # non-ascii name bytes
+
+
+# ---------------------------------------------------------------------------
+# /Predictor at every legal /BitsPerComponent (NOTES r10 honest-limit
+# closure): sub-byte TIFF differencing is sample-exact, PNG filters run
+# byte-wise over the bit-padded stride, 16-bit TIFF adds word-wise
+# ---------------------------------------------------------------------------
+
+
+def _pack_bits(vals: list[int], bpc: int, stride: int) -> bytes:
+    acc = 0
+    for v in vals:
+        acc = (acc << bpc) | v
+    pad = stride * 8 - len(vals) * bpc
+    return (acc << pad).to_bytes(stride, "big")
+
+
+def test_pdf_tiff_predictor_subbyte_components():
+    import random
+
+    from debgpt7_8_with_vectordb_spark.sources.readers import _pdf_unpredict
+
+    rng = random.Random(7)
+    for bpc, colors, cols in ((4, 1, 11), (2, 3, 5), (1, 1, 19)):
+        mask = (1 << bpc) - 1
+        nsamp = cols * colors
+        stride = (nsamp * bpc + 7) // 8  # rows byte-aligned (bit-padded)
+        rows = [
+            [rng.randrange(mask + 1) for _ in range(nsamp)] for _ in range(3)
+        ]
+        raw = b"".join(_pack_bits(r, bpc, stride) for r in rows)
+        pred = bytearray()
+        for r in rows:
+            d = list(r)
+            for s in range(nsamp - 1, colors - 1, -1):
+                d[s] = (d[s] - d[s - colors]) & mask
+            pred += _pack_bits(d, bpc, stride)
+        parms = (
+            b"<</Predictor 2 /Columns " + str(cols).encode()
+            + b" /Colors " + str(colors).encode()
+            + b" /BitsPerComponent " + str(bpc).encode() + b">>"
+        )
+        assert _pdf_unpredict(parms, bytes(pred)) == raw, (bpc, colors)
+
+
+def test_pdf_tiff_predictor_16bit_components():
+    import random
+
+    from debgpt7_8_with_vectordb_spark.sources.readers import _pdf_unpredict
+
+    rng = random.Random(11)
+    cols, colors = 6, 2
+    rows = [[rng.randrange(65536) for _ in range(cols * colors)] for _ in range(2)]
+    raw = b"".join(
+        b"".join(v.to_bytes(2, "big") for v in r) for r in rows
+    )
+    pred = bytearray()
+    for r in rows:
+        d = list(r)
+        for s in range(len(d) - 1, colors - 1, -1):
+            d[s] = (d[s] - d[s - colors]) & 0xFFFF
+        pred += b"".join(v.to_bytes(2, "big") for v in d)
+    parms = b"<</Predictor 2 /Columns 6 /Colors 2 /BitsPerComponent 16>>"
+    assert _pdf_unpredict(parms, bytes(pred)) == raw
+
+
+def test_pdf_png_predictor_subbyte_components():
+    from debgpt7_8_with_vectordb_spark.sources.readers import _pdf_unpredict
+
+    # bpc=1: PNG filtering is byte-wise with bpp=1 over the padded
+    # stride (PNG §9.2); forward-apply Sub then Up and reverse
+    raw_rows = [b"\xa5\x3c\x07", b"\x12\xff\x80"]  # stride 3 = ceil(19/8)
+    pred = bytearray()
+    prev = bytes(3)
+    for row, tag in zip(raw_rows, (1, 2)):
+        pred.append(tag)
+        if tag == 1:  # Sub
+            line = bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(3)
+            )
+        else:  # Up
+            line = bytes((row[i] - prev[i]) & 0xFF for i in range(3))
+        pred += line
+        prev = row
+    parms = b"<</Predictor 15 /Columns 19 /Colors 1 /BitsPerComponent 1>>"
+    assert _pdf_unpredict(parms, bytes(pred)) == b"".join(raw_rows)
+    # 12-bit pixels (colors=3, bpc=4) on an odd stride are the one
+    # honest remainder: not expressible, skipped rather than garbled
+    parms = b"<</Predictor 15 /Columns 3 /Colors 3 /BitsPerComponent 4>>"
+    assert _pdf_unpredict(parms, b"\x00\x00\x00\x00\x00\x00") is None
+
+
+def test_pdf_subbyte_predictor_end_to_end():
+    import zlib
+
+    from debgpt7_8_with_vectordb_spark.sources.readers import pdf_extract_text
+
+    # a content stream run through forward TIFF differencing at bpc=4
+    # (each byte = two 4-bit samples) must extract after the reverse
+    content = b"BT (sub-byte) Tj ET"  # 19 bytes -> pad to stride
+    cols = 38  # 38 4-bit samples per row = 19 bytes, one row
+    samples = []
+    for b in content:
+        samples += [b >> 4, b & 0xF]
+    diff = list(samples)
+    for s in range(len(diff) - 1, 0, -1):
+        diff[s] = (diff[s] - diff[s - 1]) & 0xF
+    row = _pack_bits(diff, 4, 19)
+    body = zlib.compress(row)
+    p = _pdf(
+        b"/Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode /DecodeParms <</Predictor 2 /Columns "
+        + str(cols).encode() + b" /BitsPerComponent 4>>",
+        body,
+    )
+    assert pdf_extract_text(p) == "sub-byte"
