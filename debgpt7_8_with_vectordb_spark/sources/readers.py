@@ -190,7 +190,9 @@ _PDF_DIRECT_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 
 def _iter_pdf_streams(payload: bytes):
-    """Yield ``(dict_bytes, body_bytes)`` for every stream object.
+    """Yield ``(dict_bytes, body_bytes, dict_start)`` for every stream
+    object (``dict_start`` lets callers match a stream to its
+    enclosing object span — the incremental-update liveness check).
     Body bounds come from the dict's direct ``/Length`` when present
     and consistent (an ``endstream`` keyword follows within spec
     whitespace); otherwise fall back to scanning for the next
@@ -206,7 +208,7 @@ def _iter_pdf_streams(payload: bytes):
         if lm:
             end = body_start + int(lm.group(1))
             if end <= n and re.match(rb"(?:\r\n|\r|\n)?\s*endstream", payload[end : end + 16]):
-                yield d, payload[body_start:end]
+                yield d, payload[body_start:end], m.start()
                 pos = end
                 continue
         idx = payload.find(b"endstream", body_start)
@@ -217,7 +219,7 @@ def _iter_pdf_streams(payload: bytes):
             body = body[:-2]
         elif body.endswith((b"\n", b"\r")):
             body = body[:-1]
-        yield d, body
+        yield d, body, m.start()
         pos = idx + len(b"endstream")
 _PDF_ESCAPES = {
     ord("n"): 0x0A, ord("r"): 0x0D, ord("t"): 0x09, ord("b"): 0x08,
@@ -673,7 +675,7 @@ def _pdf_filters(d: bytes) -> list[bytes]:
     return [n.group(1) for n in _PDF_NAME.finditer(m.group(1))]
 
 
-_PDF_OBJ = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_PDF_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _PDF_HEXSTR = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
 
@@ -692,19 +694,36 @@ def _pdf_object_index(payload: bytes) -> tuple[dict[int, bytes], list[bytes]]:
     pypdf path walks these natively. Bomb-fenced: the object COUNT is
     capped (a hostile /N can't allocate unbounded slices; the filter
     chain itself is already size-fenced). The decoded bodies are also
-    returned so callers can pattern-scan them like the raw payload."""
+    returned so callers can pattern-scan them like the raw payload.
+
+    INCREMENTAL-UPDATE PRECEDENCE (NOTES r10 honest-limit closure):
+    when the same object number occurs more than once — an updated
+    file appends new object versions after the original body — the
+    LIVE version is the one with the highest (generation, file
+    position): updates are appended, so the later occurrence
+    supersedes, and a reused object number at a higher generation
+    supersedes any position (§7.5.6 without walking the xref chain;
+    objects packed in an ObjStm carry generation 0 at the containing
+    stream's position)."""
     objs: dict[int, bytes] = {}
+    best: dict[int, tuple[int, int]] = {}
+
+    def put(num: int, key: tuple[int, int], body: bytes) -> None:
+        if num not in best or key > best[num]:
+            best[num] = key
+            objs[num] = body
+
     slices: list[tuple[int, bytes]] = []
     for m in _PDF_OBJ.finditer(payload):
         end = payload.find(b"endobj", m.end())
         if end < 0:
             continue
         body = payload[m.end() : end]
-        objs.setdefault(int(m.group(1)), body)
+        put(int(m.group(1)), (int(m.group(2)), m.start()), body)
         if b"/ObjStm" in body:
-            slices.append((int(m.group(1)), body))
+            slices.append((m.start(), body))
     spaces: list[bytes] = []
-    for _num, body in slices:
+    for stream_pos, body in slices:
         nm = re.search(rb"/N\s+(\d+)", body)
         fm = re.search(rb"/First\s+(\d+)", body)
         if not nm or not fm:
@@ -737,15 +756,37 @@ def _pdf_object_index(payload: bytes) -> tuple[dict[int, bytes], list[bytes]]:
                 else len(data)
             )
             if 0 <= start <= stop <= len(data):
-                objs.setdefault(objnum, data[start:stop])
+                put(objnum, (0, stream_pos), data[start:stop])
         spaces.append(data)
     return objs, spaces
+
+
+def _pdf_superseded_spans(payload: bytes) -> list[tuple[int, int]]:
+    """Byte spans of raw ``N G obj .. endobj`` occurrences that are NOT
+    the live version of their object number — the superseded originals
+    in an incrementally-updated file, whose stale content streams must
+    not be extracted alongside the appended replacements. Single-
+    ``startxref`` files (never updated: the overwhelming crawl case)
+    short-circuit to []."""
+    if payload.count(b"startxref") <= 1:
+        return []
+    best: dict[int, tuple[int, int]] = {}
+    occ: list[tuple[int, tuple[int, int], int, int]] = []
+    for m in _PDF_OBJ.finditer(payload):
+        end = payload.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        num, key = int(m.group(1)), (int(m.group(2)), m.start())
+        occ.append((num, key, m.start(), end))
+        if num not in best or key > best[num]:
+            best[num] = key
+    return [(s, e) for num, key, s, e in occ if best[num] != key]
 
 
 def _decode_object_stream(obj: bytes) -> bytes | None:
     """Decode the (single) stream inside an object slice through its
     filter chain + predictor."""
-    for d, data in _iter_pdf_streams(obj):
+    for d, data, _pos in _iter_pdf_streams(obj):
         decoded: bytes | None = data
         for name in _pdf_filters(d):
             decoded = _pdf_apply_filter(name, decoded)
@@ -1009,12 +1050,18 @@ def pdf_extract_text(payload: bytes) -> str:
     longer truncate (the token scan remains only the indirect-/Length
     fallback). For born-digital PDFs with
     standard encodings — the common curation case — output matches
-    pypdf's. Golden-byte tests pin uncompressed, Flate, LZW, A85, hex,
-    RunLength, chained-filter, TJ-kerned, escaped and hex-string
-    cases."""
+    pypdf's. Incrementally-updated files (multiple ``startxref``)
+    extract only the LIVE version of each object: superseded raw
+    object spans are computed by (generation, position) precedence and
+    their stale content streams skipped. Golden-byte tests pin
+    uncompressed, Flate, LZW, A85, hex, RunLength, chained-filter,
+    TJ-kerned, escaped and hex-string cases."""
     texts: list[str] = []
     fonts = _pdf_font_cmaps(payload)
-    for d, data in _iter_pdf_streams(payload):
+    dead = _pdf_superseded_spans(payload)
+    for d, data, pos in _iter_pdf_streams(payload):
+        if dead and any(s <= pos < e for s, e in dead):
+            continue  # superseded original in an incremental update
         decoded: bytes | None = data
         for name in _pdf_filters(d):
             decoded = _pdf_apply_filter(name, decoded)

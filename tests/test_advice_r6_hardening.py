@@ -788,3 +788,96 @@ def test_pdf_subbyte_predictor_end_to_end():
         body,
     )
     assert pdf_extract_text(p) == "sub-byte"
+
+
+# ---------------------------------------------------------------------------
+# Incremental updates: only the LIVE version of each object extracts
+# (NOTES r10 honest-limit closure — scan kept the FIRST occurrence)
+# ---------------------------------------------------------------------------
+
+
+def _content_obj(num: int, gen: int, text: bytes) -> bytes:
+    body = b"BT (" + text + b") Tj ET"
+    return (
+        str(num).encode() + b" " + str(gen).encode() + b" obj\n<</Length "
+        + str(len(body)).encode() + b">>\nstream\n" + body
+        + b"\nendstream\nendobj\n"
+    )
+
+
+def test_pdf_incremental_update_supersedes_original():
+    from debgpt7_8_with_vectordb_spark.sources.readers import (
+        pdf_extract_text,
+    )
+
+    base = (
+        b"%PDF-1.4\n" + _content_obj(1, 0, b"original")
+        + b"trailer\n<<>>\nstartxref\n0\n%%EOF\n"
+    )
+    # without an update, the original extracts
+    assert pdf_extract_text(base) == "original"
+    # appended update: same object number, later position wins — the
+    # stale original must NOT extract alongside it
+    updated = base + (
+        _content_obj(1, 0, b"revised")
+        + b"trailer\n<<>>\nstartxref\n0\n%%EOF\n"
+    )
+    assert pdf_extract_text(updated) == "revised"
+    # a reused number at a HIGHER generation supersedes regardless of
+    # position ordering quirks
+    gen_bump = base + (
+        _content_obj(1, 1, b"gen1")
+        + b"trailer\n<<>>\nstartxref\n0\n%%EOF\n"
+    )
+    assert pdf_extract_text(gen_bump) == "gen1"
+    # distinct object numbers are unaffected: both extract, file order
+    multi = (
+        b"%PDF-1.4\n" + _content_obj(1, 0, b"one") + _content_obj(2, 0, b"two")
+        + b"trailer\n<<>>\nstartxref\n0\n%%EOF\n"
+        + _content_obj(1, 0, b"one-v2")
+        + b"trailer\n<<>>\nstartxref\n0\n%%EOF\n"
+    )
+    assert pdf_extract_text(multi) == "two\none-v2"
+
+
+def test_pdf_incremental_update_font_object_precedence():
+    """The object index must also resolve /Font references to the LIVE
+    font object: an appended update that replaces a font's /ToUnicode
+    CMap changes how the glyph codes decode."""
+    import zlib
+
+    from debgpt7_8_with_vectordb_spark.sources.readers import (
+        pdf_extract_text,
+    )
+
+    def cmap_obj(num: int, target: bytes) -> bytes:
+        cm = (
+            b"begincmap\n"
+            b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+            b"1 beginbfchar\n<01> <00" + target
+            + b">\nendbfchar\nendcmap\n"
+        )
+        body = zlib.compress(cm)
+        return (
+            str(num).encode() + b" 0 obj\n<</Length "
+            + str(len(body)).encode()
+            + b" /Filter /FlateDecode>>\nstream\n" + body
+            + b"\nendstream\nendobj\n"
+        )
+
+    page = (
+        b"3 0 obj\n<</Resources <</Font <</F1 4 0 R>>>>>>\nendobj\n"
+        b"4 0 obj\n<</Type /Font /ToUnicode 5 0 R>>\nendobj\n"
+    )
+    content = b"BT /F1 Tf <01> Tj ET"
+    stream = (
+        b"6 0 obj\n<</Length " + str(len(content)).encode()
+        + b">>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    base = (
+        b"%PDF-1.4\n" + page + cmap_obj(5, b"41") + stream
+        + b"trailer\n<<>>\nstartxref\n0\n%%EOF\n"
+    )
+    assert pdf_extract_text(base) == "A"  # <01> -> U+0041
+    updated = base + cmap_obj(5, b"5A") + b"startxref\n0\n%%EOF\n"
+    assert pdf_extract_text(updated) == "Z"  # live CMap maps to U+005A
