@@ -311,9 +311,13 @@ def url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wildcard (*.ck), exceptions (!www.ck, !city.kawasaki.jp), the default
 # '*' rule for an unknown TLD, and — since the r10 snapshot extension —
 # US k12 third levels, IDN punycode registries, the *.compute.amazonaws
-# wildcard (each EC2 hostname its own domain), and CentralNic uk.com
+# wildcard (each EC2 hostname its own domain), and CentralNic uk.com.
+# Class 12 (r11) pins the ADVICE-r10 fix: a host under a multi-label
+# wildcard PARENT (one label beneath compute.amazonaws.com) gets no say
+# from the wildcard — only 'com' matches, so it registers at
+# amazonaws.com, never as its own suffix
 _PSL_HOST_SPARK = (
-    "CASE CAST(doc_id % 12 AS INT) "
+    "CASE CAST(doc_id % 13 AS INT) "
     "WHEN 0 THEN concat('deep.www.example', CAST(doc_id % 20 AS STRING), "
     "  '.co.uk') "
     "WHEN 1 THEN concat('user', CAST(doc_id % 20 AS STRING), '.github.io') "
@@ -329,8 +333,9 @@ _PSL_HOST_SPARK = (
     "WHEN 9 THEN concat('ec2-10-0-0-', CAST(doc_id % 20 AS STRING), "
     "  '.us-east-1.compute.amazonaws.com') "
     "WHEN 10 THEN concat('b.corp', CAST(doc_id % 20 AS STRING), '.uk.com') "
-    "ELSE concat('bucket', CAST(doc_id % 20 AS STRING), "
-    "  '.s3.amazonaws.com') END"
+    "WHEN 11 THEN concat('bucket', CAST(doc_id % 20 AS STRING), "
+    "  '.s3.amazonaws.com') "
+    "ELSE 'compute.amazonaws.com' END"
 )
 
 
@@ -338,7 +343,7 @@ _PSL_HOST_SPARK = (
     "registrable_domains",
     oracle="""
 SELECT doc_id,
-  CASE (doc_id % 12)
+  CASE (doc_id % 13)
     WHEN 0 THEN 'example' || (doc_id % 20) || '.co.uk'
     WHEN 1 THEN 'user' || (doc_id % 20) || '.github.io'
     WHEN 2 THEN 'site' || (doc_id % 20) || '.com'
@@ -351,7 +356,8 @@ SELECT doc_id,
     WHEN 9 THEN 'ec2-10-0-0-' || (doc_id % 20)
       || '.us-east-1.compute.amazonaws.com'
     WHEN 10 THEN 'corp' || (doc_id % 20) || '.uk.com'
-    ELSE 'bucket' || (doc_id % 20) || '.s3.amazonaws.com'
+    WHEN 11 THEN 'bucket' || (doc_id % 20) || '.s3.amazonaws.com'
+    ELSE 'amazonaws.com'
   END AS domain
 FROM documents
 """,
