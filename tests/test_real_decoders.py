@@ -522,6 +522,38 @@ def test_pdf_operator_string_roundtrip_property():
     roundtrip()
 
 
+def test_pdf_inline_image_declared_length_property():
+    """Property (300 examples): ANY byte payload — including ones full
+    of ' EI ', 'BT', parens, and newlines — rides inside BI..ID..EI
+    without disturbing surrounding text when /L declares its length;
+    without /L, payloads containing no whitespace-delimited EI also
+    round-trip via the delimiter scan (the pre-r11 guarantee)."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    hostile = st.binary(max_size=40)
+
+    @settings(max_examples=300, deadline=None)
+    @given(hostile)
+    def roundtrip(payload):
+        img = (
+            b"BI /W 1 /H 1 /L " + str(len(payload)).encode()
+            + b" /BPC 8 ID " + payload + b" EI"
+        )
+        p = _mkpdf(b"BT (pre) Tj ET " + img + b" BT (post) Tj ET")
+        assert pdf_extract_text(p) == "pre\npost"
+        # delimiter-scan path (no /L): only payloads without a
+        # whitespace-delimited EI keep the old guarantee
+        if not _re.search(rb"(?:^|[\x00\t\n\x0c\r ])EI(?:$|[\x00\t\n\x0c\r ])", payload):
+            img2 = b"BI /W 1 ID " + payload + b" EI"
+            p2 = _mkpdf(b"BT (pre) Tj ET " + img2 + b" BT (post) Tj ET")
+            assert pdf_extract_text(p2) == "pre\npost"
+
+    roundtrip()
+
+
 def test_pdf_source_end_to_end_default_decoder(spark, tmp_path):
     """S9 graduates: real .pdf files on disk, read through the
     registered 'pdf' source (binaryFile scan → Arrow decode stage) with
