@@ -75,11 +75,35 @@ def build(spark, src: str, out: str) -> None:
     os.replace(tmp, f"{out}/documents.parquet")
 
 
+def warm_python_workers(spark) -> float:
+    """Spin up the full Python worker pool with a trivial Arrow pass
+    BEFORE timing: the first wide Arrow stage in a fresh JVM pays ~6 s
+    of 32 parallel cold pandas/pyarrow imports (measured r11) — a
+    fixed per-executor startup cost, not query work. Without this, the
+    tile's first Arrow-backed query (url_normalize, once the cached
+    dedup_lsh_keep artifact started skipping its warming ingest)
+    recorded 15-30 s walls that were really interpreter startup."""
+    t0 = time.time()
+    df = spark.range(64 * 1000).repartition(64)
+
+    def ident(batches):
+        yield from batches
+
+    df.mapInPandas(ident, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.time() - t0
+
+
 def main() -> None:
     one_x = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale100_docs"
     spark = get_spark(app_name="scale_docs_100x")
     spark.sparkContext.setLogLevel("ERROR")
+    print(
+        f"python-worker warmup: {warm_python_workers(spark):.1f}s "
+        "(fixed per-executor startup, excluded from query walls)"
+    )
     if not os.path.exists(os.path.join(out, "documents.parquet")):
         t0 = time.time()
         build(spark, one_x, out)
@@ -88,7 +112,14 @@ def main() -> None:
     print(f"{'query':>18}   {'1x':>7}   {'100x':>9}   growth")
     for name in BATCH:
         t1 = _run_min(spark, name, one_x, 2)
-        t100 = _run_min(spark, name, out, 1)  # one run: cold = honest ingest cost
+        # min-of-2 at 100x: this box shows multi-second noisy-neighbor
+        # spikes that attach to single runs (r11: a 2 s url_normalize
+        # recorded 17 s in one tile pass while gopher_signals' 1x run
+        # took 10 s in the same process) — min across runs is the
+        # honest steady-state. dedup_lsh_keep stays single-run because
+        # its 100x number deliberately measures the COLD ingest.
+        runs = 1 if name == "dedup_lsh_keep" else 2
+        t100 = _run_min(spark, name, out, runs)
         print(
             f"{name:>18}: {t1:6.2f}s   {t100:8.2f}s   "
             f"{t100 / max(t1, 1e-9):6.2f}x"
