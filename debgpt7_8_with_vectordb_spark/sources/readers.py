@@ -883,6 +883,83 @@ def _parse_differences(arr: bytes) -> dict[int, str]:
     return table
 
 
+# ---------------------------------------------------------------------------
+# TeX Computer Modern base encodings (NOTES r10 honest-limit closure):
+# TeX-produced PDFs routinely subset CM fonts WITHOUT /ToUnicode or
+# /Differences — glyph codes then follow the published TeX font
+# encodings (TeXbook Appendix F): OT1 for the text fonts (cmr/cmbx/
+# cmti/...), OMS for the symbol font (cmsy — e.g. itemize bullets at
+# code 15), OML for math italic (cmmi — Greek). Only non-ASCII slots
+# are tabled; unmapped codes keep the latin-1 fallback, which is the
+# identity for the ASCII letters/digits these encodings share.
+# Calligraphic/italic letters map to their plain ASCII forms.
+# ---------------------------------------------------------------------------
+
+_TEX_OT1 = {
+    0: "Γ", 1: "Δ", 2: "Θ", 3: "Λ", 4: "Ξ", 5: "Π", 6: "Σ", 7: "Υ",
+    8: "Φ", 9: "Ψ", 10: "Ω", 11: "ff", 12: "fi", 13: "fl", 14: "ffi",
+    15: "ffl", 16: "ı", 17: "ȷ", 18: "`", 19: "´", 20: "ˇ", 21: "˘",
+    22: "¯", 23: "˚", 24: "¸", 25: "ß", 26: "æ", 27: "œ", 28: "ø",
+    29: "Æ", 30: "Œ", 31: "Ø", 34: "”", 60: "¡", 62: "¿", 92: "“",
+    94: "ˆ", 95: "˙", 96: "‘", 123: "–", 124: "—", 125: "˝",
+    126: "˜", 127: "¨",
+}
+
+_TEX_OMS = {
+    i: ch
+    for i, ch in enumerate(
+        "−·×∗÷⋄±∓⊕⊖⊗⊘⊙○∘∙"      # 0-15 (15 = the itemize bullet)
+        "≍≡⊆⊇≤≥≼≽∼≈⊂⊃≪≫≺≻"      # 16-31
+        "←→↑↓↔↗↘≃⇐⇒⇑⇓⇔↖↙∝"      # 32-47
+        "′∞∈∋△▽̸↦∀∃¬∅ℜℑ⊤⊥"       # 48-63
+        "ℵABCDEFGHIJKLMNOPQRSTUVWXYZ∪∩⊎∧"  # 64-95 head
+        "∨⊢⊣⌊⌋⌈⌉{}⟨⟩|∥↕⇕∖"       # 95.. cont
+        "≀√⨿∇∫⊔⊓⊑⊒§†‡¶♣♦♥♠"      # ..127
+    )
+}
+
+_TEX_OML = {
+    **{i: ch for i, ch in enumerate("ΓΔΘΛΞΠΣΥΦΨΩ")},          # 0-10 italic caps
+    **{
+        11 + i: ch
+        for i, ch in enumerate("αβγδεζηθικλμνξπρστυφχψω")     # 11-33
+    },
+    34: "ε", 35: "ϑ", 36: "ϖ", 37: "ϱ", 38: "ς", 39: "ϕ",
+    40: "↼", 41: "↽", 42: "⇀", 43: "⇁",
+    58: ".", 59: ",", 60: "<", 61: "/", 62: ">", 63: "⋆",
+    64: "∂", 91: "♭", 92: "♮", 93: "♯", 94: "⌣", 95: "⌢",
+    96: "ℓ", 123: "ı", 124: "ȷ", 125: "℘", 126: "⃗", 127: "⁀",
+}
+
+_TEX_FONT_FAMILIES = (
+    (re.compile(rb"CMSY\d"), _TEX_OMS),
+    (re.compile(rb"CMMI\d"), _TEX_OML),
+    (
+        re.compile(rb"CM(?:R|BX|TI|SL|CSC|SS|SSI|SSBX|BXTI|BXSL|B|U)\d"),
+        _TEX_OT1,
+    ),
+)
+_TEX_MARKERS = (b"CMSY", b"CMMI", b"CMR", b"CMBX", b"CMTI", b"CMSL")
+
+_PDF_BASEFONT = re.compile(rb"/BaseFont\s*/([^\s<>\[\]()/%]+)")
+
+
+def _font_base_encoding(
+    font_obj: bytes,
+) -> "tuple[int, dict[int, str]] | None":
+    """Built-in decode table for a subset TeX CM font identified by its
+    /BaseFont name (e.g. ``/KGFModU+CMSY10``) when the font carries
+    neither /ToUnicode nor /Differences."""
+    bm = _PDF_BASEFONT.search(font_obj)
+    if not bm:
+        return None
+    base = bm.group(1)
+    for pat, table in _TEX_FONT_FAMILIES:
+        if pat.search(base):
+            return (1, table)
+    return None
+
+
 def _font_differences(
     font_obj: bytes, objs: dict[int, bytes]
 ) -> "tuple[int, dict[int, str]] | None":
@@ -970,7 +1047,7 @@ def _pdf_font_cmaps(
     must also consider them: in an ObjStm file the marker only exists
     compressed). The CMap stream itself is always a top-level stream
     object (streams cannot nest in an ObjStm, §7.5.7)."""
-    markers = (b"/ToUnicode", b"/Differences")
+    markers = (b"/ToUnicode", b"/Differences", *_TEX_MARKERS)
     if (
         not any(mk in payload for mk in markers)
         and b"/ObjStm" not in payload
@@ -1009,6 +1086,11 @@ def _pdf_font_cmaps(
                     # custom /Encoding /Differences still yields a
                     # 1-byte decode table
                     cmap = _font_differences(font_obj, objs)
+                if cmap is None:
+                    # subset TeX CM font (no ToUnicode, no
+                    # Differences): glyph codes follow the published
+                    # TeX encodings — OMS/OML/OT1 by /BaseFont name
+                    cmap = _font_base_encoding(font_obj)
                 if cmap is not None:
                     fonts[name] = cmap
     return fonts
@@ -1037,10 +1119,16 @@ def pdf_extract_text(payload: bytes) -> str:
     tracks the active font through Tf — so subset-font text (the
     "glyph codes, not characters" case) comes out readable.
 
+    Subset TeX Computer Modern fonts without /ToUnicode decode through
+    built-in TeX base encodings (OMS for cmsy — itemize bullets, OML
+    for cmmi Greek, OT1 ligature/accent slots for the cmr family),
+    validated against the container's TeX-produced manuals.
+
     Honest limits vs pypdf (the reference's decoder, reader.py:310-333):
-    fonts with a custom /Encoding//Differences but NO /ToUnicode still
-    decode as raw bytes, and 12-bit-pixel PNG predictors (colors=3,
-    bpc=4 — an odd byte stride) are skipped rather than garbled. Objects
+    non-CM fonts with a builtin symbolic encoding and no /ToUnicode//
+    /Differences still decode as raw bytes, and 12-bit-pixel PNG
+    predictors (colors=3, bpc=4 — an odd byte stride) are skipped
+    rather than garbled. Objects
     are found by scan, not by xref walking — which also finds them in
     linearized files, and since r10 the scan EXPANDS /Type /ObjStm
     object streams (§7.5.7), so font/page dicts packed compressed in

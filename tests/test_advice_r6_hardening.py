@@ -881,3 +881,78 @@ def test_pdf_incremental_update_font_object_precedence():
     assert pdf_extract_text(base) == "A"  # <01> -> U+0041
     updated = base + cmap_obj(5, b"5A") + b"startxref\n0\n%%EOF\n"
     assert pdf_extract_text(updated) == "Z"  # live CMap maps to U+005A
+
+
+# ---------------------------------------------------------------------------
+# TeX Computer Modern base encodings (NOTES r10 honest-limit closure):
+# subset CM fonts without /ToUnicode or /Differences decode through the
+# published TeX encodings — OMS (cmsy), OT1 (cmr family), OML (cmmi)
+# ---------------------------------------------------------------------------
+
+
+def _tex_font_pdf(basefont: bytes, content: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Page /Resources <</Font <</F1 5 0 R>>>>>>\n"
+        b"endobj\n"
+        b"5 0 obj\n<</Type /Font /Subtype /Type1 /BaseFont /" + basefont
+        + b">>\nendobj\n"
+        b"2 0 obj\n<</Length " + str(len(content)).encode() + b">>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"trailer\n<<>>\n%%EOF"
+    )
+
+
+def test_pdf_tex_base_encodings():
+    # cmsy: code 15 is the itemize bullet (the libtasn1 case), 32/33
+    # the arrows; subset prefix on the name is the common form
+    p = _tex_font_pdf(
+        b"KGFModU+CMSY10", b"BT /F1 10 Tf <0F2021> Tj ET"
+    )
+    assert pdf_extract_text(p) == "∙←→"
+    # cmr (OT1): fi/fl ligatures at 12/13, em-dash at 124; plain ASCII
+    # letters pass through the latin-1 fallback untouched
+    p2 = _tex_font_pdf(b"ABCDEF+CMR10", b"BT /F1 10 Tf (\x0cne \x0day|abc) Tj ET")
+    assert pdf_extract_text(p2) == "fine flay—abc"
+    # cmmi (OML): Greek lowercase block starts at 11
+    p3 = _tex_font_pdf(b"CMMI12", b"BT /F1 12 Tf <0B0C> Tj ET")
+    assert pdf_extract_text(p3) == "αβ"
+    # a ToUnicode CMap still wins over the base-encoding fallback
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<0F> <0051>\nendbfchar\n"
+        b"endcmap\n"
+    )
+    p4 = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Page /Resources <</Font <</F1 5 0 R>>>>>>\n"
+        b"endobj\n"
+        b"5 0 obj\n<</Type /Font /BaseFont /CMSY10 /ToUnicode 7 0 R>>\n"
+        b"endobj\n"
+        b"7 0 obj\n<</Length " + str(len(cmap)).encode() + b">>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<</Length 22>>\nstream\n"
+        b"BT /F1 10 Tf <0F> Tj ET\nendstream\nendobj\n"
+        b"trailer\n<<>>\n%%EOF"
+    )
+    assert pdf_extract_text(p4) == "Q"
+    # non-CM fonts are untouched (no table, latin-1 fallback)
+    p5 = _tex_font_pdf(b"Helvetica", b"BT /F1 10 Tf (plain) Tj ET")
+    assert pdf_extract_text(p5) == "plain"
+
+
+def test_pdf_tex_encoding_real_manual_bullets():
+    """The 38 itemize bullets in the container's TeX-produced libtasn1
+    manual are cmsy code 15 in an ObjStm-packed subset font without
+    ToUnicode — they must surface as '∙', not raw control bytes."""
+    import pathlib
+
+    import pytest
+
+    src = pathlib.Path("/usr/share/doc/libtasn1-doc/libtasn1.pdf")
+    if not src.exists():
+        pytest.skip("libtasn1 manual not in container")
+    text = pdf_extract_text(src.read_bytes())
+    assert text.count("∙") == 38
+    assert "\x0f" not in text
