@@ -41,7 +41,6 @@ me.uk
 ltd.uk
 plc.uk
 net.uk
-sch.uk
 ac.uk
 gov.uk
 nhs.uk
@@ -879,6 +878,12 @@ name.hr
 // ie / lt
 gov.ie
 gov.lt
+// wildcard registries absent from the earlier blocks: UK schools
+// register one level under *.sch.uk; jm and pg delegate everything
+// at the third level
+*.sch.uk
+*.jm
+*.pg
 // ---- Private section (r11 additions) ----
 // blogspot per-country registrations (Google; the published list
 // carries ~70 — this block adds the widely-used ones to the 8 above)
