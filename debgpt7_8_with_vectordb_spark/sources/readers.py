@@ -931,6 +931,29 @@ _TEX_OML = {
     96: "ℓ", 123: "ı", 124: "ȷ", 125: "℘", 126: "⃗", 127: "⁀",
 }
 
+# Adobe Symbol (PDF 1.7 Annex D.5): Greek on the latin letter slots
+# plus the unambiguous math/punct slots. Digits and ASCII punctuation
+# that coincide with StandardEncoding are left to the latin-1 fallback.
+_ADOBE_SYMBOL = {
+    **{
+        0x41 + i: ch
+        for i, ch in enumerate("ΑΒΧΔΕΦΓΗΙϑΚΛΜΝΟΠΘΡΣΤΥςΩΞΨΖ")
+    },
+    **{
+        0x61 + i: ch
+        for i, ch in enumerate("αβχδεφγηιϕκλμνοπθρστυϖωξψζ")
+    },
+    0x22: "∀", 0x24: "∃", 0x27: "∍", 0x40: "≅", 0x5E: "⊥",
+    0xA2: "′", 0xA3: "≤", 0xA5: "∞", 0xB1: "±", 0xB3: "≥",
+    0xB4: "×", 0xB7: "•", 0xB8: "÷", 0xB9: "≠", 0xBA: "≡",
+    0xBB: "≈", 0xC5: "⊕", 0xC4: "⊗", 0xCE: "∈", 0xCF: "∉",
+    0xD6: "√", 0xD9: "∧", 0xDA: "∨", 0xDB: "⇔", 0xDC: "⇐",
+    0xDD: "⇑", 0xDE: "⇒", 0xDF: "⇓", 0xAC: "←", 0xAD: "↑",
+    0xAE: "→", 0xAF: "↓", 0xAB: "↔", 0xB6: "∂", 0xC7: "∩",
+    0xC8: "∪", 0xC9: "⊃", 0xCA: "⊇", 0xCB: "⊄", 0xCC: "⊂",
+    0xCD: "⊆", 0xD1: "∇", 0xE5: "∑", 0xD5: "∏", 0xF2: "∫",
+}
+
 _TEX_FONT_FAMILIES = (
     (re.compile(rb"CMSY\d"), _TEX_OMS),
     (re.compile(rb"CMMI\d"), _TEX_OML),
@@ -938,8 +961,10 @@ _TEX_FONT_FAMILIES = (
         re.compile(rb"CM(?:R|BX|TI|SL|CSC|SS|SSI|SSBX|BXTI|BXSL|B|U)\d"),
         _TEX_OT1,
     ),
+    (re.compile(rb"\ASymbol\Z|\+Symbol\Z"), _ADOBE_SYMBOL),
 )
-_TEX_MARKERS = (b"CMSY", b"CMMI", b"CMR", b"CMBX", b"CMTI", b"CMSL")
+_TEX_MARKERS = (b"CMSY", b"CMMI", b"CMR", b"CMBX", b"CMTI", b"CMSL",
+                b"Symbol")
 
 _PDF_BASEFONT = re.compile(rb"/BaseFont\s*/([^\s<>\[\]()/%]+)")
 
@@ -1125,10 +1150,11 @@ def pdf_extract_text(payload: bytes) -> str:
     validated against the container's TeX-produced manuals.
 
     Honest limits vs pypdf (the reference's decoder, reader.py:310-333):
-    non-CM fonts with a builtin symbolic encoding and no /ToUnicode//
-    /Differences still decode as raw bytes, and 12-bit-pixel PNG
-    predictors (colors=3, bpc=4 — an odd byte stride) are skipped
-    rather than garbled. Objects
+    symbolic fonts beyond CM and Adobe Symbol (ZapfDingbats, wholly
+    custom ornament fonts) without /ToUnicode or /Differences still
+    decode as raw bytes, and 12-bit-pixel PNG predictors (colors=3,
+    bpc=4 — an odd byte stride) are skipped rather than garbled.
+    Objects
     are found by scan, not by xref walking — which also finds them in
     linearized files, and since r10 the scan EXPANDS /Type /ObjStm
     object streams (§7.5.7), so font/page dicts packed compressed in

@@ -956,3 +956,16 @@ def test_pdf_tex_encoding_real_manual_bullets():
     text = pdf_extract_text(src.read_bytes())
     assert text.count("∙") == 38
     assert "\x0f" not in text
+
+
+def test_pdf_adobe_symbol_base_encoding():
+    """Adobe Symbol (PDF 1.7 Annex D.5) without ToUnicode: Greek rides
+    the latin letter slots; math slots map; StandardEncoding-coincident
+    bytes fall through latin-1 untouched."""
+    p = _tex_font_pdf(b"Symbol", b"BT /F1 10 Tf (abgd) Tj ET")
+    assert pdf_extract_text(p) == "αβγδ"
+    p2 = _tex_font_pdf(b"KGHIJK+Symbol", b"BT /F1 10 Tf (W) Tj <B7A5> Tj ET")
+    assert pdf_extract_text(p2) == "Ω•∞"
+    # a font merely CONTAINING 'Symbol' in a longer name is not matched
+    p3 = _tex_font_pdf(b"MySymbolic-Sans", b"BT /F1 10 Tf (abgd) Tj ET")
+    assert pdf_extract_text(p3) == "abgd"
