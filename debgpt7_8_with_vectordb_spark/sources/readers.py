@@ -190,14 +190,14 @@ _PDF_DIRECT_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 
 def _iter_pdf_streams(payload: bytes):
-    """Yield ``(dict_bytes, body_bytes, dict_start)`` for every stream
-    object (``dict_start`` lets callers match a stream to its
-    enclosing object span — the incremental-update liveness check).
-    Body bounds come from the dict's direct ``/Length`` when present
-    and consistent (an ``endstream`` keyword follows within spec
-    whitespace); otherwise fall back to scanning for the next
-    ``endstream`` token — correct for filterless bodies, best-effort
-    for indirect-/Length compressed ones."""
+    """Yield ``(dict_bytes, body_bytes, dict_start, body_start)`` for
+    every stream object (the offsets let callers match a stream to its
+    enclosing object span and mask body bytes — the incremental-update
+    liveness check). Body bounds come from the dict's direct
+    ``/Length`` when present and consistent (an ``endstream`` keyword
+    follows within spec whitespace); otherwise fall back to scanning
+    for the next ``endstream`` token — correct for filterless bodies,
+    best-effort for indirect-/Length compressed ones."""
     pos, n = 0, len(payload)
     while pos < n:
         m = _PDF_STREAM.search(payload, pos)
@@ -208,7 +208,7 @@ def _iter_pdf_streams(payload: bytes):
         if lm:
             end = body_start + int(lm.group(1))
             if end <= n and re.match(rb"(?:\r\n|\r|\n)?\s*endstream", payload[end : end + 16]):
-                yield d, payload[body_start:end], m.start()
+                yield d, payload[body_start:end], m.start(), body_start
                 pos = end
                 continue
         idx = payload.find(b"endstream", body_start)
@@ -219,7 +219,7 @@ def _iter_pdf_streams(payload: bytes):
             body = body[:-2]
         elif body.endswith((b"\n", b"\r")):
             body = body[:-1]
-        yield d, body, m.start()
+        yield d, body, m.start(), body_start
         pos = idx + len(b"endstream")
 _PDF_ESCAPES = {
     ord("n"): 0x0A, ord("r"): 0x0D, ord("t"): 0x09, ord("b"): 0x08,
@@ -714,7 +714,10 @@ def _pdf_object_index(payload: bytes) -> tuple[dict[int, bytes], list[bytes]]:
             objs[num] = body
 
     slices: list[tuple[int, bytes]] = []
+    bodies = _pdf_stream_body_spans(payload)
     for m in _PDF_OBJ.finditer(payload):
+        if _in_spans(bodies, m.start()):
+            continue  # compressed bytes spelling 'N G obj', not a header
         end = payload.find(b"endobj", m.end())
         if end < 0:
             continue
@@ -761,18 +764,37 @@ def _pdf_object_index(payload: bytes) -> tuple[dict[int, bytes], list[bytes]]:
     return objs, spaces
 
 
+def _pdf_stream_body_spans(payload: bytes) -> list[tuple[int, int]]:
+    """Byte spans of stream BODIES — compressed bytes can coincidentally
+    contain ``N G obj`` patterns, and a raw object scan must not treat
+    those as object headers (with latest-wins precedence a spurious
+    in-body match could otherwise displace the REAL object)."""
+    return [
+        (body_start, body_start + len(body))
+        for _d, body, _start, body_start in _iter_pdf_streams(payload)
+    ]
+
+
+def _in_spans(spans: list[tuple[int, int]], i: int) -> bool:
+    return any(s <= i < e for s, e in spans)
+
+
 def _pdf_superseded_spans(payload: bytes) -> list[tuple[int, int]]:
     """Byte spans of raw ``N G obj .. endobj`` occurrences that are NOT
     the live version of their object number — the superseded originals
     in an incrementally-updated file, whose stale content streams must
     not be extracted alongside the appended replacements. Single-
     ``startxref`` files (never updated: the overwhelming crawl case)
-    short-circuit to []."""
+    short-circuit to []. Matches inside stream bodies are ignored
+    (compressed bytes spelling ``N G obj`` are not object headers)."""
     if payload.count(b"startxref") <= 1:
         return []
+    bodies = _pdf_stream_body_spans(payload)
     best: dict[int, tuple[int, int]] = {}
     occ: list[tuple[int, tuple[int, int], int, int]] = []
     for m in _PDF_OBJ.finditer(payload):
+        if _in_spans(bodies, m.start()):
+            continue
         end = payload.find(b"endobj", m.end())
         if end < 0:
             continue
@@ -786,7 +808,7 @@ def _pdf_superseded_spans(payload: bytes) -> list[tuple[int, int]]:
 def _decode_object_stream(obj: bytes) -> bytes | None:
     """Decode the (single) stream inside an object slice through its
     filter chain + predictor."""
-    for d, data, _pos in _iter_pdf_streams(obj):
+    for d, data, _pos, _bpos in _iter_pdf_streams(obj):
         decoded: bytes | None = data
         for name in _pdf_filters(d):
             decoded = _pdf_apply_filter(name, decoded)
@@ -1173,7 +1195,7 @@ def pdf_extract_text(payload: bytes) -> str:
     texts: list[str] = []
     fonts = _pdf_font_cmaps(payload)
     dead = _pdf_superseded_spans(payload)
-    for d, data, pos in _iter_pdf_streams(payload):
+    for d, data, pos, _bpos in _iter_pdf_streams(payload):
         if dead and any(s <= pos < e for s, e in dead):
             continue  # superseded original in an incremental update
         decoded: bytes | None = data

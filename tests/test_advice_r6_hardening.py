@@ -969,3 +969,26 @@ def test_pdf_adobe_symbol_base_encoding():
     # a font merely CONTAINING 'Symbol' in a longer name is not matched
     p3 = _tex_font_pdf(b"MySymbolic-Sans", b"BT /F1 10 Tf (abgd) Tj ET")
     assert pdf_extract_text(p3) == "abgd"
+
+
+def test_pdf_obj_pattern_inside_stream_body_is_not_a_header():
+    """Compressed bytes can coincidentally spell 'N G obj'; with
+    latest-wins incremental precedence such a match must NOT displace
+    the real object or mark it superseded (the match is masked because
+    it falls inside a stream body)."""
+    import zlib
+
+    decoy_content = b"\x80noise 1 0 obj <<>> garbage endobj noise\x80"
+    decoy = zlib.compress(decoy_content, 0)  # stored blocks: literal bytes
+    assert b"1 0 obj" in decoy
+    p = (
+        b"%PDF-1.4\n"
+        + _content_obj(1, 0, b"real")
+        + b"startxref\n0\n%%EOF\n"
+        # appended revision carrying the decoy stream (object 9)
+        + b"9 0 obj\n<</Length " + str(len(decoy)).encode()
+        + b" /Filter /FlateDecode>>\nstream\n" + decoy
+        + b"\nendstream\nendobj\n"
+        + b"startxref\n0\n%%EOF\n"
+    )
+    assert pdf_extract_text(p) == "real"
