@@ -58,6 +58,51 @@ def load_rebase_map() -> dict[str, str]:
         return dict(_REBASE_FALLBACK)
 
 
+def normalize_vs_anchor(
+    vs_anchor: dict[str, float], anchors: dict[str, dict], calib_sec: float
+) -> dict[str, float]:
+    """Machine-speed-normalized anchor ratios (VERDICT r11 #1): the 2x
+    anchor contract is GATED on these; the raw ratios stay reported. A
+    wall measured on a box running 1.5x slower than the anchor-era box
+    is not a regression — normalize both sides by their calib_sec:
+
+      vs_calib = (wall_now / calib_now) / (wall_anchor / calib_anchor)
+               = raw_ratio * calib_anchor / calib_now
+
+    Queries whose anchor round has no calib entry (or a non-positive
+    current calib) are left out — the raw table still carries them."""
+    if not calib_sec or calib_sec <= 0:
+        return {}
+    return {
+        q: round(r * anchors[q]["calib"] / calib_sec, 3)
+        for q, r in vs_anchor.items()
+        if "calib" in anchors.get(q, {})
+    }
+
+
+def _median(values) -> float | None:
+    vals = sorted(values)
+    return round(vals[len(vals) // 2], 3) if vals else None
+
+
+def load_anchor_calib() -> dict[str, float]:
+    """round ("rN") -> calib_sec of the box that recorded that round's
+    BENCH line, from BASELINE.json's ``anchor_calib`` key (VERDICT r11
+    #1: the 2x anchor contract is adjudicated machine-speed-normalized;
+    r10+ calibs are recorded, r1-r9 inferred — provenance documented in
+    the map's _comment)."""
+    try:
+        with open(os.path.join(_REPO_DIR, "BASELINE.json")) as fh:
+            m = json.load(fh).get("anchor_calib", {})
+        return {
+            str(k): float(v)
+            for k, v in m.items()
+            if not str(k).startswith("_") and float(v) > 0
+        }
+    except (OSError, ValueError, AttributeError, TypeError):
+        return {}
+
+
 def _bench_rounds() -> list[tuple[int, dict]]:
     """(round number, per-query seconds) for every recorded BENCH round,
     ascending."""
@@ -84,6 +129,7 @@ def resolve_anchors(names) -> dict[str, dict]:
     ``{query: {"sec": s, "round": "rN"}}``."""
     rebase = load_rebase_map()
     rounds = _bench_rounds()
+    calib = load_anchor_calib()
     anchors: dict[str, dict] = {}
     for q in names:
         floor = int(rebase[q][1:]) if q in rebase else 0
@@ -93,6 +139,8 @@ def resolve_anchors(names) -> dict[str, dict]:
             v = table.get(q)
             if isinstance(v, (int, float)):
                 anchors[q] = {"sec": float(v), "round": f"r{rn}"}
+                if f"r{rn}" in calib:
+                    anchors[q]["calib"] = calib[f"r{rn}"]
                 break
     return anchors
 
@@ -381,9 +429,12 @@ def main() -> None:
         for q, a in anchors.items()
         if a["sec"] > 0
     }
-    ratios = sorted(vs_anchor.values())
-    vs_median = (
-        round(ratios[len(ratios) // 2], 3) if ratios else None
+    vs_anchor_calib = normalize_vs_anchor(vs_anchor, anchors, calib_sec)
+    vs_median = _median(vs_anchor.values())
+    vs_calib_median = _median(vs_anchor_calib.values())
+    breaches_raw = sorted(q for q, r in vs_anchor.items() if r > 2.0)
+    breaches_calib = sorted(
+        q for q, r in vs_anchor_calib.items() if r > 2.0
     )
     payload = {
         "metric": "headline_queries_total_wall",
@@ -411,6 +462,14 @@ def main() -> None:
         "vs_anchor_median": vs_median,
         "anchors": anchors,
         "vs_anchor": vs_anchor,
+        # machine-speed-normalized ratios: the 2x contract gates on
+        # THESE (VERDICT r11 #1); anchor-era calibs from BASELINE.json
+        "vs_anchor_calib_median": vs_calib_median,
+        "vs_anchor_calib": vs_anchor_calib,
+        # queries over the 2x bar, raw and calib-normalized — the
+        # normalized list is the contract, the raw one is context
+        "breaches_raw": breaches_raw,
+        "breaches_calib": breaches_calib,
         # round-7 lesson: concurrent pytest contaminates min-of-3 by
         # 1.3-1.7x; the runner now waits for machine-quiet (see
         # wait_for_quiet) and flags runs that never got it
@@ -475,7 +534,7 @@ def _budgeted_line(payload: dict) -> str:
     payload = {
         k: v
         for k, v in payload.items()
-        if k not in ("runs_detail", "anchors", "vs_anchor")
+        if k not in ("runs_detail", "anchors", "vs_anchor", "vs_anchor_calib")
     }
     times = payload["queries"]
     ordered = [n for n in _R1_ANCHOR if n in times] + [

@@ -25,6 +25,9 @@ def _payload(times):
         # the real stdout extras — the budget test must price them in
         "rebased": dict(bench._REBASE_FALLBACK),
         "vs_anchor_median": 0.574,
+        "vs_anchor_calib_median": 0.574,
+        "breaches_raw": [],
+        "breaches_calib": [],
         "quiet": True,
         "calib_sec": 12.345,
     }
@@ -148,9 +151,65 @@ def test_anchors_resolve_through_rebase_map():
 
 def test_anchor_tables_stripped_from_stdout_line():
     payload = _payload({"a": 1.0})
-    payload["anchors"] = {"a": {"sec": 1.0, "round": "r1"}}
+    payload["anchors"] = {"a": {"sec": 1.0, "round": "r1", "calib": 0.7}}
     payload["vs_anchor"] = {"a": 1.0}
+    payload["vs_anchor_calib"] = {"a": 1.0}
     payload["vs_anchor_median"] = 1.0
     parsed = json.loads(bench._budgeted_line(payload))
     assert "anchors" not in parsed and "vs_anchor" not in parsed
+    assert "vs_anchor_calib" not in parsed
     assert parsed["vs_anchor_median"] == 1.0
+    # the calib-normalized median and the breach lists (the 2x contract
+    # gate — VERDICT r11 #1) must SURVIVE on the stdout line
+    assert parsed["vs_anchor_calib_median"] == 0.574
+    assert parsed["breaches_raw"] == [] and parsed["breaches_calib"] == []
+
+
+def test_anchor_calib_lives_in_baseline_json():
+    """VERDICT r11 #1: anchor-era machine speed is machine-readable in
+    BASELINE.json; r10+ entries must equal the calib_sec recorded on
+    those rounds' own BENCH lines, and every round a resolved anchor
+    can point at must have an entry (so the normalized gate never
+    silently skips a query)."""
+    import os
+
+    calib = bench.load_anchor_calib()
+    assert calib, "anchor_calib map missing from BASELINE.json"
+    for rnd in ("r10", "r11"):
+        path = os.path.join(
+            os.path.dirname(bench.__file__), f"BENCH_r{int(rnd[1:]):02d}.json"
+        )
+        if not os.path.exists(path):
+            continue
+        recorded = json.load(open(path))["parsed"]["calib_sec"]
+        assert calib[rnd] == recorded, f"{rnd}: stamped {calib[rnd]} != recorded {recorded}"
+    if os.path.exists(
+        os.path.join(os.path.dirname(bench.__file__), "BENCH_r01.json")
+    ):
+        anchors = bench.resolve_anchors(bench.HEADLINE)
+        missing = sorted(
+            {a["round"] for a in anchors.values()} - set(calib)
+        )
+        assert missing == [], f"anchor rounds without a calib entry: {missing}"
+        # and resolve_anchors must have stamped the calib through
+        assert all("calib" in a for a in anchors.values())
+
+
+def test_calib_normalization_math():
+    """vs_calib = raw * anchor_calib / current_calib; queries without
+    an anchor calib drop out of the normalized table (still raw)."""
+    anchors = {
+        "fast_box_anchor": {"sec": 1.0, "round": "r9", "calib": 0.6},
+        "same_box_anchor": {"sec": 1.0, "round": "r10", "calib": 1.2},
+        "no_calib_anchor": {"sec": 1.0, "round": "r3"},
+    }
+    raw = {"fast_box_anchor": 2.08, "same_box_anchor": 2.08,
+           "no_calib_anchor": 2.08}
+    norm = bench.normalize_vs_anchor(raw, anchors, calib_sec=1.2)
+    # anchor box was 2x faster: a 2.08x raw wall is 1.04x normalized
+    assert norm["fast_box_anchor"] == 1.04
+    # same-speed box: normalization is identity
+    assert norm["same_box_anchor"] == 2.08
+    assert "no_calib_anchor" not in norm
+    # degenerate current calib -> no normalized table (never divide by 0)
+    assert bench.normalize_vs_anchor(raw, anchors, 0.0) == {}
