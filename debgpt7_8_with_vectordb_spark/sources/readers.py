@@ -16,6 +16,7 @@ non-UTF-8 files surface as replacement chars; a filter drops them.
 
 from __future__ import annotations
 
+import bisect
 import os
 import re
 import subprocess
@@ -652,6 +653,10 @@ def _pdf_unpredict(d: bytes, data: bytes) -> bytes | None:
                 packed = (packed << bpc) | v
             packed <<= pad
             out += packed.to_bytes(stride, "big")
+        # ADVICE r11: keep a trailing partial row as-is, matching the
+        # bpc=8/16 paths (which start from bytearray(data) and only
+        # rewrite full rows) — output length always equals input length
+        out += data[len(out):]
         return bytes(out)
     if pred >= 10:
         from ..operators.multimodal import _png_unfilter
@@ -679,7 +684,27 @@ _PDF_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _PDF_HEXSTR = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
 
-def _pdf_object_index(payload: bytes) -> tuple[dict[int, bytes], list[bytes]]:
+class _SpanCache:
+    """Stream-body spans computed at most ONCE per payload (ADVICE r11:
+    pdf_extract_text walked _iter_pdf_streams up to three times — the
+    object-index mask, the superseded-span pass, and extraction each
+    recomputed the spans). Consumers share one instance; the compute
+    stays lazy so cheap early-outs (no font markers, single startxref)
+    never pay for the walk."""
+
+    def __init__(self, payload: bytes) -> None:
+        self._payload = payload
+        self._spans: list[tuple[int, int]] | None = None
+
+    def get(self) -> list[tuple[int, int]]:
+        if self._spans is None:
+            self._spans = _pdf_stream_body_spans(self._payload)
+        return self._spans
+
+
+def _pdf_object_index(
+    payload: bytes, span_cache: "_SpanCache | None" = None
+) -> tuple[dict[int, bytes], list[bytes]]:
     """(obj number → object bytes, decoded ObjStm bodies), by scan —
     the same linearization-tolerant approach as the stream walk (no
     xref table needed).
@@ -714,7 +739,7 @@ def _pdf_object_index(payload: bytes) -> tuple[dict[int, bytes], list[bytes]]:
             objs[num] = body
 
     slices: list[tuple[int, bytes]] = []
-    bodies = _pdf_stream_body_spans(payload)
+    bodies = (span_cache or _SpanCache(payload)).get()
     for m in _PDF_OBJ.finditer(payload):
         if _in_spans(bodies, m.start()):
             continue  # compressed bytes spelling 'N G obj', not a header
@@ -768,7 +793,9 @@ def _pdf_stream_body_spans(payload: bytes) -> list[tuple[int, int]]:
     """Byte spans of stream BODIES — compressed bytes can coincidentally
     contain ``N G obj`` patterns, and a raw object scan must not treat
     those as object headers (with latest-wins precedence a spurious
-    in-body match could otherwise displace the REAL object)."""
+    in-body match could otherwise displace the REAL object). Ascending
+    and disjoint (_iter_pdf_streams advances monotonically), which is
+    what lets _in_spans bisect."""
     return [
         (body_start, body_start + len(body))
         for _d, body, _start, body_start in _iter_pdf_streams(payload)
@@ -776,20 +803,37 @@ def _pdf_stream_body_spans(payload: bytes) -> list[tuple[int, int]]:
 
 
 def _in_spans(spans: list[tuple[int, int]], i: int) -> bool:
-    return any(s <= i < e for s, e in spans)
+    """Membership in sorted disjoint spans by bisect (ADVICE r11: the
+    linear scan made the raw-header mask O(matches x streams) on
+    stream-heavy or hostile PDFs)."""
+    k = bisect.bisect_right(spans, (i, float("inf"))) - 1
+    return k >= 0 and spans[k][0] <= i < spans[k][1]
 
 
-def _pdf_superseded_spans(payload: bytes) -> list[tuple[int, int]]:
+def _pdf_superseded_spans(
+    payload: bytes, span_cache: "_SpanCache | None" = None
+) -> list[tuple[int, int]]:
     """Byte spans of raw ``N G obj .. endobj`` occurrences that are NOT
     the live version of their object number — the superseded originals
     in an incrementally-updated file, whose stale content streams must
     not be extracted alongside the appended replacements. Single-
     ``startxref`` files (never updated: the overwhelming crawl case)
     short-circuit to []. Matches inside stream bodies are ignored
-    (compressed bytes spelling ``N G obj`` are not object headers)."""
+    (compressed bytes spelling ``N G obj`` are not object headers) —
+    and so are ``startxref`` tokens inside bodies (ADVICE r11: a
+    compressed byte run spelling ``startxref`` must not enable this
+    pass, and its extra scans, on a never-updated file)."""
     if payload.count(b"startxref") <= 1:
         return []
-    bodies = _pdf_stream_body_spans(payload)
+    bodies = (span_cache or _SpanCache(payload)).get()
+    outside = 0
+    for m in re.finditer(rb"startxref", payload):
+        if not _in_spans(bodies, m.start()):
+            outside += 1
+            if outside > 1:
+                break
+    if outside <= 1:
+        return []
     best: dict[int, tuple[int, int]] = {}
     occ: list[tuple[int, tuple[int, int], int, int]] = []
     for m in _PDF_OBJ.finditer(payload):
@@ -991,12 +1035,35 @@ _TEX_MARKERS = (b"CMSY", b"CMMI", b"CMR", b"CMBX", b"CMTI", b"CMSL",
 _PDF_BASEFONT = re.compile(rb"/BaseFont\s*/([^\s<>\[\]()/%]+)")
 
 
+_PDF_STD_ENCODING = re.compile(
+    rb"/(?:WinAnsi|MacRoman|MacExpert|Standard)Encoding\b"
+)
+
+
 def _font_base_encoding(
-    font_obj: bytes,
+    font_obj: bytes, objs: "dict[int, bytes] | None" = None
 ) -> "tuple[int, dict[int, str]] | None":
     """Built-in decode table for a subset TeX CM font identified by its
     /BaseFont name (e.g. ``/KGFModU+CMSY10``) when the font carries
-    neither /ToUnicode nor /Differences."""
+    neither /ToUnicode nor /Differences.
+
+    ADVICE r11: a RE-ENCODED font whose /BaseFont merely matches a CM
+    name but which declares a standard /Encoding (WinAnsi/MacRoman/
+    MacExpert/Standard — inline name, inline dict /BaseEncoding, or an
+    indirect encoding object) uses that encoding's ASCII slots; the TeX
+    tables would wrongly remap ``" < > \\ { | } ^ _ ```` via OT1, so
+    the by-name fallback is skipped for those fonts."""
+    enc: bytes | None = None
+    em = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", font_obj)
+    if em and objs is not None:
+        enc = objs.get(int(em.group(1)))
+    if enc is None:
+        im = re.search(
+            rb"/Encoding\s*(<<.*?>>|/[A-Za-z]+)", font_obj, re.DOTALL
+        )
+        enc = im.group(1) if im else None
+    if enc is not None and _PDF_STD_ENCODING.search(enc):
+        return None
     bm = _PDF_BASEFONT.search(font_obj)
     if not bm:
         return None
@@ -1082,7 +1149,7 @@ def _parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
 
 
 def _pdf_font_cmaps(
-    payload: bytes,
+    payload: bytes, span_cache: "_SpanCache | None" = None
 ) -> dict[bytes, tuple[int, dict[int, str]]]:
     """Resource name (b"F1") → ToUnicode CMap, resolved through the
     scanned object index: /Font <</F1 5 0 R>> → object 5's /ToUnicode
@@ -1100,7 +1167,7 @@ def _pdf_font_cmaps(
         and b"/ObjStm" not in payload
     ):
         return {}
-    objs, objstm_bodies = _pdf_object_index(payload)
+    objs, objstm_bodies = _pdf_object_index(payload, span_cache)
     spaces = [payload, *objstm_bodies]
     if not any(mk in s for mk in markers for s in spaces):
         return {}
@@ -1137,7 +1204,7 @@ def _pdf_font_cmaps(
                     # subset TeX CM font (no ToUnicode, no
                     # Differences): glyph codes follow the published
                     # TeX encodings — OMS/OML/OT1 by /BaseFont name
-                    cmap = _font_base_encoding(font_obj)
+                    cmap = _font_base_encoding(font_obj, objs)
                 if cmap is not None:
                     fonts[name] = cmap
     return fonts
@@ -1193,8 +1260,9 @@ def pdf_extract_text(payload: bytes) -> str:
     uncompressed, Flate, LZW, A85, hex, RunLength, chained-filter,
     TJ-kerned, escaped and hex-string cases."""
     texts: list[str] = []
-    fonts = _pdf_font_cmaps(payload)
-    dead = _pdf_superseded_spans(payload)
+    spans = _SpanCache(payload)  # ADVICE r11: one stream walk, shared
+    fonts = _pdf_font_cmaps(payload, spans)
+    dead = _pdf_superseded_spans(payload, spans)
     for d, data, pos, _bpos in _iter_pdf_streams(payload):
         if dead and any(s <= pos < e for s, e in dead):
             continue  # superseded original in an incremental update
