@@ -39,10 +39,22 @@ def l2_norm(v: Column) -> Column:
 
 
 def l2_normalize(v: Column) -> Column:
-    """v / ‖v‖₂ with a zero-vector guard (reference embeddings.py:138-139)."""
+    """v / ‖v‖₂ with a zero-vector guard (reference embeddings.py:138-139).
+
+    The norm must NOT sit inside the per-element lambda:
+    ``transform(v, x -> x / norm)`` re-evaluates the aggregate fold for
+    EVERY element (higher-order functions are CodegenFallback — nothing
+    hoists the invariant subtree), turning O(d) into O(d²) per row.
+    ``array_repeat`` evaluates its element argument exactly once, so
+    zipping against a repeated-norm array keeps the fold at one
+    evaluation per row (audited by tools/expr_blowup_audit.py's
+    nested-fold detector, VERDICT r11 #3)."""
+    vd = _as_double(v)
     norm = l2_norm(v)
-    return F.when(norm == 0.0, _as_double(v)).otherwise(
-        F.transform(_as_double(v), lambda x: x / norm)
+    return F.when(norm == 0.0, vd).otherwise(
+        F.zip_with(
+            vd, F.array_repeat(norm, F.size(v)), lambda x, n: x / n
+        )
     )
 
 

@@ -338,7 +338,13 @@ def hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5,
     )
     nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
-    normed = F.transform(raw, lambda x: x / nrm)
+    # nrm must not sit inside the per-element lambda (the fold — and
+    # the 8 md5s feeding it — would re-evaluate per element, the
+    # nested-fold class the expr-blowup audit flags); array_repeat
+    # evaluates its element argument once per row
+    normed = F.zip_with(
+        raw, F.array_repeat(nrm, F.size(raw)), lambda x, n: x / n
+    )
     unit = F.sqrt(F.aggregate(normed, F.lit(0.0), lambda a, y: a + y * y))
     return docs.select(
         "doc_id",

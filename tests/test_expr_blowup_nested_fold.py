@@ -1,0 +1,97 @@
+"""VERDICT r11 #3: the expr-blowup audit must catch the lambda-fold
+class — an aggregate/reduce fold evaluated inside the lambda body of a
+later higher-order function (per-element re-evaluation: the measured
+O(n^3) case pegged a core 25+ minutes before the fold was hoisted).
+
+The detector lives in tools/expr_blowup_audit.py (find_nested_folds);
+these tests plant an offender through a real Spark plan and pin that
+benign shapes (a top-level fold; a fold's own merge lambda) stay
+unflagged.
+"""
+
+import importlib.util
+import os
+
+import pyspark.sql.functions as F
+
+_here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "expr_blowup_audit", os.path.join(_here, "tools", "expr_blowup_audit.py")
+)
+audit = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(audit)
+
+
+def test_detector_on_plan_strings():
+    # planted: fold under a transform's lambda
+    offender = (
+        "Project [transform(xs#1, lambdafunction(aggregate(xs#1, 0, "
+        "lambdafunction((a#2 + b#3), a#2, b#3)), x#4)) AS y#5]"
+    )
+    assert audit.find_nested_folds(offender) >= 1
+    # benign: a top-level fold — its OWN merge lambda is not a nesting
+    benign = (
+        "Project [aggregate(xs#1, 0, lambdafunction((a#2 + b#3), a#2, "
+        "b#3), lambdafunction(id#9, id#9)) AS s#5]"
+    )
+    assert audit.find_nested_folds(benign) == 0
+    assert audit.find_nested_folds("Project [col#1]") == 0
+    # truncated plan text (elided tree) must not crash
+    assert audit.find_nested_folds("lambdafunction(aggregate(xs") >= 1
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_planted_offender_flagged_through_real_plan(spark):
+    df = spark.range(3).select(
+        F.array(F.col("id"), F.col("id") + 1).alias("xs")
+    )
+    bad = df.select(
+        F.expr(
+            "transform(xs, x -> x + aggregate(xs, 0L, (a, b) -> a + b))"
+        ).alias("y")
+    )
+    assert audit.find_nested_folds(_executed(bad)) >= 1
+
+
+def test_plain_hoist_is_not_enough_collapse_reinlines(spark):
+    # hoisting the fold into its own projection WITHOUT a barrier is
+    # not a fix: Catalyst's projection collapse inlines it right back
+    # into the lambda — the detector must still flag the OPTIMIZED plan
+    df = spark.range(3).select(
+        F.array(F.col("id"), F.col("id") + 1).alias("xs")
+    )
+    hoisted = df.select(
+        "xs", F.expr("aggregate(xs, 0L, (a, b) -> a + b)").alias("total")
+    ).select(F.expr("transform(xs, x -> x + total)").alias("y"))
+    assert audit.find_nested_folds(_executed(hoisted)) >= 1
+
+
+def test_barrier_hoisted_fold_is_clean_through_real_plan(spark):
+    df = spark.range(3).select(
+        F.array(F.col("id"), F.col("id") + 1).alias("xs")
+    )
+    # the REAL fix pattern (module docstring): a single-element
+    # struct-explode Generate barrier between the fold projection and
+    # its lambda consumer stops projection collapse from re-inlining
+    barrier = (
+        df.select(
+            "xs",
+            F.expr("aggregate(xs, 0L, (a, b) -> a + b)").alias("total"),
+        )
+        .select(F.explode(F.array(F.struct("xs", "total"))).alias("s"))
+        .select("s.xs", "s.total")
+    )
+    good = barrier.select(
+        F.expr("transform(xs, x -> x + total)").alias("y")
+    )
+    assert audit.find_nested_folds(_executed(good)) == 0
+
+
+def test_headline_catalog_has_no_new_benign_entries():
+    # the audit's benign list must not quietly grow a nested_fold
+    # waiver — if a catalog query ever needs one, it must be argued in
+    # the module docstring like the existing entries
+    assert not any(kind == "nested_fold" for _q, kind in audit.BENIGN)

@@ -28,6 +28,7 @@ new flags.
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -81,6 +82,81 @@ BENIGN = {
 }
 
 
+_FOLD = re.compile(r"\b(?:aggregate|reduce)\(")
+_LAMBDA = re.compile(r"lambdafunction\(")
+
+
+def _balanced_close(s: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at ``open_idx`` (len(s) if the
+    text is truncated — plan strings can elide deep trees)."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return len(s)
+
+
+_LAMBDA_VAR = re.compile(r"lambda \w+#\d+")
+
+
+def find_nested_folds(plan: str) -> int:
+    """LOOP-INVARIANT fold expressions (aggregate/reduce) nested inside
+    a lambdafunction body — the r11 lesson class (VERDICT r11 #3): an
+    O(n) fold referenced inside a later transform/filter/zip_with
+    lambda is re-evaluated PER ELEMENT, turning a linear pass into
+    O(n^2) — and O(n^3) when the fold itself scans the same array (the
+    measured case: one 4096-row block pegged a core for 25+ minutes
+    before the fold was hoisted). Higher-order functions are
+    CodegenFallback, so nothing hoists the invariant subtree at
+    runtime.
+
+    A fold that REFERENCES the enclosing lambda's variable is real
+    per-element work (a per-component dot product, a per-code LUT
+    lookup), not a blowup — only folds whose span shares no lambda-var
+    token with the enclosing lambda's surrounding text (i.e. the fold
+    would compute the same value for every element) are counted. An
+    outer fold's own merge/finish lambdas never count: their
+    parameters live inside the fold span itself."""
+    count = 0
+    # plan expressions never span lines; scoping the paren balancing to
+    # one line stops an unbalanced literal paren (regex/separator text
+    # prints raw) from bleeding a lambda span across the whole plan
+    for line in plan.splitlines():
+        lambda_spans = [
+            (m.end(), _balanced_close(line, m.end() - 1))
+            for m in _LAMBDA.finditer(line)
+        ]
+        if not lambda_spans:
+            continue
+        for f in _FOLD.finditer(line):
+            enclosing = [
+                (s, e) for s, e in lambda_spans if s <= f.start() < e
+            ]
+            if not enclosing:
+                continue
+            fold_end = _balanced_close(line, f.end() - 1)
+            inner_vars = set(
+                _LAMBDA_VAR.findall(line[f.start() : fold_end + 1])
+            )
+            dependent = any(
+                inner_vars
+                & set(
+                    _LAMBDA_VAR.findall(
+                        line[s : f.start()] + line[fold_end + 1 : e]
+                    )
+                )
+                for s, e in enclosing
+            )
+            if not dependent:
+                count += 1
+    return count
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -109,6 +185,12 @@ def main() -> int:
                 print(f"{tag} {name}: {m} analyzed={a} optimized={o}")
                 if (name, m) not in BENIGN:
                     flags += 1
+        nested = find_nested_folds(opt)
+        if nested:
+            tag = "benign" if (name, "nested_fold") in BENIGN else "FLAG "
+            print(f"{tag} {name}: fold inside lambda body x{nested}")
+            if (name, "nested_fold") not in BENIGN:
+                flags += 1
     print(f"\n{flags} flagged")
     return 1 if flags else 0
 
