@@ -1011,6 +1011,192 @@ translate.goog
 """
 
 
+# r12 breadth extension (VERDICT r11 #4): the no/se/fi geographic
+# families plus further documented ccTLD category blocks and
+# high-traffic private platforms, all as published on publicsuffix.org
+# (entries restricted to the list's stable documented blocks — the
+# builder's discipline: no entry added that can't be pointed at in the
+# published file's structure).
+_SNAPSHOT += """
+// no: category second-levels (Norid's documented families)
+fhs.no
+vgs.no
+fylkesbibl.no
+folkebibl.no
+idrett.no
+priv.no
+mil.no
+stat.no
+dep.no
+kommune.no
+herad.no
+// no: svalbard/jan-mayen special areas
+svalbard.no
+jan-mayen.no
+// se: county letter codes + category second-levels (IIS block)
+a.se
+ac.se
+b.se
+bd.se
+brand.se
+c.se
+d.se
+e.se
+f.se
+fh.se
+fhsk.se
+fhv.se
+g.se
+h.se
+i.se
+k.se
+komforb.se
+kommunalforbund.se
+komvux.se
+l.se
+lanbib.se
+m.se
+n.se
+naturbruksgymn.se
+o.se
+org.se
+p.se
+parti.se
+pp.se
+press.se
+r.se
+s.se
+t.se
+tm.se
+u.se
+w.se
+x.se
+y.se
+z.se
+// fi
+aland.fi
+iki.fi
+// br: registro.br category second-levels (the stable documented set)
+adv.br
+agr.br
+am.br
+arq.br
+ato.br
+b.br
+bio.br
+bmd.br
+cim.br
+cng.br
+cnt.br
+coop.br
+esp.br
+etc.br
+eti.br
+far.br
+flog.br
+fm.br
+fnd.br
+fot.br
+fst.br
+g12.br
+ggf.br
+imb.br
+ind.br
+inf.br
+jor.br
+jus.br
+leg.br
+lel.br
+mat.br
+med.br
+mus.br
+not.br
+ntr.br
+odo.br
+ppg.br
+pro.br
+psc.br
+psi.br
+qsl.br
+radio.br
+rec.br
+slg.br
+srv.br
+taxi.br
+teo.br
+tmp.br
+trd.br
+tur.br
+tv.br
+vet.br
+vlog.br
+wiki.br
+zlg.br
+// fr: regulated-profession second-levels (AFNIC documented block)
+aeroport.fr
+avocat.fr
+avoues.fr
+cci.fr
+chambagri.fr
+chirurgiens-dentistes.fr
+experts-comptables.fr
+geometre-expert.fr
+greta.fr
+huissier-justice.fr
+medecin.fr
+notaires.fr
+pharmacien.fr
+port.fr
+veterinaire.fr
+// at additions (ac/co/gv/or.at already in the r11 block)
+sth.ac.at
+priv.at
+// ru ICANN block (the com/net/org/pp.ru CentralNic forms are already in)
+ac.ru
+edu.ru
+gov.ru
+int.ru
+mil.ru
+test.ru
+// ua major-city second-levels (core com/edu/gov/... already in)
+kiev.ua
+lviv.ua
+// ---- Private section additions ----
+trycloudflare.com
+amplifyapp.com
+elasticbeanstalk.com
+ondigitalocean.app
+azurestaticapps.net
+now.sh
+hf.space
+codeberg.page
+cloud.goog
+"""
+
+# Norwegian counties (fylke) — the published .no block carries the
+# full names (IDN ones as U-labels; hosts arrive in either form, so
+# the punycode twin is generated with the stdlib codec like the cn
+# entries above) and the per-county two-letter grunnskole families.
+_NO_COUNTIES = (
+    "akershus aust-agder buskerud finnmark hedmark hordaland "
+    "more-og-romsdal møre-og-romsdal nordland nord-trondelag "
+    "nord-trøndelag oppland oslo ostfold østfold rogaland "
+    "sogn-og-fjordane sor-trondelag sør-trøndelag telemark troms "
+    "vest-agder vestfold"
+).split()
+_NO_GS = (
+    "aa ah bu fm hl hm jan-mayen mr nl nt of ol oslo rl sf st "
+    "svalbard tm tr va vf"
+).split()
+_SNAPSHOT += "// no counties (generated, IDN twins via stdlib idna)\n"
+for _c in _NO_COUNTIES:
+    _SNAPSHOT += f"{_c}.no\n"
+    if not _c.isascii():
+        _SNAPSHOT += _c.encode("idna").decode("ascii") + ".no\n"
+_SNAPSHOT += "// no grunnskole county families (generated)\n"
+_SNAPSHOT += "".join(f"gs.{c}.no\n" for c in _NO_GS)
+
+
 class PSLRules:
     """Immutable rule tables + per-instance bounded host cache.
 

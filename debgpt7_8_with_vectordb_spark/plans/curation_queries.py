@@ -315,9 +315,12 @@ def url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Class 12 (r11) pins the ADVICE-r10 fix: a host under a multi-label
 # wildcard PARENT (one label beneath compute.amazonaws.com) gets no say
 # from the wildcard — only 'com' matches, so it registers at
-# amazonaws.com, never as its own suffix
+# amazonaws.com, never as its own suffix.
+# Classes 13/14 (r12) exercise the no/se geographic tranche: a
+# grunnskole THIRD-level suffix (gs.oslo.no) and a Swedish
+# county-letter suffix (press.se).
 _PSL_HOST_SPARK = (
-    "CASE CAST(doc_id % 13 AS INT) "
+    "CASE CAST(doc_id % 15 AS INT) "
     "WHEN 0 THEN concat('deep.www.example', CAST(doc_id % 20 AS STRING), "
     "  '.co.uk') "
     "WHEN 1 THEN concat('user', CAST(doc_id % 20 AS STRING), '.github.io') "
@@ -335,7 +338,11 @@ _PSL_HOST_SPARK = (
     "WHEN 10 THEN concat('b.corp', CAST(doc_id % 20 AS STRING), '.uk.com') "
     "WHEN 11 THEN concat('bucket', CAST(doc_id % 20 AS STRING), "
     "  '.s3.amazonaws.com') "
-    "ELSE 'compute.amazonaws.com' END"
+    "WHEN 12 THEN 'compute.amazonaws.com' "
+    "WHEN 13 THEN concat('www.skole', CAST(doc_id % 20 AS STRING), "
+    "  '.gs.oslo.no') "
+    "ELSE concat('www.tidning', CAST(doc_id % 20 AS STRING), "
+    "  '.press.se') END"
 )
 
 
@@ -343,7 +350,7 @@ _PSL_HOST_SPARK = (
     "registrable_domains",
     oracle="""
 SELECT doc_id,
-  CASE (doc_id % 13)
+  CASE (doc_id % 15)
     WHEN 0 THEN 'example' || (doc_id % 20) || '.co.uk'
     WHEN 1 THEN 'user' || (doc_id % 20) || '.github.io'
     WHEN 2 THEN 'site' || (doc_id % 20) || '.com'
@@ -357,7 +364,9 @@ SELECT doc_id,
       || '.us-east-1.compute.amazonaws.com'
     WHEN 10 THEN 'corp' || (doc_id % 20) || '.uk.com'
     WHEN 11 THEN 'bucket' || (doc_id % 20) || '.s3.amazonaws.com'
-    ELSE 'amazonaws.com'
+    WHEN 12 THEN 'amazonaws.com'
+    WHEN 13 THEN 'skole' || (doc_id % 20) || '.gs.oslo.no'
+    ELSE 'tidning' || (doc_id % 20) || '.press.se'
   END AS domain
 FROM documents
 """,
