@@ -237,3 +237,60 @@ def test_span_cache_computes_once(monkeypatch):
     calls["n"] = 0
     assert R.pdf_extract_text(p) == "two"
     assert calls["n"] <= 1
+
+
+# ---------------------------------------------------------------------------
+# 5. ZapfDingbats base encoding (PDF Annex D.6 — VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+
+
+def _dingbat_pdf(basefont: bytes, content: bytes) -> bytes:
+    return _font_pdf(
+        b"/Type /Font /Subtype /Type1 /BaseFont /" + basefont, content
+    )
+
+
+def test_zapf_dingbats_base_encoding():
+    # check mark / star / scissors via hex codes, letters via literal
+    p = _dingbat_pdf(b"ZapfDingbats", b"BT /F1 10 Tf <3348 22> Tj ET")
+    assert pdf_extract_text(p) == "✓★✂"  # check, star, scissors
+    # subset-prefixed name form; suits + circled digits + arrows
+    p2 = _dingbat_pdf(
+        b"ABCDEF+ZapfDingbats", b"BT /F1 10 Tf <AB A8 AC D5 FE> Tj ET"
+    )
+    assert pdf_extract_text(p2) == "♠♣①→➾"
+    # letters land in the flower/ornament run, not latin-1
+    p3 = _dingbat_pdf(b"ZapfDingbats", b"BT /F1 10 Tf (a) Tj ET")
+    assert pdf_extract_text(p3) == "❁"
+    # a ToUnicode CMap still outranks the base table (same precedence
+    # as the CM fonts); standard /Encoding suppresses it (ADVICE r11)
+    p4 = _font_pdf(
+        b"/Type /Font /BaseFont /ZapfDingbats /Encoding /WinAnsiEncoding",
+        b"BT /F1 10 Tf (a) Tj ET",
+    )
+    assert pdf_extract_text(p4) == "a"
+    # a font merely containing the string is not matched
+    p5 = _dingbat_pdf(b"MyZapfDingbatsPro-Sans", b"BT /F1 10 Tf (a) Tj ET")
+    assert pdf_extract_text(p5) == "a"
+
+
+def test_zapf_dingbats_table_shape():
+    from debgpt7_8_with_vectordb_spark.sources.readers import (
+        _ZAPF_DINGBATS,
+    )
+
+    # undefined chart slots stay unmapped (latin-1 fallback applies)
+    assert 0x7F not in _ZAPF_DINGBATS and 0xF0 not in _ZAPF_DINGBATS
+    assert 0x00 not in _ZAPF_DINGBATS and 0xFF not in _ZAPF_DINGBATS
+    # the three sequential runs' endpoints (Annex D.6 chart corners)
+    assert _ZAPF_DINGBATS[0x21] == "✁"  # a1 upper blade scissors
+    assert _ZAPF_DINGBATS[0x7E] == "❞"  # a100 heavy double quote
+    assert _ZAPF_DINGBATS[0x80] == "❨"  # a89 medium left paren
+    assert _ZAPF_DINGBATS[0x8D] == "❵"  # a96 right curly bracket
+    assert _ZAPF_DINGBATS[0xA1] == "❡"  # a101 curved stem ornament
+    assert _ZAPF_DINGBATS[0xB6] == "❶"  # a125 negative circled one
+    assert _ZAPF_DINGBATS[0xFE] == "➾"  # a191 open-outline arrow
+    # documented exceptions outside the Dingbats block
+    assert _ZAPF_DINGBATS[0x25] == "☎"  # a4 telephone
+    assert _ZAPF_DINGBATS[0x6C] == "●"  # a71 black circle
+    assert _ZAPF_DINGBATS[0xAA] == "♥"  # a110 heart
