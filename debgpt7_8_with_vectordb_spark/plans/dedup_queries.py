@@ -25,6 +25,7 @@ from ..functions.rounding import (
 from ..functions.text import distinct_tokens, tokens, word_shingles
 from ..tables import load_table
 from .catalog import query
+from .retrieval_queries import _cos
 
 _TOKS = r"list_distinct(list_filter(string_split_regex({t}, '\s+'), x -> x <> ''))"
 _MD5L = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
@@ -543,13 +544,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_neardup",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(list_cosine_similarity(a.v, b.v), 6) AS score
+         {_cos('a.v', 'b.v')} AS score
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, score FROM pairs WHERE score >= 0.3
@@ -1193,14 +1194,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_clusters",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ),
 vpairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+  WHERE {_cos('a.v', 'b.v')} >= 0.9
 ),
 edges AS (
   SELECT vec_a AS a, vec_b AS b FROM vpairs

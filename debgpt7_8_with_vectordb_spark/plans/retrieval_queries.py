@@ -25,13 +25,29 @@ from .catalog import oracle_artifact_path, query, tag_artifact
 _D = "list_transform({v}, x -> x::DOUBLE)"
 
 
+def _cos(a: str, b: str) -> str:
+    """Zero-norm-guarded DuckDB cosine (r12 fuzz seed 135): DuckDB's
+    ``list_cosine_similarity`` returns -1.0 BY CONVENTION when either
+    operand is the zero vector; the engine (functions/vector.py
+    ``cosine_similarity``, mirroring the reference's np-divide
+    semantics) yields NULL there, sorting last under ``DESC``. Every
+    oracle cosine goes through this guard so degenerate vectors
+    compare NULL-to-NULL cross-engine; non-degenerate pairs stay
+    bit-identical to the bare call."""
+    return (
+        f"CASE WHEN list_sum(list_transform({a}, zz -> zz * zz)) = 0"
+        f" OR list_sum(list_transform({b}, zz -> zz * zz)) = 0"
+        f" THEN NULL ELSE round(list_cosine_similarity({a}, {b}), 6) END"
+    )
+
+
 @query(
     "topk_retrieval",
     oracle=f"""
 WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT vec_id,
-         round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) AS score
+         {_cos(_D.format(v='embedding'), 'q.qv')} AS score
   FROM embeddings, q
 ),
 top AS (SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 3)
@@ -62,7 +78,7 @@ def topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 1),
 scored AS (
   SELECT vec_id, label,
-         round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) AS score
+         {_cos(_D.format(v='embedding'), 'q.qv')} AS score
   FROM embeddings, q
   WHERE label = 3
 )
@@ -94,7 +110,7 @@ WITH qs AS (SELECT vec_id AS qid, {_D.format(v='embedding')} AS qv
             FROM embeddings WHERE vec_id < 5),
 scored AS (
   SELECT qs.qid, e.vec_id,
-         round(list_cosine_similarity({_D.format(v='e.embedding')}, qs.qv), 6) AS score
+         {_cos(_D.format(v='e.embedding'), 'qs.qv')} AS score
   FROM embeddings e CROSS JOIN qs
   WHERE e.vec_id <> qs.qid
 ),
@@ -175,10 +191,10 @@ cent AS (
 cvec AS (SELECT label, array_agg(c ORDER BY pos) AS cv FROM cent GROUP BY label),
 sel AS (
   SELECT cvec.label FROM cvec, q
-  ORDER BY round(list_cosine_similarity(cv, q.qv), 6) DESC, label ASC LIMIT 2
+  ORDER BY {_cos('cv', 'q.qv')} DESC, label ASC LIMIT 2
 )
 SELECT e.vec_id, e.label,
-       round(list_cosine_similarity({_D.format(v='e.embedding')}, q.qv), 6) AS score
+       {_cos(_D.format(v='e.embedding'), 'q.qv')} AS score
 FROM embeddings e JOIN sel ON e.label = sel.label, q
 ORDER BY score DESC, vec_id ASC LIMIT 5
 """,
@@ -230,7 +246,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 2),
 exact AS (
   SELECT vec_id FROM embeddings, q
-  ORDER BY round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) DESC,
+  ORDER BY {_cos(_D.format(v='embedding'), 'q.qv')} DESC,
            vec_id ASC LIMIT 10
 ),
 cent AS (
@@ -241,11 +257,11 @@ cent AS (
 cvec AS (SELECT label, array_agg(c ORDER BY pos) AS cv FROM cent GROUP BY label),
 sel AS (
   SELECT cvec.label FROM cvec, q
-  ORDER BY round(list_cosine_similarity(cv, q.qv), 6) DESC, label ASC LIMIT 2
+  ORDER BY {_cos('cv', 'q.qv')} DESC, label ASC LIMIT 2
 ),
 approx AS (
   SELECT e.vec_id FROM embeddings e JOIN sel ON e.label = sel.label, q
-  ORDER BY round(list_cosine_similarity({_D.format(v='e.embedding')}, q.qv), 6) DESC,
+  ORDER BY {_cos(_D.format(v='e.embedding'), 'q.qv')} DESC,
            e.vec_id ASC LIMIT 10
 )
 SELECT (SELECT count(*) FROM exact JOIN approx ON exact.vec_id = approx.vec_id)::DOUBLE
@@ -313,7 +329,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 2),
 exact AS (
   SELECT vec_id FROM embeddings, q
-  ORDER BY round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) DESC,
+  ORDER BY {_cos(_D.format(v='embedding'), 'q.qv')} DESC,
            vec_id ASC LIMIT 10
 ),
 cent AS (
@@ -325,13 +341,13 @@ cvec AS (SELECT label, array_agg(c ORDER BY pos) AS cv FROM cent GROUP BY label)
 ranked AS (
   SELECT label,
          row_number() OVER (
-           ORDER BY round(list_cosine_similarity(cv, q.qv), 6) DESC, label ASC
+           ORDER BY {_cos('cv', 'q.qv')} DESC, label ASC
          ) AS cr
   FROM cvec, q
 ),
 scored AS (
   SELECT e.vec_id, r.cr,
-         round(list_cosine_similarity({_D.format(v='e.embedding')}, q.qv), 6) AS s
+         {_cos(_D.format(v='e.embedding'), 'q.qv')} AS s
   FROM embeddings e JOIN ranked r USING (label), q
 ),
 lv AS (
@@ -431,7 +447,7 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT {_D.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT vec_id,
-         round(list_cosine_similarity({_D.format(v='embedding')}, q.qv), 6) AS score
+         {_cos(_D.format(v='embedding'), 'q.qv')} AS score
   FROM embeddings, q
 ),
 top AS (
@@ -525,11 +541,11 @@ asg AS (
 ),
 sel AS (
   SELECT c.cluster_id FROM cent c, q
-  ORDER BY round(list_cosine_similarity(c.centroid, q.qv), 6) DESC, c.cluster_id ASC
+  ORDER BY {_cos('c.centroid', 'q.qv')} DESC, c.cluster_id ASC
   LIMIT 2
 )
 SELECT a.vec_id AS id, a.cluster_id AS cluster_id,
-       round(list_cosine_similarity(n.nv, q.qv), 6) AS score
+       {_cos('n.nv', 'q.qv')} AS score
 FROM asg a JOIN sel USING (cluster_id) JOIN nv n ON n.vec_id = a.vec_id, q
 ORDER BY score DESC, id ASC LIMIT 5
 """,
@@ -786,7 +802,7 @@ approx AS (
 qfull AS (SELECT nv AS qv FROM nv WHERE vec_id = 2),
 exact AS (
   SELECT vec_id FROM nv, qfull
-  ORDER BY round(list_cosine_similarity(nv, qv), 6) DESC, vec_id ASC LIMIT 10
+  ORDER BY {_cos('nv', 'qv')} DESC, vec_id ASC LIMIT 10
 )
 SELECT (SELECT count(*) FROM exact JOIN approx USING (vec_id))::DOUBLE / 10
          AS recall_at_10
@@ -863,7 +879,7 @@ asg AS (
 ),
 sel AS (
   SELECT c.ivf_cid FROM cent c, q
-  ORDER BY round(list_cosine_similarity(c.ivf_c, q.qv), 6) DESC, c.ivf_cid ASC
+  ORDER BY {_cos('c.ivf_c', 'q.qv')} DESC, c.ivf_cid ASC
   LIMIT 2
 ),
 cand AS (SELECT a.vec_id FROM asg a JOIN sel USING (ivf_cid)),
@@ -980,7 +996,7 @@ short AS (
 ),
 qfull AS (SELECT nv AS qv FROM nv WHERE vec_id = 2)
 SELECT n.vec_id AS id,
-       round(list_cosine_similarity(n.nv, qfull.qv), 6) AS score
+       {_cos('n.nv', 'qfull.qv')} AS score
 FROM nv n JOIN short USING (vec_id), qfull
 ORDER BY score DESC, id ASC LIMIT 5
 """,
@@ -1057,11 +1073,11 @@ sigs AS (
 q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 2),
 approx AS (
   SELECT s.vec_id FROM sigs s, q WHERE s.sig = q.qsig
-  ORDER BY round(list_cosine_similarity(s.v, q.qv), 6) DESC, s.vec_id ASC LIMIT 10
+  ORDER BY {_cos('s.v', 'q.qv')} DESC, s.vec_id ASC LIMIT 10
 ),
 exact AS (
   SELECT s.vec_id FROM sigs s, q
-  ORDER BY round(list_cosine_similarity(s.v, q.qv), 6) DESC, s.vec_id ASC LIMIT 10
+  ORDER BY {_cos('s.v', 'q.qv')} DESC, s.vec_id ASC LIMIT 10
 )
 SELECT (SELECT count(*) FROM exact JOIN approx USING (vec_id))::DOUBLE / 10
          AS recall_at_10
@@ -1130,7 +1146,7 @@ sigs AS (
   GROUP BY e.vec_id, {_D.format(v='e.embedding')}
 ),
 q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 2)
-SELECT s.vec_id, round(list_cosine_similarity(s.v, q.qv), 6) AS score
+SELECT s.vec_id, {_cos('s.v', 'q.qv')} AS score
 FROM sigs s, q WHERE s.sig = q.qsig
 ORDER BY score DESC, s.vec_id ASC LIMIT 5
 """,

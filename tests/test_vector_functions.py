@@ -99,3 +99,44 @@ def test_planted_ones_ranks_first(spark):
     top = scored.orderBy(F.desc("score"), "vec_id").limit(1).head()
     assert top["vec_id"] == 0
     assert top["score"] == pytest.approx(1.0)
+
+
+def test_zero_vector_cosine_cross_engine_null(spark):
+    """r12 fuzz seed 135: DuckDB's list_cosine_similarity returns -1.0
+    BY CONVENTION when either operand is the zero vector; the engine
+    yields NULL (try_divide — the reference's np-divide would warn and
+    emit NaN). Every oracle cosine goes through the zero-norm-guarded
+    _cos fragment so both engines say NULL for degenerate pairs and
+    stay bit-identical elsewhere."""
+    import duckdb
+
+    from debgpt7_8_with_vectordb_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from debgpt7_8_with_vectordb_spark.plans.retrieval_queries import _cos
+
+    vecs = [
+        ([0.0, 0.0], [1.0, 2.0]),
+        ([0.0, 0.0], [0.0, 0.0]),
+        ([1.0, 0.0], [0.0, 1.0]),
+        ([1.0, 2.0], [1.0, 2.0]),
+        ([1.0, 0.0], [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in vecs], "a array<double>, b array<double>"
+    )
+    got = [
+        None if r[0] is None else round(r[0], 6)
+        for r in df.select(
+            F.round(cosine_similarity(F.col("a"), F.col("b")), 6)
+        ).collect()
+    ]
+    con = duckdb.connect()
+    oracle = [
+        con.execute(
+            "SELECT " + _cos(f"{a}::DOUBLE[]", f"{b}::DOUBLE[]")
+        ).fetchone()[0]
+        for a, b in vecs
+    ]
+    oracle = [None if v is None else round(v, 6) for v in oracle]
+    assert got == oracle == [None, None, 0.0, 1.0, -1.0]
