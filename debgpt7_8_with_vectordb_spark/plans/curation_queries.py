@@ -168,8 +168,15 @@ def gopher_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drop rules fire. Same derivation on both engines.
 
 
-def _c4_lines_spark(text):
-    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+def _c4_lines_from_words(words):
+    """Chunk a MATERIALIZED words column into suffix-cycled lines.
+
+    ``words`` must be a bare column attribute behind an optimization
+    barrier, NOT the split/filter expression itself: referenced inside
+    the transform lambda, Catalyst's projection collapse would inline
+    the full tokenize and re-run it PER CHUNK — O(words x chunks) per
+    doc, the same invariant-expr-in-lambda class the expr-blowup audit
+    flags (r12; the fold variant was l2_normalize)."""
     n_chunks = F.greatest(F.ceil(F.size(words) / 5), F.lit(1)).cast("int")
     suffix = lambda i: (  # noqa: E731
         F.when(i % 3 == 0, F.lit("."))
@@ -236,8 +243,20 @@ def c4_line_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-phrase drop) over a derived multi-line corpus. The
     suffix cycle makes every rule fire; the oracle replays the identical
     HOF pipeline. Pure Catalyst, zero shuffle, scan-bound at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _c4_lines_spark(F.col("text")).alias("text")
+    # tokenize ONCE per doc behind a single-element struct-explode
+    # Generate barrier (the audit's fix pattern), then chunk from the
+    # materialized words attribute
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(F.split("text", r"\s+"), lambda w: w != "").alias(
+                "words"
+            ),
+        )
+        .select(F.explode(F.array(F.struct("doc_id", "words"))).alias("s"))
+        .select("s.doc_id", "s.words")
+        .select("doc_id", _c4_lines_from_words(F.col("words")).alias("text"))
     )
     return c4_clean_lines(docs).select(
         "doc_id", "text", "lines_total", "lines_dropped"

@@ -95,3 +95,28 @@ def test_headline_catalog_has_no_new_benign_entries():
     # waiver — if a catalog query ever needs one, it must be argued in
     # the module docstring like the existing entries
     assert not any(kind == "nested_fold" for _q, kind in audit.BENIGN)
+
+
+def test_invariant_expensive_expr_detector(spark):
+    """r12 second instance of the class: an invariant split/md5/regexp
+    inside a lambda is as wasteful as an invariant fold. The
+    generalized detector flags it; element-dependent calls stay
+    clean."""
+    df = spark.range(3).select(F.col("id").cast("string").alias("t"))
+    # planted: full-text split re-evaluated per element of a transform
+    bad = df.select(
+        F.expr(
+            "transform(sequence(1, 3), i ->"
+            " element_at(split(t, ','), 1))"
+        ).alias("y")
+    )
+    assert audit.find_invariant_lambda_exprs(_executed(bad)) >= 1
+    # element-dependent: the split input varies with the lambda var
+    ok = df.select(
+        F.expr(
+            "transform(array(t, t), s -> element_at(split(s, ','), 1))"
+        ).alias("y")
+    )
+    assert audit.find_invariant_lambda_exprs(_executed(ok)) == 0
+    # the fold detector remains a strict subset
+    assert audit.find_nested_folds(_executed(bad)) == 0

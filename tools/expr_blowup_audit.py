@@ -83,6 +83,14 @@ BENIGN = {
 
 
 _FOLD = re.compile(r"\b(?:aggregate|reduce)\(")
+# non-fold expensive calls that are just as wasteful when re-evaluated
+# per element (r12: _c4_lines_spark re-ran the full-text split+filter
+# once PER CHUNK because projection collapse inlined it into the
+# transform lambda — O(words x chunks)/doc)
+_EXPENSIVE = re.compile(
+    r"\b(?:aggregate|reduce|md5|regexp_replace|regexp_extract_all|split|"
+    r"sha2|array_sort|array_distinct|array_intersect)\("
+)
 _LAMBDA = re.compile(r"lambdafunction\(")
 
 
@@ -122,6 +130,18 @@ def find_nested_folds(plan: str) -> int:
     would compute the same value for every element) are counted. An
     outer fold's own merge/finish lambdas never count: their
     parameters live inside the fold span itself."""
+    return _invariant_in_lambda(plan, _FOLD)
+
+
+def find_invariant_lambda_exprs(plan: str) -> int:
+    """Superset of :func:`find_nested_folds`: ANY expensive call
+    (fold, hash, regexp, split, array sort/distinct/intersect) whose
+    subtree is loop-invariant w.r.t. every enclosing lambda — the
+    evaluator re-runs it per element (HOFs are CodegenFallback)."""
+    return _invariant_in_lambda(plan, _EXPENSIVE)
+
+
+def _invariant_in_lambda(plan: str, pattern: "re.Pattern[str]") -> int:
     count = 0
     # plan expressions never span lines; scoping the paren balancing to
     # one line stops an unbalanced literal paren (regex/separator text
@@ -133,7 +153,7 @@ def find_nested_folds(plan: str) -> int:
         ]
         if not lambda_spans:
             continue
-        for f in _FOLD.finditer(line):
+        for f in pattern.finditer(line):
             enclosing = [
                 (s, e) for s, e in lambda_spans if s <= f.start() < e
             ]
@@ -185,10 +205,13 @@ def main() -> int:
                 print(f"{tag} {name}: {m} analyzed={a} optimized={o}")
                 if (name, m) not in BENIGN:
                     flags += 1
-        nested = find_nested_folds(opt)
+        nested = find_invariant_lambda_exprs(opt)
         if nested:
             tag = "benign" if (name, "nested_fold") in BENIGN else "FLAG "
-            print(f"{tag} {name}: fold inside lambda body x{nested}")
+            print(
+                f"{tag} {name}: invariant expensive expr inside lambda "
+                f"body x{nested}"
+            )
             if (name, "nested_fold") not in BENIGN:
                 flags += 1
     print(f"\n{flags} flagged")
