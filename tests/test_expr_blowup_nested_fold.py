@@ -120,3 +120,27 @@ def test_invariant_expensive_expr_detector(spark):
     assert audit.find_invariant_lambda_exprs(_executed(ok)) == 0
     # the fold detector remains a strict subset
     assert audit.find_nested_folds(_executed(bad)) == 0
+
+
+def test_l2_normalize_production_shape_is_invariant_free(spark):
+    """Pin the r12 fix itself: the shipped l2_normalize (and the
+    cosine path that embeds it) must never re-grow an invariant fold
+    or expensive call inside a lambda — through the OPTIMIZED plan,
+    so a projection-collapse re-inline regression is caught too."""
+    import pyspark.sql.functions as F
+
+    from debgpt7_8_with_vectordb_spark.functions.vector import (
+        cosine_similarity,
+        l2_normalize,
+    )
+
+    df = spark.range(4).select(
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("v"),
+        F.array(F.lit(2.0), F.col("id").cast("double")).alias("w"),
+    )
+    normalized = df.select(l2_normalize(F.col("v")).alias("nv"))
+    assert audit.find_invariant_lambda_exprs(_executed(normalized)) == 0
+    scored = df.select(
+        F.round(cosine_similarity(F.col("v"), F.col("w")), 6).alias("s")
+    )
+    assert audit.find_invariant_lambda_exprs(_executed(scored)) == 0
