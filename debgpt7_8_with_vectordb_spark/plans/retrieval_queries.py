@@ -33,10 +33,17 @@ def _cos(a: str, b: str) -> str:
     semantics) yields NULL there, sorting last under ``DESC``. Every
     oracle cosine goes through this guard so degenerate vectors
     compare NULL-to-NULL cross-engine; non-degenerate pairs stay
-    bit-identical to the bare call."""
+    bit-identical to the bare call.
+
+    The guard computes the divisor EXACTLY as the engine does
+    (``try_divide(dot, sqrt(Σa²)·sqrt(Σb²))``, functions/vector.py:75):
+    NULL iff the norm PRODUCT is 0.0, not per-operand Σ² = 0 — for tiny
+    non-zero vectors (components ~1e-162) each sqrt is non-zero but
+    their product underflows to 0.0, and the engine NULLs there too
+    (ADVICE r12 #1)."""
     return (
-        f"CASE WHEN list_sum(list_transform({a}, zz -> zz * zz)) = 0"
-        f" OR list_sum(list_transform({b}, zz -> zz * zz)) = 0"
+        f"CASE WHEN sqrt(list_sum(list_transform({a}, zz -> zz * zz)))"
+        f" * sqrt(list_sum(list_transform({b}, zz -> zz * zz))) = 0"
         f" THEN NULL ELSE round(list_cosine_similarity({a}, {b}), 6) END"
     )
 

@@ -1079,6 +1079,30 @@ _PDF_STD_ENCODING = re.compile(
 )
 
 
+def _inline_encoding_value(font_obj: bytes) -> "bytes | None":
+    """The font dict's inline /Encoding value: either a bare name token
+    or a BALANCED ``<<...>>`` dict. A non-greedy ``<<.*?>>`` match stops
+    at the first ``>>``, so a /BaseEncoding placed after nested dict
+    content would be cut off — nested opens/closes are counted instead
+    (ADVICE r12 #2)."""
+    m = re.search(rb"/Encoding\s*(<<|/[A-Za-z]+)", font_obj)
+    if not m:
+        return None
+    if m.group(1) != b"<<":
+        return m.group(1)
+    depth, i = 1, m.end()
+    while depth:
+        nxt_open = font_obj.find(b"<<", i)
+        nxt_close = font_obj.find(b">>", i)
+        if nxt_close == -1:
+            return None  # unterminated dict
+        if nxt_open != -1 and nxt_open < nxt_close:
+            depth, i = depth + 1, nxt_open + 2
+        else:
+            depth, i = depth - 1, nxt_close + 2
+    return font_obj[m.start(1) : i]
+
+
 def _font_base_encoding(
     font_obj: bytes, objs: "dict[int, bytes] | None" = None
 ) -> "tuple[int, dict[int, str]] | None":
@@ -1091,17 +1115,24 @@ def _font_base_encoding(
     MacExpert/Standard — inline name, inline dict /BaseEncoding, or an
     indirect encoding object) uses that encoding's ASCII slots; the TeX
     tables would wrongly remap ``" < > \\ { | } ^ _ ```` via OT1, so
-    the by-name fallback is skipped for those fonts."""
+    the by-name fallback is skipped for those fonts.
+
+    ADVICE r12 #2: an /Encoding carrying /Differences ALSO suppresses
+    the by-name fallback — _font_differences runs first, but when its
+    parsed table comes back empty (all-unknown glyph names) the font
+    still declared a custom encoding, so the TeX tables don't apply;
+    and the inline-dict sniff is balanced (nested dicts counted) so a
+    /BaseEncoding after nested content isn't cut off by the first
+    ``>>``."""
     enc: bytes | None = None
     em = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", font_obj)
     if em and objs is not None:
         enc = objs.get(int(em.group(1)))
     if enc is None:
-        im = re.search(
-            rb"/Encoding\s*(<<.*?>>|/[A-Za-z]+)", font_obj, re.DOTALL
-        )
-        enc = im.group(1) if im else None
-    if enc is not None and _PDF_STD_ENCODING.search(enc):
+        enc = _inline_encoding_value(font_obj)
+    if enc is not None and (
+        _PDF_STD_ENCODING.search(enc) or b"/Differences" in enc
+    ):
         return None
     bm = _PDF_BASEFONT.search(font_obj)
     if not bm:
@@ -1124,8 +1155,8 @@ def _font_differences(
     em = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", font_obj)
     enc = objs.get(int(em.group(1))) if em else None
     if enc is None:
-        im = re.search(rb"/Encoding\s*<<(.*?)>>", font_obj, re.DOTALL)
-        enc = im.group(1) if im else None
+        # balanced inline dict (nested dicts counted — ADVICE r12 #2)
+        enc = _inline_encoding_value(font_obj)
     if enc is None:
         return None
     dm = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.DOTALL)

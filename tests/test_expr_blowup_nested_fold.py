@@ -144,3 +144,31 @@ def test_l2_normalize_production_shape_is_invariant_free(spark):
         F.round(cosine_similarity(F.col("v"), F.col("w")), 6).alias("s")
     )
     assert audit.find_invariant_lambda_exprs(_executed(scored)) == 0
+
+
+def test_quoted_parens_do_not_shift_spans():
+    """ADVICE r12 #3: a literal '(' printed inside a QUOTED plan
+    segment (regex/separator text) must not shift a lambda span — the
+    unbalanced quote content previously extended the span to end of
+    line and swallowed unrelated top-level expressions as false
+    positives. Unquoted literal parens remain a documented residual
+    limitation (bounded by the per-line scoping)."""
+    # quoted '((' inside the lambda: the span must close at the real
+    # ')', leaving the top-level md5 OUTSIDE the lambda -> 0 flags
+    line = (
+        "Project [transform(xs#1, lambdafunction("
+        "regexp_replace(lambda x#4, '((', y, 1), lambda x#4, false))"
+        " AS a#5, md5(q#7) AS b#8]"
+    )
+    assert audit.find_invariant_lambda_exprs(line) == 0
+    # _balanced_close unit: quoted parens skipped, real close found
+    s = "f('((' )x"
+    assert audit._balanced_close(s, 1) == 7
+    # unterminated-quote tail degrades to len(s), not a crash
+    assert audit._balanced_close("f('((", 1) == 5
+    # a REAL offender with quoted noise nearby still flags
+    offender = (
+        "Project [transform(xs#1, lambdafunction((lambda x#4 + "
+        "md5(concat_ws('(', q#7))), lambda x#4, false)) AS y#5]"
+    )
+    assert audit.find_invariant_lambda_exprs(offender) >= 1

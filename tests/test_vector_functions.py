@@ -107,7 +107,14 @@ def test_zero_vector_cosine_cross_engine_null(spark):
     yields NULL (try_divide — the reference's np-divide would warn and
     emit NaN). Every oracle cosine goes through the zero-norm-guarded
     _cos fragment so both engines say NULL for degenerate pairs and
-    stay bit-identical elsewhere."""
+    stay bit-identical elsewhere.
+
+    ADVICE r12 #1 hardening: the guard now computes the divisor the way
+    the engine does — NULL iff sqrt(Σa²)·sqrt(Σb²) = 0.0 — so the
+    subnormal band pins too: components ~1e-170 square-underflow to a
+    zero SUM (NULL both sides), while ~2.3e-162 components leave a
+    min-subnormal norm product (2^-537 squares exactly back to 2^-1074,
+    never 0), so both engines still score that pair."""
     import duckdb
 
     from debgpt7_8_with_vectordb_spark.functions.vector import (
@@ -121,6 +128,8 @@ def test_zero_vector_cosine_cross_engine_null(spark):
         ([1.0, 0.0], [0.0, 1.0]),
         ([1.0, 2.0], [1.0, 2.0]),
         ([1.0, 0.0], [-1.0, 0.0]),
+        ([1e-170, 1e-170], [1.0, 2.0]),  # squares underflow → Σ=0 → NULL
+        ([2.3e-162, 0.0], [2.3e-162, 0.0]),  # min-subnormal norms → 1.0
     ]
     df = spark.createDataFrame(
         [(a, b) for a, b in vecs], "a array<double>, b array<double>"
@@ -139,4 +148,4 @@ def test_zero_vector_cosine_cross_engine_null(spark):
         for a, b in vecs
     ]
     oracle = [None if v is None else round(v, 6) for v in oracle]
-    assert got == oracle == [None, None, 0.0, 1.0, -1.0]
+    assert got == oracle == [None, None, 0.0, 1.0, -1.0, None, 1.0]

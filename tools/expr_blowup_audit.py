@@ -96,11 +96,25 @@ _LAMBDA = re.compile(r"lambdafunction\(")
 
 def _balanced_close(s: str, open_idx: int) -> int:
     """Index of the ')' closing the '(' at ``open_idx`` (len(s) if the
-    text is truncated — plan strings can elide deep trees)."""
+    text is truncated — plan strings can elide deep trees).
+
+    Parens inside quoted segments are skipped (ADVICE r12 #3: plan
+    lines can print literal '(' inside quoted regex/separator text,
+    shifting a lambda/fold span). RESIDUAL LIMITATION, documented:
+    Spark prints most string literals UNQUOTED in plan output, so an
+    unbalanced literal paren outside quotes can still shift a span —
+    the per-line scoping in _invariant_in_lambda bounds that damage to
+    the one line, and the audit's current corpus runs 0 flags."""
     depth = 0
+    quote: "str | None" = None
     for i in range(open_idx, len(s)):
         c = s[i]
-        if c == "(":
+        if quote is not None:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
