@@ -306,6 +306,32 @@ def _concurrent_load() -> list[str]:
     return hot
 
 
+def calib_quiet_verdict(
+    pre: float, post: float, session_best: "float | None"
+) -> bool:
+    """Self-verifying quietness (VERDICT r12 #2): a single
+    point-in-time calib probe was measured mis-stating the query
+    phase's degradation by 30%+ (a calib-1.719 session ran the sweep at
+    raw median 0.949). The recorded line therefore carries BOTH a
+    pre-sweep and a post-sweep probe and is quiet only when
+
+    - the two probes agree within 25% (the box didn't shift speed
+      mid-sweep), and
+    - when a session-best probe is supplied (SPARK_GRAFT_CALIB_BEST —
+      the standalone calibration taken before recording, per the
+      bench-box protocol), the run's better probe is within 1.2x of it
+      (the whole sweep didn't run on a uniformly degraded box).
+    """
+    if min(pre, post) <= 0:
+        return False
+    if max(pre, post) / min(pre, post) > 1.25:
+        return False
+    if session_best and session_best > 0:
+        if min(pre, post) > 1.2 * session_best:
+            return False
+    return True
+
+
 def wait_for_quiet(timeout_s: float = 180.0) -> bool:
     """Block until no concurrent heavy job is running (or timeout).
     Returns True when the machine is quiet."""
@@ -383,7 +409,7 @@ def main() -> None:
         ).count().count()
         return time.time() - t0
 
-    calib_sec = round(min(_calib_once() for _ in range(3)), 3)
+    calib_pre = round(min(_calib_once() for _ in range(3)), 3)
 
     # min-of-N per query (default 3 since round 7 — VERDICT r6 #3: two
     # queries drifted two rounds running under min-of-2; N=3 plus the
@@ -421,6 +447,27 @@ def main() -> None:
             samples.append(round(time.time() - t0, 3))
         times[name] = min(samples)
         spreads[name] = samples
+
+    # post-sweep probe: the pre/post PAIR makes quietness self-verifying
+    # (VERDICT r12 #2) — a box that degraded (or recovered) mid-sweep
+    # shows disagreeing probes and the line flags itself non-quiet.
+    calib_post = round(min(_calib_once() for _ in range(3)), 3)
+    calib_sec = min(calib_pre, calib_post)
+    try:
+        session_best: "float | None" = float(
+            os.environ.get("SPARK_GRAFT_CALIB_BEST", "") or 0
+        ) or None
+    except ValueError:
+        session_best = None
+    calib_ok = calib_quiet_verdict(calib_pre, calib_post, session_best)
+    if not calib_ok:
+        print(
+            f"bench: WARNING — calib probes disagree or exceed session "
+            f"best (pre={calib_pre} post={calib_post} "
+            f"best={session_best}); marking quiet=false",
+            file=sys.stderr,
+        )
+    quiet = quiet and calib_ok
 
     total = round(sum(times.values()), 3)
     anchors = resolve_anchors(times)
@@ -471,12 +518,16 @@ def main() -> None:
         "breaches_raw": breaches_raw,
         "breaches_calib": breaches_calib,
         # round-7 lesson: concurrent pytest contaminates min-of-3 by
-        # 1.3-1.7x; the runner now waits for machine-quiet (see
-        # wait_for_quiet) and flags runs that never got it
+        # 1.3-1.7x; the runner waits for machine-quiet (wait_for_quiet)
+        # AND self-verifies via the pre/post calib pair (VERDICT r12
+        # #2, calib_quiet_verdict) — false when either check failed
         "quiet": quiet,
         # fixed pure-JVM reference workload (see _calib_once): divide
-        # walls by this before comparing across sessions/boxes
+        # walls by this before comparing across sessions/boxes.
+        # calib_sec = min(pre, post); the pair is the quietness proof
         "calib_sec": calib_sec,
+        "calib_sec_pre": calib_pre,
+        "calib_sec_post": calib_post,
         # per-run samples land only in BENCH_DETAIL.json (stdout line is
         # byte-budgeted); the judge reads the spread to separate noise
         # from drift
@@ -530,7 +581,13 @@ _STDOUT_BUDGET = 1900  # bytes; driver tail is ~2000
 def _budgeted_line(payload: dict) -> str:
     """The stdout JSON line, shrunk to fit the driver's tail window:
     r1-anchor queries first, then the rest in headline order until the
-    byte budget is hit. BENCH_DETAIL.json always has everything."""
+    byte budget is hit. When the anchor-only floor STILL overflows
+    (long breach lists — a degraded-box run can breach dozens of
+    queries raw), the breach lists are truncated tail-first with the
+    true counts kept as breaches_raw_n/breaches_calib_n (r13: the r12
+    calib-pair keys plus 14 smoke-run breaches measured 1931 bytes —
+    over the round-4 parsed:null cliff). BENCH_DETAIL.json always has
+    everything."""
     payload = {
         k: v
         for k, v in payload.items()
@@ -548,7 +605,19 @@ def _budgeted_line(payload: dict) -> str:
         if len(line) <= _STDOUT_BUDGET:
             break
         keep.pop(ordered.pop())
-    return json.dumps({**payload, "queries": keep}, separators=(",", ":"))
+
+    def _line() -> str:
+        return json.dumps({**payload, "queries": keep}, separators=(",", ":"))
+
+    while len(_line().encode()) > _STDOUT_BUDGET and (
+        payload.get("breaches_raw") or payload.get("breaches_calib")
+    ):
+        for k in ("breaches_raw", "breaches_calib"):
+            lst = payload.get(k)
+            if lst:
+                payload.setdefault(f"{k}_n", len(lst))
+                payload[k] = lst[:-1]
+    return _line()
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ def _payload(times):
         "breaches_calib": [],
         "quiet": True,
         "calib_sec": 12.345,
+        "calib_sec_pre": 12.345,
+        "calib_sec_post": 12.345,
     }
 
 
@@ -213,3 +215,49 @@ def test_calib_normalization_math():
     assert "no_calib_anchor" not in norm
     # degenerate current calib -> no normalized table (never divide by 0)
     assert bench.normalize_vs_anchor(raw, anchors, 0.0) == {}
+
+
+def test_calib_pair_survives_on_stdout_line():
+    """VERDICT r12 #2: the pre/post calib probes are the quietness
+    proof — they must survive the byte budget on the recorded line."""
+    parsed = json.loads(bench._budgeted_line(_payload({"a": 1.0})))
+    assert parsed["calib_sec_pre"] == 12.345
+    assert parsed["calib_sec_post"] == 12.345
+    assert parsed["calib_sec"] == 12.345
+
+
+def test_calib_quiet_verdict():
+    # agreeing probes, no session best -> quiet
+    assert bench.calib_quiet_verdict(0.7, 0.75, None)
+    # >25% disagreement (box shifted mid-sweep) -> not quiet
+    assert not bench.calib_quiet_verdict(0.7, 0.9, None)
+    assert not bench.calib_quiet_verdict(1.719, 0.95, None)
+    # uniformly degraded box vs the session-best probe -> not quiet
+    assert not bench.calib_quiet_verdict(1.0, 1.05, 0.7)
+    # within 1.2x of session best -> quiet
+    assert bench.calib_quiet_verdict(0.8, 0.82, 0.7)
+    # degenerate probes never pass
+    assert not bench.calib_quiet_verdict(0.0, 0.7, None)
+    assert not bench.calib_quiet_verdict(-1.0, -1.0, 0.7)
+
+
+def test_long_breach_lists_truncate_within_budget():
+    """A degraded-box run can breach dozens of queries raw; the stdout
+    line must STILL fit the driver tail (round-4 parsed:null cliff) —
+    breach lists truncate tail-first with true counts preserved."""
+    times = {n: 12.345 for n in bench.HEADLINE}
+    p = _payload(times)
+    p["breaches_raw"] = sorted(bench.HEADLINE)[:30]
+    p["breaches_calib"] = sorted(bench.HEADLINE)[:25]
+    line = bench._budgeted_line(p)
+    assert len(line.encode()) <= bench._STDOUT_BUDGET
+    parsed = json.loads(line)
+    # anchors still survive, counts are honest, prefix order preserved
+    for name in bench._R1_ANCHOR:
+        assert name in parsed["queries"]
+    assert parsed["breaches_raw_n"] == 30
+    assert parsed["breaches_calib_n"] == 25
+    assert parsed["breaches_raw"] == sorted(bench.HEADLINE)[: len(parsed["breaches_raw"])]
+    # empty/short lists stay untouched, no _n keys added
+    clean = json.loads(bench._budgeted_line(_payload(times)))
+    assert "breaches_raw_n" not in clean and clean["breaches_raw"] == []
