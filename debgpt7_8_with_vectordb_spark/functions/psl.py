@@ -1171,6 +1171,18 @@ now.sh
 hf.space
 codeberg.page
 cloud.goog
+// r13 private-section platforms (VERDICT r12 #3)
+myshopify.com
+000webhostapp.com
+withgoogle.com
+withyoutube.com
+gitbook.io
+hashnode.dev
+csb.app
+preview.csb.app
+streamlit.app
+cleverapps.io
+mooo.com
 """
 
 # Norwegian counties (fylke) — the published .no block carries the
@@ -1195,6 +1207,105 @@ for _c in _NO_COUNTIES:
         _SNAPSHOT += _c.encode("idna").decode("ascii") + ".no\n"
 _SNAPSHOT += "// no grunnskole county families (generated)\n"
 _SNAPSHOT += "".join(f"gs.{c}.no\n" for c in _NO_GS)
+
+# r13 tranche (VERDICT r12 #3): the .no municipality (kommune) block.
+# Norid registers every municipality name as a second-level suffix; the
+# published list carries the ASCII-transliterated form AND the IDN
+# U-label form as separate lines (e.g. bronnoy.no + brønnøy.no). Names
+# below are the pre-2020 kommune register as published; U-labels get
+# their punycode twin via the stdlib idna codec (hosts arrive in either
+# form), same as the county block above.
+_NO_MUNICIPALITIES = (
+    # ASCII official names + published ASCII transliterations
+    "alstahaug alta alvdal amli andebu andoy ardal aremark arendal "
+    "asker askim askvoll askoy audnedal aukra aure aurland "
+    "aurskog-holand austevoll austrheim averoy balestrand ballangen "
+    "balsfjord bamble bardu batsfjord beiarn berg bergen berlevag "
+    "bindal birkenes bjerkreim bjugn bodo bokn bremanger bronnoy "
+    "bronnoysund bygland bykle baerum donna drammen drangedal dyroy "
+    "eid eidfjord eidsberg eidskog eidsvoll eigersund elverum enebakk "
+    "engerdal etne etnedal evenes evje-og-hornnes farsund fauske "
+    "fedje fet finnoy fitjar fjaler fjell fla flakstad flatanger "
+    "flekkefjord flesberg flora folldal forde forsand fosnes "
+    "fredrikstad frogn froland frosta froya fusa fyresdal gamvik "
+    "gaular gausdal gildeskal giske gjemnes gjerdrum gjerstad gjesdal "
+    "gjovik gloppen gol gran grane granvin gratangen grimstad grong "
+    "grue gulen ha hadsel halden halsa hamar hamaroy hammerfest "
+    "haram hareid harstad hasvik hattfjelldal haugesund hemne hemnes "
+    "hemsedal hitra hjartdal hjelmeland hobol hof hol hole "
+    "holmestrand holtalen horten hoyanger hoylandet hurdal hurum "
+    "hvaler hyllestad hagebostad ibestad inderoy iveland jevnaker "
+    "jolster jondal karasjok karlsoy karmoy kautokeino klabu klepp "
+    "kongsberg kongsvinger kragero kristiansand kristiansund "
+    "krodsherad kvafjord kvalsund kvam kvanangen kvinesdal kvinnherad "
+    "kviteseid kvitsoy kafjord larvik lavangen lebesby leikanger "
+    "leirfjord leka leksvik lenvik lesja levanger lier lierne "
+    "lillehammer lillesand lindas lindesnes lodingen lom loppa "
+    "lorenskog loten lund lunner luroy luster lyngdal lyngen malselv "
+    "malvik mandal marker marnardal masfjorden masoy meland meldal "
+    "melhus meloy meraker midsund midtre-gauldal modalen modum molde "
+    "moskenes moss "
+    "namdalseid namsos namsskogan nannestad naroy narvik naustdal "
+    "nedre-eiker nesna nesodden nesseby nesset nittedal nord-aurdal "
+    "nord-fron nord-odal nordkapp nordre-land nordreisa nore-og-uvdal "
+    "notodden odda oksnes oppdal oppegard orkdal orland orskog orsta "
+    "osen osteroy ostre-toten overhalla ovre-eiker oyer oygarden "
+    "oystre-slidre porsanger porsgrunn rade radoy rakkestad rana "
+    "randaberg rauma rendalen rennebu rennesoy rindal ringebu "
+    "ringerike ringsaker rissa risor roan rollag romskog roros rost "
+    "royken royrvik rygge salangen saltdal samnanger sandefjord "
+    "sandnes sarpsborg sauda sauherad sel selbu selje seljord sigdal "
+    "siljan sirdal skanland skaun skedsmo ski skien skiptvet skjak "
+    "skjervoy skodje smola snasa snillfjord sogndal sogne sokndal "
+    "sola solund somna sondre-land songdalen sorfold sorreisa sortland "
+    "sorum sor-aurdal sor-fron sor-odal sor-varanger spydeberg stange "
+    "stavanger steigen steinkjer stokke stord stordal storfjord "
+    "stor-elvdal strand stranda stryn sula suldal sund sunndal "
+    "surnadal sveio svelvik sykkylven tana time tingvoll tinn "
+    "tjeldsund tjome tokke tolga tonsberg trana trogstad tromso "
+    "trondheim trysil tvedestrand tydal tynset tysfjord tysnes tysvar "
+    "ullensaker ullensvang ulstein ulvik utsira vadso vaga vagan "
+    "vagsoy vaksdal valle vang vanylven vardo varoy vefsn vega "
+    "vegarshei vennesla verdal verran vestby vestnes vestre-slidre "
+    "vestre-toten vestvagoy vevelstad vik vikna vindafjord volda voss"
+).split()
+_NO_MUNICIPALITIES_IDN = (
+    # U-label forms published alongside the transliterations above
+    "åmli andøy årdal askøy aurskog-høland averøy båtsfjord berlevåg "
+    "bodø brønnøy brønnøysund bærum dønna dyrøy finnøy flå frøya "
+    "førde gildeskål gjøvik hå hamarøy hobøl holtålen høyanger "
+    "høylandet hægebostad inderøy jølster karlsøy karmøy klæbu "
+    "kragerø krødsherad kvæfjord kvænangen kvitsøy kåfjord lindås "
+    "lødingen lørenskog løten lurøy målselv måsøy meløy meråker "
+    "nærøy øksnes oppegård ørland ørskog ørsta osterøy østre-toten "
+    "øvre-eiker øyer øygarden øystre-slidre råde radøy rennesøy risør "
+    "rømskog røros røst røyken røyrvik skånland skjåk skjervøy smøla "
+    "snåsa søgne sømna søndre-land sørfold sørreisa sørum sør-aurdal "
+    "sør-fron sør-odal sør-varanger tjøme tønsberg træna trøgstad "
+    "tromsø tysvær vadsø vågå vågan vågsøy vardø værøy vestvågøy"
+).split()
+# ambiguous kommune names are published county-qualified (third level)
+_NO_MUNICIPALITY_QUALIFIED = [
+    "bo.telemark", "bø.telemark", "bo.nordland", "bø.nordland",
+    "heroy.more-og-romsdal", "herøy.møre-og-romsdal",
+    "heroy.nordland", "herøy.nordland",
+    "nes.akershus", "nes.buskerud",
+    "os.hedmark", "os.hordaland",
+    "sande.vestfold", "sande.more-og-romsdal", "sande.møre-og-romsdal",
+    "valer.ostfold", "våler.østfold", "valer.hedmark", "våler.hedmark",
+]
+_SNAPSHOT += "// no municipalities (generated, IDN twins via stdlib idna)\n"
+for _m in _NO_MUNICIPALITIES:
+    _SNAPSHOT += f"{_m}.no\n"
+for _m in _NO_MUNICIPALITIES_IDN + _NO_MUNICIPALITY_QUALIFIED:
+    _SNAPSHOT += f"{_m}.no\n"
+    if not _m.isascii():
+        _SNAPSHOT += (
+            ".".join(
+                p.encode("idna").decode("ascii") for p in _m.split(".")
+            )
+            + ".no\n"
+        )
 
 
 class PSLRules:

@@ -338,8 +338,11 @@ def url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Classes 13/14 (r12) exercise the no/se geographic tranche: a
 # grunnskole THIRD-level suffix (gs.oslo.no) and a Swedish
 # county-letter suffix (press.se).
+# Classes 15/16 (r13, VERDICT r12 #3) exercise the .no municipality
+# block: an ASCII kommune suffix (bergen.no) and an IDN kommune in its
+# punycode twin form (xn--troms-zua.no = tromsø.no).
 _PSL_HOST_SPARK = (
-    "CASE CAST(doc_id % 15 AS INT) "
+    "CASE CAST(doc_id % 17 AS INT) "
     "WHEN 0 THEN concat('deep.www.example', CAST(doc_id % 20 AS STRING), "
     "  '.co.uk') "
     "WHEN 1 THEN concat('user', CAST(doc_id % 20 AS STRING), '.github.io') "
@@ -360,8 +363,12 @@ _PSL_HOST_SPARK = (
     "WHEN 12 THEN 'compute.amazonaws.com' "
     "WHEN 13 THEN concat('www.skole', CAST(doc_id % 20 AS STRING), "
     "  '.gs.oslo.no') "
-    "ELSE concat('www.tidning', CAST(doc_id % 20 AS STRING), "
-    "  '.press.se') END"
+    "WHEN 14 THEN concat('www.tidning', CAST(doc_id % 20 AS STRING), "
+    "  '.press.se') "
+    "WHEN 15 THEN concat('www.etat', CAST(doc_id % 20 AS STRING), "
+    "  '.bergen.no') "
+    "ELSE concat('www.etat', CAST(doc_id % 20 AS STRING), "
+    "  '.xn--troms-zua.no') END"
 )
 
 
@@ -369,7 +376,7 @@ _PSL_HOST_SPARK = (
     "registrable_domains",
     oracle="""
 SELECT doc_id,
-  CASE (doc_id % 15)
+  CASE (doc_id % 17)
     WHEN 0 THEN 'example' || (doc_id % 20) || '.co.uk'
     WHEN 1 THEN 'user' || (doc_id % 20) || '.github.io'
     WHEN 2 THEN 'site' || (doc_id % 20) || '.com'
@@ -385,7 +392,9 @@ SELECT doc_id,
     WHEN 11 THEN 'bucket' || (doc_id % 20) || '.s3.amazonaws.com'
     WHEN 12 THEN 'amazonaws.com'
     WHEN 13 THEN 'skole' || (doc_id % 20) || '.gs.oslo.no'
-    ELSE 'tidning' || (doc_id % 20) || '.press.se'
+    WHEN 14 THEN 'tidning' || (doc_id % 20) || '.press.se'
+    WHEN 15 THEN 'etat' || (doc_id % 20) || '.bergen.no'
+    ELSE 'etat' || (doc_id % 20) || '.xn--troms-zua.no'
   END AS domain
 FROM documents
 """,

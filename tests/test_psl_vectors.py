@@ -153,3 +153,49 @@ def test_wildcard_parent_is_not_its_own_suffix():
         psl.public_suffix("us-east-1.compute.amazonaws.com")
         == "us-east-1.compute.amazonaws.com"
     )
+
+
+def test_no_municipality_tranche_r13():
+    """VERDICT r12 #3: the .no municipality (kommune) block — ASCII
+    names, IDN U-labels AND their stdlib-idna punycode twins, the
+    published brønnøysund oddity, and the county-qualified forms for
+    ambiguous kommune names. A host under an absent registry would
+    over-merge to the default rule ('<kommune>.no' itself) — these pin
+    the suffix depth."""
+    rd = psl.registrable_domain_of_host
+    # ASCII kommuner register one level beneath the municipality
+    assert rd("www.etat.bergen.no") == "etat.bergen.no"
+    assert rd("a.b.trondheim.no") == "b.trondheim.no"
+    assert rd("x.stavanger.no") == "x.stavanger.no"
+    assert rd("svc.alta.no") == "svc.alta.no"
+    # IDN U-label and punycode twin agree
+    assert rd("www.etat.tromsø.no") == "etat.tromsø.no"
+    assert rd("www.etat.xn--troms-zua.no") == "etat.xn--troms-zua.no"
+    assert rd("a.værøy.no") == "a.værøy.no"
+    assert rd("a." + "værøy".encode("idna").decode() + ".no") == (
+        "a.xn--vry-yla5g.no"
+    )
+    # transliterated ASCII forms are separate published rules
+    assert rd("x.bronnoy.no") == "x.bronnoy.no"
+    assert rd("x.brønnøysund.no") == "x.brønnøysund.no"
+    # ambiguous names are county-qualified third-level suffixes
+    assert rd("www.skole.bo.telemark.no") == "skole.bo.telemark.no"
+    assert rd("www.a.heroy.nordland.no") == "a.heroy.nordland.no"
+    assert rd("p.os.hordaland.no") == "p.os.hordaland.no"
+    # an UNLISTED label under .no still registers at the second level
+    assert rd("www.opera.no") == "opera.no"
+    # county block unchanged by the tranche
+    assert rd("x.gs.oslo.no") == "x.gs.oslo.no"
+    # snapshot breadth contract for the round
+    assert len(psl._RULES) + len(psl._EXCEPTIONS) >= 1500
+
+
+def test_r13_private_platforms():
+    rd = psl.registrable_domain_of_host
+    assert rd("shop.myshopify.com") == "shop.myshopify.com"
+    assert rd("a.b.myshopify.com") == "b.myshopify.com"
+    assert rd("site.000webhostapp.com") == "site.000webhostapp.com"
+    assert rd("x.csb.app") == "x.csb.app"
+    assert rd("x.preview.csb.app") == "x.preview.csb.app"
+    assert rd("demo.streamlit.app") == "demo.streamlit.app"
+    assert rd("team.gitbook.io") == "team.gitbook.io"
