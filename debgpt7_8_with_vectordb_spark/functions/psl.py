@@ -1183,6 +1183,127 @@ preview.csb.app
 streamlit.app
 cleverapps.io
 mooo.com
+// r13 ccTLD category/geographic families (documented blocks)
+// au: state second-levels + the per-state edu/gov third levels
+act.au
+nsw.au
+nt.au
+qld.au
+sa.au
+tas.au
+vic.au
+wa.au
+act.edu.au
+nsw.edu.au
+nt.edu.au
+qld.edu.au
+sa.edu.au
+tas.edu.au
+vic.edu.au
+wa.edu.au
+nsw.gov.au
+nt.gov.au
+qld.gov.au
+sa.gov.au
+tas.gov.au
+vic.gov.au
+wa.gov.au
+// nz moderated second-levels
+health.nz
+mil.nz
+parliament.nz
+cri.nz
+// kr metropolitan cities + provinces (KISA geographic block)
+seoul.kr
+busan.kr
+daegu.kr
+daejeon.kr
+gwangju.kr
+incheon.kr
+ulsan.kr
+jeju.kr
+gyeonggi.kr
+gangwon.kr
+chungbuk.kr
+chungnam.kr
+jeonbuk.kr
+jeonnam.kr
+gyeongbuk.kr
+gyeongnam.kr
+// ar
+tur.ar
+musica.ar
+// pl geographic (NASK city block — major-city subset)
+warszawa.pl
+waw.pl
+wroclaw.pl
+wroc.pl
+krakow.pl
+katowice.pl
+poznan.pl
+lodz.pl
+gdansk.pl
+gda.pl
+gdynia.pl
+sopot.pl
+szczecin.pl
+lublin.pl
+bialystok.pl
+olsztyn.pl
+torun.pl
+bydgoszcz.pl
+radom.pl
+rzeszow.pl
+kielce.pl
+opole.pl
+// ua oblast two-letter codes + major-city spellings (Hostmaster block)
+ck.ua
+cn.ua
+cv.ua
+dn.ua
+dp.ua
+if.ua
+kh.ua
+km.ua
+kr.ua
+ks.ua
+kv.ua
+lg.ua
+lt.ua
+mk.ua
+od.ua
+pl.ua
+rv.ua
+sb.ua
+sm.ua
+te.ua
+uz.ua
+vn.ua
+zp.ua
+zt.ua
+cherkasy.ua
+chernihiv.ua
+chernivtsi.ua
+dnipropetrovsk.ua
+donetsk.ua
+kharkiv.ua
+kherson.ua
+khmelnytskyi.ua
+kirovograd.ua
+luhansk.ua
+lutsk.ua
+mykolaiv.ua
+odessa.ua
+poltava.ua
+rivne.ua
+sumy.ua
+ternopil.ua
+uzhgorod.ua
+vinnica.ua
+zaporizhzhe.ua
+zhitomir.ua
+// CentralNic com.de
+com.de
 """
 
 # Norwegian counties (fylke) — the published .no block carries the
