@@ -306,6 +306,26 @@ def _concurrent_load() -> list[str]:
     return hot
 
 
+def calib_workload(spark) -> float:
+    """THE machine-speed calibration workload: a FIXED pure-JVM job
+    (codegen'd range sum + a small fixed shuffle), one timed run.
+    min-of-3 is stamped on the bench line as calib_sec — it makes lines
+    comparable ACROSS sessions (r10's quiet wall ran ~1.24x r9's
+    uniformly, including untouched pure-JVM TPC-H queries, which only a
+    box-speed reference can distinguish from a code regression).
+
+    SINGLE SOURCE OF TRUTH (self-review r13): tools/calib_probe.py
+    imports this so the SPARK_GRAFT_CALIB_BEST session probe and the
+    in-run pre/post probes always measure the identical workload — the
+    1.2x quiet gate in calib_quiet_verdict assumes they do."""
+    t0 = time.time()
+    spark.range(2_000_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    spark.range(4_000_000).selectExpr("id % 1000 AS k").groupBy(
+        "k"
+    ).count().count()
+    return time.time() - t0
+
+
 def calib_quiet_verdict(
     pre: float, post: float, session_best: "float | None"
 ) -> bool:
@@ -395,21 +415,7 @@ def main() -> None:
     )
     KMeans(k=2, seed=1, maxIter=1, initMode="random").fit(tiny)
 
-    # Machine-speed calibration: a FIXED pure-JVM workload (codegen'd
-    # range sum + a small fixed shuffle), min-of-3, stamped on the
-    # bench line as calib_sec. Makes lines comparable ACROSS sessions:
-    # r10's quiet wall ran ~1.24x r9's uniformly — including untouched
-    # pure-JVM TPC-H queries — which only a box-speed reference can
-    # distinguish from a code regression at a glance.
-    def _calib_once() -> float:
-        t0 = time.time()
-        spark.range(2_000_000_000).selectExpr("sum(id * 2 + 1)").collect()
-        spark.range(4_000_000).selectExpr("id % 1000 AS k").groupBy(
-            "k"
-        ).count().count()
-        return time.time() - t0
-
-    calib_pre = round(min(_calib_once() for _ in range(3)), 3)
+    calib_pre = round(min(calib_workload(spark) for _ in range(3)), 3)
 
     # min-of-N per query (default 3 since round 7 — VERDICT r6 #3: two
     # queries drifted two rounds running under min-of-2; N=3 plus the
@@ -451,7 +457,7 @@ def main() -> None:
     # post-sweep probe: the pre/post PAIR makes quietness self-verifying
     # (VERDICT r12 #2) — a box that degraded (or recovered) mid-sweep
     # shows disagreeing probes and the line flags itself non-quiet.
-    calib_post = round(min(_calib_once() for _ in range(3)), 3)
+    calib_post = round(min(calib_workload(spark) for _ in range(3)), 3)
     calib_sec = min(calib_pre, calib_post)
     try:
         session_best: "float | None" = float(
@@ -522,7 +528,7 @@ def main() -> None:
         # AND self-verifies via the pre/post calib pair (VERDICT r12
         # #2, calib_quiet_verdict) — false when either check failed
         "quiet": quiet,
-        # fixed pure-JVM reference workload (see _calib_once): divide
+        # fixed pure-JVM reference workload (see calib_workload): divide
         # walls by this before comparing across sessions/boxes.
         # calib_sec = min(pre, post); the pair is the quietness proof
         "calib_sec": calib_sec,
@@ -598,25 +604,29 @@ def _budgeted_line(payload: dict) -> str:
         n for n in times if n not in _R1_ANCHOR
     ]
     keep = dict(times)
-    while len(ordered) > len(_R1_ANCHOR):
-        line = json.dumps(
-            {**payload, "queries": keep}, separators=(",", ":")
-        )
-        if len(line) <= _STDOUT_BUDGET:
-            break
-        keep.pop(ordered.pop())
 
     def _line() -> str:
         return json.dumps({**payload, "queries": keep}, separators=(",", ":"))
 
+    # budget is measured in BYTES everywhere (the driver tail is a byte
+    # window; a multibyte sf path must not slip past a char count)
+    while len(ordered) > len(_R1_ANCHOR):
+        if len(_line().encode()) <= _STDOUT_BUDGET:
+            break
+        keep.pop(ordered.pop())
+
+    # breach lists truncate RAW-first: breaches_calib is the 2x
+    # contract (VERDICT r11 #1) and must survive whole as long as
+    # possible; breaches_raw is context (self-review r13 — the
+    # lockstep trim emptied the short contract list while the long
+    # context list still had entries)
     while len(_line().encode()) > _STDOUT_BUDGET and (
         payload.get("breaches_raw") or payload.get("breaches_calib")
     ):
-        for k in ("breaches_raw", "breaches_calib"):
-            lst = payload.get(k)
-            if lst:
-                payload.setdefault(f"{k}_n", len(lst))
-                payload[k] = lst[:-1]
+        k = "breaches_raw" if payload.get("breaches_raw") else "breaches_calib"
+        lst = payload[k]
+        payload.setdefault(f"{k}_n", len(lst))
+        payload[k] = lst[:-1]
     return _line()
 
 

@@ -1333,7 +1333,9 @@ _SNAPSHOT += "".join(f"gs.{c}.no\n" for c in _NO_GS)
 # Norid registers every municipality name as a second-level suffix; the
 # published list carries the ASCII-transliterated form AND the IDN
 # U-label form as separate lines (e.g. bronnoy.no + brønnøy.no). Names
-# below are the pre-2020 kommune register as published; U-labels get
+# below are a broad, confidently-transcribed subset of the pre-2020
+# kommune register (self-review r13 added a second batch; remaining
+# absences are data-only follow-ups, never matcher work); U-labels get
 # their punycode twin via the stdlib idna codec (hosts arrive in either
 # form), same as the county block above.
 _NO_MUNICIPALITIES = (
@@ -1388,7 +1390,10 @@ _NO_MUNICIPALITIES = (
     "ullensaker ullensvang ulstein ulvik utsira vadso vaga vagan "
     "vagsoy vaksdal valle vang vanylven vardo varoy vefsn vega "
     "vegarshei vennesla verdal verran vestby vestnes vestre-slidre "
-    "vestre-toten vestvagoy vevelstad vik vikna vindafjord volda voss"
+    "vestre-toten vestvagoy vevelstad vik vikna vindafjord volda voss "
+    # self-review r13 batch 2
+    "agdenes alesund amot aseral asnes afjord dovre lardal nissedal "
+    "notteroy ralingen sandoy stjordal tranoy"
 ).split()
 _NO_MUNICIPALITIES_IDN = (
     # U-label forms published alongside the transliterations above
@@ -1403,7 +1408,10 @@ _NO_MUNICIPALITIES_IDN = (
     "rømskog røros røst røyken røyrvik skånland skjåk skjervøy smøla "
     "snåsa søgne sømna søndre-land sørfold sørreisa sørum sør-aurdal "
     "sør-fron sør-odal sør-varanger tjøme tønsberg træna trøgstad "
-    "tromsø tysvær vadsø vågå vågan vågsøy vardø værøy vestvågøy"
+    "tromsø tysvær vadsø vågå vågan vågsøy vardø værøy vestvågøy "
+    # self-review r13 batch 2
+    "ål ålesund åmot ås åseral åsnes åfjord nøtterøy rælingen sandøy "
+    "stjørdal tranøy"
 ).split()
 # ambiguous kommune names are published county-qualified (third level)
 _NO_MUNICIPALITY_QUALIFIED = [

@@ -256,8 +256,37 @@ def test_long_breach_lists_truncate_within_budget():
     for name in bench._R1_ANCHOR:
         assert name in parsed["queries"]
     assert parsed["breaches_raw_n"] == 30
-    assert parsed["breaches_calib_n"] == 25
+    # raw-first truncation: the calib contract list survives whole
+    # whenever trimming raw alone fits the budget (self-review r13)
+    assert parsed["breaches_calib"] == sorted(bench.HEADLINE)[:25]
+    assert "breaches_calib_n" not in parsed
     assert parsed["breaches_raw"] == sorted(bench.HEADLINE)[: len(parsed["breaches_raw"])]
     # empty/short lists stay untouched, no _n keys added
     clean = json.loads(bench._budgeted_line(_payload(times)))
     assert "breaches_raw_n" not in clean and clean["breaches_raw"] == []
+
+
+def test_calib_contract_list_survives_raw_truncation():
+    """Self-review r13: breaches_calib is the 2x contract — the
+    truncation must exhaust the raw (context) list before touching it."""
+    times = {n: 12.345 for n in bench.HEADLINE}
+    p = _payload(times)
+    p["breaches_raw"] = sorted(bench.HEADLINE)          # all 100+
+    p["breaches_calib"] = sorted(bench.HEADLINE)[:3]    # short contract
+    parsed = json.loads(bench._budgeted_line(p))
+    assert parsed["breaches_calib"] == sorted(bench.HEADLINE)[:3]
+    assert "breaches_calib_n" not in parsed  # untouched, no count key
+    assert parsed["breaches_raw_n"] == len(bench.HEADLINE)
+    assert len(parsed["breaches_raw"]) < len(bench.HEADLINE)
+
+
+def test_budget_measured_in_bytes_not_chars():
+    """A multibyte payload value must not slip past the budget via a
+    char count (the driver tail is a byte window)."""
+    times = {n: 12.345 for n in bench.HEADLINE}
+    p = _payload(times)
+    p["sf"] = "ø" * 400  # 400 chars, 800 bytes
+    line = bench._budgeted_line(p)
+    assert len(line.encode()) <= bench._STDOUT_BUDGET or json.loads(
+        line
+    )["queries"].keys() == {n for n in bench._R1_ANCHOR}

@@ -172,3 +172,21 @@ def test_quoted_parens_do_not_shift_spans():
         "md5(concat_ws('(', q#7))), lambda x#4, false)) AS y#5]"
     )
     assert audit.find_invariant_lambda_exprs(offender) >= 1
+
+
+def test_unpaired_quote_in_unquoted_literal_stays_plain():
+    """Self-review r13: Spark prints most string literals UNQUOTED, so
+    an isolated apostrophe (e.g. a regex containing "it's") must not
+    open a phantom quote that swallows the rest of the line."""
+    line = (
+        "Project [transform(xs#1, lambdafunction("
+        "regexp_replace(lambda x#4, it's ok, y, 1), lambda x#4, false))"
+        " AS a#5, md5(q#7) AS b#8]"
+    )
+    assert audit.find_invariant_lambda_exprs(line) == 0
+    # _balanced_close unit: the unpaired quote is a plain character
+    s = "f(it's, a)x"
+    assert audit._balanced_close(s, 1) == s.rindex(")")
+    # paired quotes still skip their parens
+    s2 = "f('((' )x"
+    assert audit._balanced_close(s2, 1) == 7

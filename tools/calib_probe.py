@@ -16,29 +16,20 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import calib_workload  # noqa: E402  — the ONE workload
 from debgpt7_8_with_vectordb_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n = max(1, int(sys.argv[1])) if len(sys.argv) > 1 else 3
     spark = get_spark(app_name="calibprobe")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warm-up so the first probe isn't charged startup
     spark.range(100_000_000).selectExpr("sum(id)").collect()
-
-    def once() -> float:
-        t0 = time.time()
-        spark.range(2_000_000_000).selectExpr("sum(id * 2 + 1)").collect()
-        spark.range(4_000_000).selectExpr("id % 1000 AS k").groupBy(
-            "k"
-        ).count().count()
-        return time.time() - t0
-
-    vals = [round(once(), 3) for _ in range(n)]
+    vals = [round(calib_workload(spark), 3) for _ in range(n)]
     print(f"probes: {vals} best: {min(vals)}", flush=True)
     spark.stop()
 

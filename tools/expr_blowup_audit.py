@@ -100,19 +100,25 @@ def _balanced_close(s: str, open_idx: int) -> int:
 
     Parens inside quoted segments are skipped (ADVICE r12 #3: plan
     lines can print literal '(' inside quoted regex/separator text,
-    shifting a lambda/fold span). RESIDUAL LIMITATION, documented:
-    Spark prints most string literals UNQUOTED in plan output, so an
-    unbalanced literal paren outside quotes can still shift a span —
-    the per-line scoping in _invariant_in_lambda bounds that damage to
-    the one line, and the audit's current corpus runs 0 flags."""
+    shifting a lambda/fold span). A quote only OPENS a segment when a
+    matching close exists later on the line — Spark prints most string
+    literals unquoted, so an isolated apostrophe in unquoted literal
+    text (e.g. "it's") must stay a plain character, not swallow the
+    rest of the line (self-review r13). RESIDUAL LIMITATION,
+    documented: an unbalanced literal paren outside quotes, or a PAIR
+    of apostrophes split across two unquoted literals, can still shift
+    a span — the per-line scoping in _invariant_in_lambda bounds that
+    damage to the one line, and the audit's current corpus runs 0
+    flags."""
     depth = 0
     quote: "str | None" = None
-    for i in range(open_idx, len(s)):
+    i = open_idx
+    while i < len(s):
         c = s[i]
         if quote is not None:
             if c == quote:
                 quote = None
-        elif c in "'\"":
+        elif c in "'\"" and s.find(c, i + 1) != -1:
             quote = c
         elif c == "(":
             depth += 1
@@ -120,6 +126,7 @@ def _balanced_close(s: str, open_idx: int) -> int:
             depth -= 1
             if depth == 0:
                 return i
+        i += 1
     return len(s)
 
 
