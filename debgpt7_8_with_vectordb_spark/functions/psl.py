@@ -1235,7 +1235,6 @@ tur.ar
 musica.ar
 // pl geographic (NASK city block — major-city subset)
 warszawa.pl
-waw.pl
 wroclaw.pl
 wroc.pl
 krakow.pl
