@@ -199,3 +199,30 @@ def test_r13_private_platforms():
     assert rd("x.preview.csb.app") == "x.preview.csb.app"
     assert rd("demo.streamlit.app") == "demo.streamlit.app"
     assert rd("team.gitbook.io") == "team.gitbook.io"
+
+
+def test_every_plain_rule_registers_one_label_deeper():
+    """Structural invariant over the ENTIRE snapshot: for every plain
+    (non-wildcard, non-exception) rule R, a host one label beneath R
+    is its own registrable domain. Catches a mis-transcribed rule that
+    never matches (it would fall to a shorter rule and register at the
+    wrong depth) — total coverage of all r9-r13 tranches at once."""
+    rules = psl.current_rules()
+    for r in rules.rules:
+        host = "probe." + r
+        got = psl.registrable_domain_of_host(host)
+        assert got == host, f"rule {r!r}: {host} registered as {got}"
+
+
+def test_every_idn_rule_has_punycode_twin():
+    """Every non-ASCII (U-label) rule must ship its stdlib-idna
+    punycode twin — hosts arrive in either form."""
+    rules = psl.current_rules()
+    for r in rules.rules:
+        if r.isascii():
+            continue
+        twin = ".".join(
+            p.encode("idna").decode("ascii") if not p.isascii() else p
+            for p in r.split(".")
+        )
+        assert twin in rules.rules, f"IDN rule {r!r} missing twin {twin!r}"
