@@ -1079,28 +1079,36 @@ _PDF_STD_ENCODING = re.compile(
 )
 
 
-def _inline_encoding_value(font_obj: bytes) -> "bytes | None":
-    """The font dict's inline /Encoding value: either a bare name token
-    or a BALANCED ``<<...>>`` dict. A non-greedy ``<<.*?>>`` match stops
-    at the first ``>>``, so a /BaseEncoding placed after nested dict
-    content would be cut off — nested opens/closes are counted instead
+def _balanced_dict_end(data: bytes, body_start: int) -> "int | None":
+    """End index (exclusive, past the closing ``>>``) of the dict whose
+    BODY starts at ``body_start`` (i.e. just after its opening ``<<``).
+    Nested opens/closes are counted; None when unterminated. The
+    balanced form replaces non-greedy ``<<.*?>>`` matches, which stop
+    at the FIRST ``>>`` and cut off content after a nested dict
     (ADVICE r12 #2)."""
-    m = re.search(rb"/Encoding\s*(<<|/[A-Za-z]+)", font_obj)
-    if not m:
-        return None
-    if m.group(1) != b"<<":
-        return m.group(1)
-    depth, i = 1, m.end()
+    depth, i = 1, body_start
     while depth:
-        nxt_open = font_obj.find(b"<<", i)
-        nxt_close = font_obj.find(b">>", i)
+        nxt_open = data.find(b"<<", i)
+        nxt_close = data.find(b">>", i)
         if nxt_close == -1:
             return None  # unterminated dict
         if nxt_open != -1 and nxt_open < nxt_close:
             depth, i = depth + 1, nxt_open + 2
         else:
             depth, i = depth - 1, nxt_close + 2
-    return font_obj[m.start(1) : i]
+    return i
+
+
+def _inline_encoding_value(font_obj: bytes) -> "bytes | None":
+    """The font dict's inline /Encoding value: either a bare name token
+    or a BALANCED ``<<...>>`` dict (ADVICE r12 #2)."""
+    m = re.search(rb"/Encoding\s*(<<|/[A-Za-z]+)", font_obj)
+    if not m:
+        return None
+    if m.group(1) != b"<<":
+        return m.group(1)
+    end = _balanced_dict_end(font_obj, m.end())
+    return None if end is None else font_obj[m.start(1) : end]
 
 
 def _font_base_encoding(
@@ -1243,9 +1251,16 @@ def _pdf_font_cmaps(
         return {}
     fonts: dict[bytes, tuple[int, dict[int, str]]] = {}
     for space in spaces:
-        for fm in re.finditer(rb"/Font\s*<<(.*?)>>", space, re.DOTALL):
+        # /Font RESOURCE dicts matched balanced (self-review r13): an
+        # INLINE font dict among the refs would end a non-greedy match
+        # at its first >>, dropping every ref declared after it
+        for fm in re.finditer(rb"/Font\s*<<", space):
+            f_end = _balanced_dict_end(space, fm.end())
+            if f_end is None:
+                continue
+            body = space[fm.end() : f_end - 2]
             for rm in re.finditer(
-                rb"/([^\s<>\[\]()/%]+)\s+(\d+)\s+\d+\s+R", fm.group(1)
+                rb"/([^\s<>\[\]()/%]+)\s+(\d+)\s+\d+\s+R", body
             ):
                 name, objnum = rm.group(1), int(rm.group(2))
                 font_obj = objs.get(objnum)

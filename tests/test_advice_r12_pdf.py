@@ -92,3 +92,26 @@ def test_end_to_end_differences_only_cm_font_keeps_latin1():
         extra=enc,
     )
     assert pdf_extract_text(p) == "a|b<c>d"
+
+
+def test_font_resource_dict_balanced_inline_font_does_not_hide_refs():
+    """Self-review r13: a /Font RESOURCE dict carrying an INLINE font
+    dict used to end the non-greedy match at the inline dict's >>,
+    dropping every ref declared after it — the resource dict is now
+    matched balanced, so F2's ToUnicode still resolves."""
+    cmap = (
+        b"begincodespacerange <00> <FF> endcodespacerange\n"
+        b"beginbfchar <61> <0041> endbfchar"
+    )
+    p = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type /Page /Resources <</Font <<"
+        b"/F1 <</Type /Font /Subtype /Type1 /BaseFont /Helvetica>> "
+        b"/F2 5 0 R>>>>>>\nendobj\n"
+        b"5 0 obj\n<</Type /Font /ToUnicode 7 0 R>>\nendobj\n"
+        b"7 0 obj\n<</Length " + str(len(cmap)).encode()
+        + b">>\nstream\n" + cmap + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<</Length 24>>\nstream\nBT /F2 10 Tf (a) Tj ET\nendstream\n"
+        b"endobj\ntrailer\n<<>>\n%%EOF"
+    )
+    assert pdf_extract_text(p) == "A"  # F2's bfchar maps a -> A
