@@ -1422,6 +1422,40 @@ _NO_MUNICIPALITY_QUALIFIED = [
     "sande.vestfold", "sande.more-og-romsdal", "sande.møre-og-romsdal",
     "valer.ostfold", "våler.østfold", "valer.hedmark", "våler.hedmark",
 ]
+# r13 (self-review follow-on): the .it geographic block's PROVINCE
+# layer — the official two-letter province codes and the unambiguous
+# single-form province names, as published (regions and major-city
+# names/translations were added in earlier tranches). Multi-name
+# merged-province variant orderings (e.g. the barletta/andria/trani
+# permutations) are left to a future tranche — only forms confidently
+# recalled from the published file are listed.
+_IT_PROVINCE_CODES = (
+    "ag al an ao ap aq ar at av ba bg bi bl bn bo br bs bt bz ca cb ce "
+    "ch ci cl cn co cr cs ct cz en fc fe fg fi fm fr ge go gr im is kr "
+    "lc le li lo lt lu mb mc me mi mn mo ms mt na no nu og or ot pa pc "
+    "pd pe pg pi pn po pr pt pu pv pz ra rc re rg ri rm rn ro sa si so "
+    "sp sr ss su sv ta te tn to tp tr ts tv ud va vb vc ve vi vr vs vt "
+    "vv"
+).split()
+_IT_PROVINCES = (
+    "agrigento alessandria ancona aosta arezzo ascoli-piceno asti "
+    "avellino belluno benevento bergamo biella bolzano brescia "
+    "brindisi cagliari caltanissetta campobasso caserta catanzaro "
+    "chieti como cosenza cremona crotone cuneo enna fermo ferrara "
+    "foggia frosinone gorizia grosseto imperia isernia la-spezia "
+    "latina lecce lecco livorno lodi lucca macerata mantova "
+    "massa-carrara matera messina modena novara nuoro ogliastra "
+    "oristano parma pavia perugia pescara piacenza pisa pistoia "
+    "pordenone potenza prato ragusa ravenna reggio-calabria "
+    "reggio-emilia rieti rimini rovigo salerno sassari savona siena "
+    "siracusa sondrio taranto teramo terni trapani trento treviso "
+    "udine varese verbania vercelli vibo-valentia vicenza viterbo"
+).split()
+_SNAPSHOT += "// it provinces (generated: codes + names)\n"
+_SNAPSHOT += "".join(
+    f"{p}.it\n" for p in _IT_PROVINCE_CODES + _IT_PROVINCES
+)
+
 _SNAPSHOT += "// no municipalities (generated, IDN twins via stdlib idna)\n"
 for _m in _NO_MUNICIPALITIES:
     _SNAPSHOT += f"{_m}.no\n"
