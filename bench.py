@@ -627,7 +627,18 @@ def _budgeted_line(payload: dict) -> str:
         lst = payload[k]
         payload.setdefault(f"{k}_n", len(lst))
         payload[k] = lst[:-1]
-    return _line()
+    line = _line()
+    if len(line.encode()) > _STDOUT_BUDGET:
+        # anchor floor + fully-drained breach lists STILL over budget
+        # (future payload-key growth): make the overflow visible instead
+        # of silently risking the driver-tail parsed:null cliff
+        # (ADVICE r13 #3)
+        print(
+            f"WARNING: bench stdout line {len(line.encode())} bytes exceeds "
+            f"budget {_STDOUT_BUDGET} after full truncation",
+            file=sys.stderr,
+        )
+    return line
 
 
 if __name__ == "__main__":

@@ -1099,6 +1099,28 @@ def _balanced_dict_end(data: bytes, body_start: int) -> "int | None":
     return i
 
 
+def _nested_dict_spans(body: bytes) -> "list[tuple[int, int]]":
+    """[start, end) spans of the top-level nested ``<<...>>`` dicts
+    inside a dict BODY (ADVICE r13 #1): now that the /Font resource
+    scan is balanced, an INLINE font dict's internals (/FontFile 5 0 R,
+    /FontDescriptor 8 0 R) are part of the scanned body — refs inside
+    them are that font's internals, not resource entries, and must not
+    register non-font objects under bogus names (first-wins semantics
+    would let such an entry shadow a later REAL ref of the same name).
+    An unterminated nested dict masks through to the end of the body."""
+    spans, i = [], 0
+    while True:
+        o = body.find(b"<<", i)
+        if o == -1:
+            return spans
+        end = _balanced_dict_end(body, o + 2)
+        if end is None:
+            spans.append((o, len(body)))
+            return spans
+        spans.append((o, end))
+        i = end
+
+
 def _inline_encoding_value(font_obj: bytes) -> "bytes | None":
     """The font dict's inline /Encoding value: either a bare name token
     or a BALANCED ``<<...>>`` dict (ADVICE r12 #2)."""
@@ -1259,9 +1281,15 @@ def _pdf_font_cmaps(
             if f_end is None:
                 continue
             body = space[fm.end() : f_end - 2]
+            # refs inside a nested <<...>> (an inline font dict's own
+            # /FontFile, /FontDescriptor, ...) are that font's
+            # internals, not resource entries (ADVICE r13 #1)
+            nested = _nested_dict_spans(body)
             for rm in re.finditer(
                 rb"/([^\s<>\[\]()/%]+)\s+(\d+)\s+\d+\s+R", body
             ):
+                if any(s <= rm.start() < e for s, e in nested):
+                    continue
                 name, objnum = rm.group(1), int(rm.group(2))
                 font_obj = objs.get(objnum)
                 if font_obj is None or name in fonts:

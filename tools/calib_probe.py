@@ -23,8 +23,25 @@ from bench import calib_workload  # noqa: E402  — the ONE workload
 from debgpt7_8_with_vectordb_spark.session import get_spark  # noqa: E402
 
 
+def _parse_nprobes(argv: "list[str]") -> int:
+    """Probe count from argv — a non-numeric argument must NOT crash
+    before the probe line prints (ADVICE r13 #2): fall back to the
+    default of 3 with a usage note on stderr."""
+    n = 3
+    if len(argv) > 1:
+        try:
+            n = max(1, int(argv[1]))
+        except ValueError:
+            print(
+                f"usage: calib_probe.py [n_probes]; ignoring "
+                f"{argv[1]!r}, using {n}",
+                file=sys.stderr,
+            )
+    return n
+
+
 def main() -> None:
-    n = max(1, int(sys.argv[1])) if len(sys.argv) > 1 else 3
+    n = _parse_nprobes(sys.argv)
     spark = get_spark(app_name="calibprobe")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warm-up so the first probe isn't charged startup
