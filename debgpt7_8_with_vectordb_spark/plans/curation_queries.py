@@ -341,8 +341,12 @@ def url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Classes 15/16 (r13, VERDICT r12 #3) exercise the .no municipality
 # block: an ASCII kommune suffix (bergen.no) and an IDN kommune in its
 # punycode twin form (xn--troms-zua.no = tromsø.no).
+# Class 17 (r14, VERDICT r13 #3) exercises the .jp municipality
+# tranche: a host under a third-level municipality suffix
+# (urayasu.chiba.jp) registers one level beneath it — an absent
+# tranche would over-merge it to the prefecture rule (chiba.jp).
 _PSL_HOST_SPARK = (
-    "CASE CAST(doc_id % 17 AS INT) "
+    "CASE CAST(doc_id % 18 AS INT) "
     "WHEN 0 THEN concat('deep.www.example', CAST(doc_id % 20 AS STRING), "
     "  '.co.uk') "
     "WHEN 1 THEN concat('user', CAST(doc_id % 20 AS STRING), '.github.io') "
@@ -367,8 +371,10 @@ _PSL_HOST_SPARK = (
     "  '.press.se') "
     "WHEN 15 THEN concat('www.etat', CAST(doc_id % 20 AS STRING), "
     "  '.bergen.no') "
-    "ELSE concat('www.etat', CAST(doc_id % 20 AS STRING), "
-    "  '.xn--troms-zua.no') END"
+    "WHEN 16 THEN concat('www.etat', CAST(doc_id % 20 AS STRING), "
+    "  '.xn--troms-zua.no') "
+    "ELSE concat('www.ku', CAST(doc_id % 20 AS STRING), "
+    "  '.urayasu.chiba.jp') END"
 )
 
 
@@ -376,7 +382,7 @@ _PSL_HOST_SPARK = (
     "registrable_domains",
     oracle="""
 SELECT doc_id,
-  CASE (doc_id % 17)
+  CASE (doc_id % 18)
     WHEN 0 THEN 'example' || (doc_id % 20) || '.co.uk'
     WHEN 1 THEN 'user' || (doc_id % 20) || '.github.io'
     WHEN 2 THEN 'site' || (doc_id % 20) || '.com'
@@ -394,7 +400,8 @@ SELECT doc_id,
     WHEN 13 THEN 'skole' || (doc_id % 20) || '.gs.oslo.no'
     WHEN 14 THEN 'tidning' || (doc_id % 20) || '.press.se'
     WHEN 15 THEN 'etat' || (doc_id % 20) || '.bergen.no'
-    ELSE 'etat' || (doc_id % 20) || '.xn--troms-zua.no'
+    WHEN 16 THEN 'etat' || (doc_id % 20) || '.xn--troms-zua.no'
+    ELSE 'ku' || (doc_id % 20) || '.urayasu.chiba.jp'
   END AS domain
 FROM documents
 """,

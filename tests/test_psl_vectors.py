@@ -201,6 +201,47 @@ def test_r13_private_platforms():
     assert rd("team.gitbook.io") == "team.gitbook.io"
 
 
+def test_jp_municipality_tranche_r14():
+    """VERDICT r13 #3: the .jp municipality ("jp addresses") tranche —
+    third-level rules under the 47 prefecture second-levels. A host
+    under an absent municipality falls back to the PREFECTURE rule
+    (one level shallower), never to a wrong suffix; the seven
+    designated-city wildcard families are second-level and
+    unaffected."""
+    rd = psl.registrable_domain_of_host
+    # municipalities register one level beneath the third-level rule
+    assert rd("www.kosodate.urayasu.chiba.jp") == "kosodate.urayasu.chiba.jp"
+    assert rd("a.b.toyota.aichi.jp") == "b.toyota.aichi.jp"
+    assert rd("www.lib.bunkyo.tokyo.jp") == "lib.bunkyo.tokyo.jp"
+    assert rd("x.sakura.chiba.jp") == "x.sakura.chiba.jp"
+    # pre-merger (defunct) municipalities are published rules
+    assert rd("www.hazu.aichi.jp") == "www.hazu.aichi.jp"
+    assert rd("x.usui.fukuoka.jp") == "x.usui.fukuoka.jp"
+    # published long-vowel spellings (incl. the doubled honjo/honjyo)
+    assert rd("a.happou.akita.jp") == "a.happou.akita.jp"
+    assert rd("a.honjo.akita.jp") == "a.honjo.akita.jp"
+    assert rd("a.honjyo.akita.jp") == "a.honjyo.akita.jp"
+    assert rd("a.ohtawara.tochigi.jp") == "a.ohtawara.tochigi.jp"
+    assert rd("a.minami-alps.yamanashi.jp") == "a.minami-alps.yamanashi.jp"
+    # an UNLISTED municipality registers at the prefecture level
+    assert rd("www.unlisted-town.chiba.jp") == "unlisted-town.chiba.jp"
+    # the designated-city wildcard/exception family is untouched
+    assert rd("a.b.kawasaki.jp") == "a.b.kawasaki.jp"
+    assert rd("a.b.city.kawasaki.jp") == "city.kawasaki.jp"
+    # same-named municipality in ANOTHER prefecture is an ordinary rule
+    assert rd("x.kawasaki.miyagi.jp") == "x.kawasaki.miyagi.jp"
+    assert rd("x.kawasaki.fukuoka.jp") == "x.kawasaki.fukuoka.jp"
+    # the canonical publicsuffix.org vector municipality still holds
+    assert rd("b.ide.kyoto.jp") == "b.ide.kyoto.jp"
+    # organizational second-levels unaffected
+    assert rd("www.example.co.jp") == "example.co.jp"
+    # snapshot breadth contract for the round (VERDICT r13 #3: >= 3000)
+    rules = psl.current_rules()
+    assert len(rules.rules) + len(rules.exceptions) >= 3000
+    jp3 = [x for x in rules.rules if x.endswith(".jp") and x.count(".") == 2]
+    assert len(jp3) >= 1500
+
+
 def test_every_plain_rule_registers_one_label_deeper():
     """Structural invariant over the ENTIRE snapshot: for every plain
     (non-wildcard, non-exception) rule R, a host one label beneath R
