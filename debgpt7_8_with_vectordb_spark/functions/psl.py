@@ -1160,6 +1160,20 @@ test.ru
 // ua major-city second-levels (core com/edu/gov/... already in)
 kiev.ua
 lviv.ua
+// ir (r14: the one previously-absent major ccTLD registry)
+ir
+ac.ir
+co.ir
+gov.ir
+id.ir
+net.ir
+org.ir
+sch.ir
+// published IDN second-levels under .ir (U-label + punycode twin)
+ایران.ir
+xn--mgba3a4f16a.ir
+ايران.ir
+xn--mgba3a4fra.ir
 // ---- Private section additions ----
 trycloudflare.com
 amplifyapp.com
