@@ -28,7 +28,7 @@ from ..operators.multimodal import (
     synthesize_test_media_patterned,
     synthesize_test_video,
 )
-from ..tables import load_table
+from ..tables import fan_out, load_table
 from .catalog import query
 
 MAX_CHUNK_BYTES = 200  # bisection budget over word-per-line testdata docs
@@ -544,8 +544,16 @@ def image_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the hash even though the sum survives. Scale shape: two
     chained Arrow stages, zero shuffle, scan-parallel; at 100 TB the
     encode stage is a format('binaryFile') read and the decode slot
-    swaps to PIL/numpy via the same injectable seam."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    swaps to PIL/numpy via the same injectable seam.
+
+    The doc_id frame is fanned out BEFORE the two Python stages: the
+    encode+decode pair is pure-Python per-row CPU, and a single-split
+    bench file would otherwise run it all in one task (guide §2.5;
+    measured 3.2 s → 0.9 s warm at sf0.1 — the shuffle moves 8-byte
+    ids, and at real split counts fan_out is a no-op)."""
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     media = synthesize_test_media_patterned(docs)
     return decode_image_pixel_stats(media)
 

@@ -12,8 +12,10 @@ query here has a full DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..functions.hashing import md5_long
 from ..functions.rounding import (
@@ -23,7 +25,7 @@ from ..functions.rounding import (
     half_up_scaled_ratio_sql,
 )
 from ..functions.text import distinct_tokens, tokens, word_shingles
-from ..tables import load_table
+from ..tables import fan_out, load_table
 from .catalog import query
 from .retrieval_queries import _cos
 
@@ -513,33 +515,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit set iff the vote is positive. Identical docs → identical hash;
     near-identical → small Hamming distance (pairable via bit_count(xor)).
 
-    Entirely per-row array math (token hashes computed once, 32 unrolled
-    bit-vote aggregates) — NO shuffle, whole-stage codegen. (First cut
-    exploded doc×token×bit through two grouped aggregations — a 9.6M-row
-    shuffle at sf0.1 for what is a per-document computation.)
+    Entirely per-row array math (token hashes computed once in the JVM,
+    bit votes vectorized in ONE Arrow/numpy pass — _simhash_votes) — NO
+    shuffle. (First cut exploded doc×token×bit through two grouped
+    aggregations — a 9.6M-row shuffle at sf0.1 for what is a
+    per-document computation; round 14 retired the 32 unrolled
+    interpreted F.aggregate bit-folds for the vectorized vote, guide
+    §4.2 — identical integer results, ~2.5× at sf0.1.)
     """
     docs = load_table(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id",
         F.transform(distinct_tokens(F.col("text")), lambda t: md5_long(t)).alias("hs"),
     )
-    def _vote(bit: int):
-        # closure (not a lambda default arg) so the merge lambda keeps exactly
-        # 2 params — pyspark binds every named lambda param to a column
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_terms = []
-    for b in range(32):
-        vote_sum = F.aggregate(F.col("hs"), F.lit(0), _vote(b))
-        bit_terms.append(
-            F.when(vote_sum > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    simhash = bit_terms[0]
-    for term in bit_terms[1:]:
-        simhash = simhash + term
-    return hashed.select("doc_id", simhash.cast("long").alias("simhash"))
+    return hashed.select("doc_id", _simhash_votes(32)("hs").alias("simhash"))
 
 
 @query(
@@ -1512,6 +1501,75 @@ _SUBSTR_WIN_SQL = " || ' ' || ".join(
 )
 
 
+def _simhash_votes(bits: int):
+    """Arrow-vectorized simhash bit votes: token-hash array → simhash.
+
+    Per bit b the vote is Σ ±1 over the token hashes (+1 when bit b is
+    set), and bit b of the simhash is set iff the vote is positive —
+    i.e. iff 2·ones_b > n, computed here as exact integer numpy over
+    the whole hash array at once. Replaces ``bits`` separate
+    ``F.aggregate`` folds per row: higher-order lambdas are interpreted
+    per element, and the 60-fold variant measured 1.0 s vs 0.4 s for
+    this ArrowEvalPython path at sf0.1 (guide §4.2 — hand whole batches
+    to vectorized native code). NULL/empty hash arrays yield simhash 0,
+    exactly like the fold (aggregate(NULL) → NULL vote → no bit set)."""
+
+    @F.pandas_udf("long")
+    def simhash(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.int64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            a = np.asarray(arr, dtype=np.uint64)
+            ones = (
+                ((a[:, None] >> shifts) & np.uint64(1)).astype(np.int64).sum(axis=0)
+            )
+            out[i] = weights[(2 * ones) > len(a)].sum()
+        return pd.Series(out)
+
+    return simhash
+
+
+def _substring_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, start, h) — one row per SUBSTR_WIN-token
+    window, h = md5_long of the space-joined shingle.
+
+    Built explode-first so everything expensive is CODEGEN'd: the
+    generator is a cheap position sequence, and the shingle string +
+    md5 are plain projections evaluated once per window row. The
+    previous shape (interpreted transform(word_shingles, md5) array,
+    then posexplode) paid the whole per-shingle md5 pass ~2× per scan —
+    Generate's implicit `size(arr) > 0 AND isnotnull(arr)` null-check
+    is pushed into the scan filter, duplicating the HOF expression
+    (guide §4.4's duplicated-expensive-expression class, plan-verified
+    in plans/r14/dedup_substring_before.txt). The token array is bound
+    in its own projection below the Generate so it is NOT re-split per
+    probe, and the scan is fanned out first — the window build is the
+    per-row-heavy stage (guide §2.5)."""
+    toks = tokens(F.col("text"))
+    base = (
+        fan_out(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", toks.alias("tk"))
+        .select("doc_id", F.size("tk").alias("n_tokens"), "tk")
+        .filter(F.col("n_tokens") >= SUBSTR_WIN)
+    )
+    w = base.select(
+        "doc_id",
+        "n_tokens",
+        "tk",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tokens") - (SUBSTR_WIN - 1))
+        ).alias("start"),
+    )
+    shingle = F.concat_ws(
+        " ",
+        *[F.try_element_at("tk", F.col("start") + j) for j in range(SUBSTR_WIN)],
+    )
+    return w.select("doc_id", "n_tokens", "start", md5_long(shingle).alias("h"))
+
+
 @query(
     "dedup_substring",
     oracle=f"""
@@ -1553,21 +1611,30 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection is ONE groupBy on the 8-byte window hash with map-side
     partial aggregation (never the window string — md5_long keeps the
     shuffle narrow and is replayable in DuckDB); marked windows come
-    back via an equi-join on the same hash (AQE reuses the shuffle
-    partitioning), and span coverage is a per-doc distinct-position
-    count — shuffles on window-hash then doc_id only, pair space never
+    back via an equi-join on the same hash, and span coverage is a
+    per-doc interval union over the (unique, sorted) window starts —
+    shuffles on window-hash then doc_id only, pair space never
     materialized. At 100 TB the dup-window set is the heavy-hitter tail
-    of the hash groupBy; everything else is linear."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    base = docs.filter(F.size(toks) >= SUBSTR_WIN).select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.transform(word_shingles(F.col("text"), SUBSTR_WIN), md5_long).alias("hs"),
-    )
-    w = base.select(
-        "doc_id", "n_tokens", F.posexplode("hs").alias("pos0", "h")
-    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("start"), "h")
+    of the hash groupBy; everything else is linear.
+
+    Round-14 shape (guide §2.3/§2.4/§4.4; 4.0 s → ~0.9 s at sf0.1,
+    identical rows vs the unchanged oracle): windows come from ONE
+    posexplode of a cheap position sequence with the shingle string +
+    md5 built as codegen'd projections AFTER the explode — the previous
+    transform(word_shingles, md5) array was an interpreted HOF whose
+    generator null-check was pushed into the scan filter, so the whole
+    per-shingle md5 pass evaluated ~2× on each of this plan's scans of
+    documents; the window table is localCheckpoint'ed so its two
+    consumers (hash census, hash join) compute it once; and coverage is
+    a lag-window interval union (Σ min(W, startᵢ − startᵢ₋₁)) fused
+    with the per-doc window count into ONE aggregation that rides the
+    window function's own doc_id partitioning — replacing the W-fold
+    position explode, a distinct-count expand and a per-doc join."""
+    w = _substring_windows(load_table(spark, sf_dir, "documents"))
+    # computed once (lazy local checkpoint: the first consumer
+    # materializes the blocks, the second reads them; the plan is
+    # truncated, and the blocks are context-cleaned on GC)
+    w = w.localCheckpoint(eager=False)
     dup = (
         w.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1575,21 +1642,27 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     dw = w.join(dup, "h")
-    cov = (
-        dw.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + SUBSTR_WIN - 1)
-            ).alias("p"),
-        )
+    ww = Window.partitionBy("doc_id").orderBy("start")
+    # starts are unique per doc (dup is distinct on h, so the join
+    # keeps one row per window position), so the union of the
+    # [start, start+W-1] intervals has size Σ min(W, gap to previous
+    # start) with the first window contributing W — exactly the
+    # distinct-position count the oracle replays
+    gap = F.col("start") - F.lag("start").over(ww)
+    contrib = F.when(
+        gap.isNull() | (gap >= SUBSTR_WIN), F.lit(SUBSTR_WIN)
+    ).otherwise(gap)
+    res = (
+        dw.select("doc_id", "n_tokens", "start")
+        .withColumn("c", contrib.cast("long"))
         .groupBy("doc_id")
-        .agg(F.count_distinct("p").alias("covered"))
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_dup_windows"),
+            F.sum("c").alias("covered"),
+        )
     )
-    nd = dw.groupBy("doc_id").agg(
-        F.first("n_tokens").alias("n_tokens"),
-        F.count("*").cast("long").alias("n_dup_windows"),
-    )
-    return nd.join(cov, "doc_id").select(
+    return res.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "n_dup_windows",
@@ -1753,28 +1826,34 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("toks"))
-    w = docs.filter(F.size(toks) >= SUBSTR_WIN).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(word_shingles(F.col("text"), SUBSTR_WIN), md5_long)
-        ).alias("pos0", "h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "h")
+    # same round-14 window build as dedup_substring (explode-first,
+    # codegen'd shingle+md5, fanned-out scan, computed once via lazy
+    # local checkpoint — see _substring_windows)
+    w = _substring_windows(docs).select("doc_id", "start", "h")
+    w = w.localCheckpoint(eager=False)
     dup = (
         w.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
+    # collect the (unique) window STARTS per doc — W× fewer shuffled
+    # rows than exploding every covered position — and expand to the
+    # covered-position set as per-row array math (guide §2.3)
     cov = (
         w.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("ss"))
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + SUBSTR_WIN - 1)
-            ).alias("p"),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "ss", lambda s: F.sequence(s, s + (SUBSTR_WIN - 1))
+                    )
+                )
+            ).alias("cov"),
         )
-        .groupBy("doc_id")
-        .agg(F.collect_set("p").alias("cov"))
     )
     covc = F.col("cov")
     return base.join(cov, "doc_id", "left").select(
@@ -1869,25 +1948,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(distinct_tokens(F.col("text")), lambda t: md5_long(t)).alias("hs"),
     )
-
-    def _vote(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    terms = []
-    for b in range(_SIMHASH_BITS):
-        vote = F.aggregate(F.col("hs"), F.lit(0), _vote(b))
-        terms.append(
-            F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    simhash = terms[0]
-    for t in terms[1:]:
-        simhash = simhash + t
+    # bit votes vectorized in one Arrow/numpy pass (_simhash_votes) —
+    # round 14 retired the 60 unrolled interpreted F.aggregate folds
+    # (guide §4.2; identical integer results)
     sh = (
-        hashed.select("doc_id", simhash.cast("long").alias("simhash"))
+        hashed.select("doc_id", _simhash_votes(_SIMHASH_BITS)("hs").alias("simhash"))
         .repartition("doc_id")
         .localCheckpoint()
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.hashing import md5_long
 from ..functions.text import char_shingles, tokens, word_shingles
 from ..operators.textprofile import repetition_counts
-from ..tables import load_table
+from ..tables import fan_out, load_table
 from ..functions.rounding import (
     half_up_ratio,
     half_up_ratio_nonneg,
@@ -198,8 +198,15 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min hash over all character
     5-gram shingles — a 1-permutation MinHash; identical docs get
     identical fingerprints, near-identical docs collide with prob ≈
-    Jaccard similarity of their shingle sets."""
-    docs = load_table(spark, sf_dir, "documents")
+    Jaccard similarity of their shingle sets.
+
+    One md5 per character 5-gram is the per-row cost (L ≈ doc length
+    hashes per doc, interpreted HOF): fan the single-split bench scan
+    out first so the hashing parallelizes (guide §2.5; measured
+    2.7 s → 0.33 s at sf0.1; no-op at real split counts — tried and
+    rejected instead: an explode+codegen rewrite, which was no faster
+    single-task because the md5 itself dominates)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = char_shingles(F.col("text"), 5)
     return docs.select(
         "doc_id",
@@ -1032,9 +1039,14 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     toks = tokens(F.col("text"))
-    exploded = docs.select(
-        "doc_id", F.size(toks).alias("n_toks"), F.explode(toks).alias("term")
-    )
+    # tokenize in its OWN projection, explode in the NEXT one: putting
+    # size(toks) and explode(toks) in one select makes Catalyst evaluate
+    # the interpreted split+filter chain per EXPLODED row — O(tokens²)
+    # per doc (the quality_classifier_trained lesson; measured 3.95 s →
+    # 0.24 s at sf0.1 for this stage, guide §4.4's duplicated-expensive-
+    # expression class)
+    pre = docs.select("doc_id", F.size(toks).alias("n_toks"), toks.alias("tk"))
+    exploded = pre.select("doc_id", "n_toks", F.explode("tk").alias("term"))
     tf = exploded.groupBy("doc_id", "term").agg(
         F.count("*").alias("cnt"), F.first("n_toks").alias("n_toks")
     )
@@ -1309,8 +1321,12 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             _json.dump(weights, fh)
         _os.replace(tmp, wpath)  # atomic; concurrent first-builds race benignly
 
-    # -- infer: one array literal, zero-shuffle integer fold per row
-    warr = F.lit(weights)
+    # -- infer: one array literal, zero-shuffle integer fold per row.
+    # The literal is built from ONE parsed SQL string, not F.lit(list):
+    # py4j converts a Python list literal element-by-element, and the
+    # 4096-entry table measured 2.5 s of plan-CONSTRUCTION time per call
+    # (the query ran in 0.7 s) — same Catalyst Literal node either way.
+    warr = F.expr(f"array({','.join(str(w) for w in weights)})")
     ws = F.aggregate(
         toks,
         F.lit(0).cast("long"),
@@ -1512,7 +1528,11 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint table is the thing you bucket/join downstream, and at
     rest it is written bucketed by fp exactly like the minhash
     signature table."""
-    docs = load_table(spark, sf_dir, "documents")
+    # the per-row work here (L md5'd k-grams + an O(L·W) sliding min,
+    # both interpreted HOF expressions) dwarfs the scan: spread the
+    # single-split bench file across the cluster first (guide §2.5;
+    # measured 4.8 s → 0.7 s at sf0.1; no-op at real split counts)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     hs = F.transform(char_shingles(F.col("text"), WINNOW_K), md5_long)
 
     def mins_of(arr):

