@@ -157,17 +157,6 @@ def fetch_paginated(
     page count — 10⁶ archives × depth 16 is 16 rounds, each a full-
     parallel fetch of ~10⁶ pages. Only the loop-control count reaches
     the driver. Returns (url, depth, status, content).
-
-    Round-14 loop shape (guide §1.2 "the distributed algorithm first";
-    8.5 s → ~7 s at sf0.1, identical rows on chain/cyclic/converging
-    graphs): ONE action per round instead of four. The frontier
-    anti-join is left LAZY so it rides inside the fetch round's job;
-    the fetched table is the only per-round checkpoint (lazy — its
-    count() both materializes the blocks and answers loop control);
-    the visited set accumulates as a union of next_url projections
-    over the flat per-round checkpoints (anti-join semantics are
-    duplicate-insensitive, so the pre-dedup projection is enough and
-    the plan grows one flat leaf per round, never recursively).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,26 +179,21 @@ def fetch_paginated(
         [], "url string, status int, content string, next_url string, depth int"
     )
     for depth in range(max_pages):
+        if frontier.count() == 0:
+            break
         fetched = (
             frontier.mapInPandas(run, schema=PAGED_SCHEMA)
             .withColumn("depth", F.lit(depth))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        # the count doubles as the checkpoint's materializing action:
-        # an empty frontier costs one trivial job, every non-empty
-        # round exactly one fetch job
-        if fetched.count() == 0:
-            break
         acc = acc.union(fetched.select(*acc.columns))
-        nxt = fetched.filter(F.col("next_url").isNotNull()).select(
-            F.col("next_url").alias("url")
+        nxt = (
+            fetched.filter(F.col("next_url").isNotNull())
+            .select(F.col("next_url").alias("url"))
+            .distinct()
         )
-        # distinct BEFORE the anti-join: chains converging in the same
-        # round must collapse to one frontier row (fetch-once contract,
-        # tests/test_paginated_fetch.py). Both stay lazy — they run
-        # inside the next round's fetch job.
-        frontier = nxt.distinct().join(visited, "url", "left_anti")
-        visited = visited.union(nxt)
+        frontier = nxt.join(visited, "url", "left_anti").localCheckpoint(eager=True)
+        visited = visited.union(frontier).localCheckpoint(eager=True)
     return acc.select("url", "depth", "status", "content")
 
 
