@@ -23,7 +23,7 @@ from ..functions.hashing import md5_long
 from ..functions.rounding import half_up_ratio_nonneg
 from ..functions.text import tokens
 from ..operators.chunker import chunk_documents
-from ..tables import load_table
+from ..tables import fan_out, load_table
 from .catalog import query
 from .dedup_queries import _MH_P, _minhash_bands_from
 
@@ -135,7 +135,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     with funnel accounting (docs in → qualified → dedup survivors →
     chunks → vectors + a checksum over raw embedding norms). The oracle
     replays the entire chain in SQL — composition verified end-to-end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
 
     toks = tokens(F.col("text"))
     n = F.size(toks)

@@ -32,7 +32,7 @@ from ..operators.quality_rules import (
     c4_clean_lines,
     gopher_quality_signals,
 )
-from ..tables import load_table
+from ..tables import fan_out, load_table
 from .catalog import query
 
 # ---------------------------------------------------------------------------
@@ -131,7 +131,7 @@ def gopher_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     both passing and failing rows at test scale; the oracle replays the
     identical split/regex/intersect pipeline with DuckDB list lambdas.
     Scale shape: one staged projection, whole-stage codegen, scan-bound."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.expr(_GOPHER_DECOR_SPARK).alias("text")
     )
     sig = gopher_quality_signals(docs)
@@ -247,7 +247,7 @@ def c4_line_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Generate barrier (the audit's fix pattern), then chunk from the
     # materialized words attribute
     docs = (
-        load_table(spark, sf_dir, "documents")
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
         .select(
             "doc_id",
             F.filter(F.split("text", r"\s+"), lambda w: w != "").alias(

@@ -119,7 +119,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson — set cardinalities identical minus md5 collisions, same on
     both engines), plus the size-ratio prefilter J ≥ 0.5 ⇒ min ≥
     0.5·max, which skips the intersect for length-mismatched pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return _ngram_jaccard_from(docs, ratio=0.5, threshold=0.5)
 
 
@@ -845,7 +845,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generate barrier making ``hs`` a plain attribute downstream;
     measured 1.33 s → 0.68 s at sf0.1, identical rows (the win flows
     into contamination_filter, which composes this)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     sh = docs.filter(F.size(toks) >= 3).select(
         "doc_id",
@@ -1016,7 +1016,7 @@ def contamination_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side join + per-doc count, then a LEFT join of the (small)
     contaminated-counts table back onto the train corpus; the corpus is
     never shuffled."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     hits = contamination_check(spark, sf_dir).select("doc_id", "n_shared")
     train = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "lang")
     return (

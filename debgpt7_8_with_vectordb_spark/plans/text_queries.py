@@ -165,7 +165,7 @@ FROM v
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/marker-word language ID heuristic: count marker-word votes
     per language, argmax with deterministic tie-break order."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     en = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "is", "fast", "slow", "small", "big"))).cast("long")
     de = F.size(F.filter(toks, lambda x: x.isin("der", "die", "das", "und", "ist", "schnell", "klein"))).cast("long")
@@ -335,7 +335,7 @@ def hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dim_index | text) through md5 so tests are reproducible, then applies
     the same truncate+normalize insert invariant (vectordb.py:81-86).
     dim=8 shown; per-row expression, embarrassingly parallel."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     raw = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
         lambda i: (
@@ -398,7 +398,7 @@ def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives as read_html(fast=True) for throughput-first passes."""
     from ..functions.htmltext import extract_html_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
 
     def esc(col):
         return F.replace(
@@ -466,7 +466,7 @@ def section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort; a billion-doc corpus sections in one pass."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     lines = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     ).select(
@@ -737,7 +737,7 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash never depends on float summation order (only on libm ln
     agreeing to 6 dp on identical doubles, the same bet every rounded
     query makes on identical scalars)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     bg = docs.filter(F.size(toks) >= 2).select(
         "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg")
@@ -811,7 +811,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass's output. The synthetic corpus contains no PII (counts are 0
     — cross-engine agreement on the identity transform); planted
     PII docs are pinned in tests and the edge-corpus gate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     clean = F.regexp_replace(
         F.regexp_replace(
@@ -1133,7 +1133,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measure-zero boundary) computed from the ROUNDED logit; keep
     reads the rounded prob (ties-at-boundary convention, ADVICE r3
     #1)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     wu = lambda t: (md5_long(F.concat(F.lit("w|"), t)) % 2001) - 1000
     base = docs.select(
@@ -1245,7 +1245,7 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     fasttext-scale vocab (~2M buckets) the literal swaps for the
     hash_embedding Arrow path (weights in the worker closure); never a
     per-token equi-join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     n = F.size(toks)
     # CCNet-bootstrap label = the quality_score blend in exact integer
