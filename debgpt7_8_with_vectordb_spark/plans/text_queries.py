@@ -1582,7 +1582,14 @@ def winnow_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, f"wfp1_k{WINNOW_K}w{WINNOW_W}", "/tmp/spark_graft_signatures"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        winnow_fingerprints(spark, sf_dir).write.mode("overwrite").parquet(path)
+        # keyed repartition (no explicit N) before the write: AQE
+        # coalesces the post-shuffle partitions to the advisory size,
+        # so the artifact lands as few, sensibly-sized, fp-clustered
+        # files at any scale (guide §6 output sizing) — without it the
+        # round-14 fan_out upstream would spray one tiny file per core
+        winnow_fingerprints(spark, sf_dir).repartition(F.col("fp")).write.mode(
+            "overwrite"
+        ).parquet(path)
     return spark.read.parquet(path)
 
 
