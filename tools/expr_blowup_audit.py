@@ -79,6 +79,14 @@ BENIGN = {
     ("contamination_check", "split("),
     ("contamination_filter", "split("),
     ("corpus_pipeline", "split("),
+    # r14 split-projection fix: tokenize now lives in its OWN projection
+    # below the Generate, so the only optimizer copies left are the
+    # Generate null-check pushed into the scan filter — evaluated once
+    # per INPUT row on each diamond branch. The pre-r14 shape had LOWER
+    # static counts but evaluated size(split(...)) once per EXPLODED
+    # row (O(tokens²)/doc — invisible to this static count); measured
+    # 4.36 s → 0.74 s at sf0.1 with identical oracle rows.
+    ("tfidf_topterms", "split("),
 }
 
 
