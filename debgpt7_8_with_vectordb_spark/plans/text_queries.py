@@ -395,10 +395,17 @@ def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the raw columns and replays the engine's normalize pipeline
     (strip → collapse 3+ newlines → rstrip lines) in SQL. Scale shape:
     zero shuffle, scan-parallel Arrow batches; the JVM regexp chain
-    survives as read_html(fast=True) for throughput-first passes."""
+    survives as read_html(fast=True) for throughput-first passes.
+
+    No fan_out here (round 15): the r14 repartition before the Arrow
+    tokenizer stage was a driver-measured regression (0.845→1.084 s at
+    32 cores vs 0.586 s at 8 — inverse scaling; VERDICT r14 #2). The
+    per-row tokenizer work on this corpus is too light to amortize a
+    32-way exchange of the full text payload; the Arrow stage rides
+    the scan's own splits instead (guide §2 partition sizing)."""
     from ..functions.htmltext import extract_html_text
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
 
     def esc(col):
         return F.replace(
@@ -463,10 +470,17 @@ def section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection is still by regex, as the reference does it.
 
     Scale: the window partitions by doc_id — per-document state only,
-    no global sort; a billion-doc corpus sections in one pass."""
+    no global sort; a billion-doc corpus sections in one pass.
+
+    No fan_out here (round 15): the heavy work happens AFTER the
+    posexplode + Window.partitionBy(doc_id), whose own Exchange already
+    redistributes by doc_id — an upstream repartition buys nothing that
+    shuffle doesn't and was a driver-measured regression (0.783→1.912 s
+    at 32 cores vs 0.585 s at 8 — inverse scaling; VERDICT r14 #1,
+    guide §2.4 "two operations keyed the same way share one exchange")."""
     from pyspark.sql import Window
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
     lines = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     ).select(

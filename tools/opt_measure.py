@@ -1,15 +1,16 @@
-"""Per-query optimization measurement harness (round 14).
+"""Per-query optimization measurement harness (rounds 14-15).
 
 Times each named query standalone against the noop sink (guide §1.4 —
 computation only, no sink cost), min-of-N, and optionally captures the
-formatted physical plan to plans/r14/<query>_<tag>.txt (guide §7.2).
+formatted physical plan to plans/<round>/<query>_<tag>.txt (guide §7.2).
 
 Unlike bench.py this is a scratch tool for the optimize/re-measure loop:
 it runs a SUBSET of queries, labels jobs (guide §1.5), and prints a
 per-query table instead of the driver's one-line contract.
 
 Usage:
-  python tools/opt_measure.py [--runs N] [--plans TAG] [--sf DIR] query ...
+  python tools/opt_measure.py [--runs N] [--plans TAG] [--plandir r15]
+                              [--sf DIR] query ...
 """
 
 from __future__ import annotations
@@ -28,9 +29,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--plans", default=None, help="write plans/r14/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="write plans/<plandir>/<q>_<TAG>.txt")
+    ap.add_argument("--plandir", default="r15")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
+    # Duplicate names on the command line would silently overwrite earlier
+    # samples in `results` (ADVICE r14): de-duplicate, keeping first order.
+    args.queries = list(dict.fromkeys(args.queries))
 
     from debgpt7_8_with_vectordb_spark.plans import QUERIES
 
@@ -49,7 +54,9 @@ def main() -> None:
     warm.mapInPandas(_noop_batch, schema=warm.schema).count()
 
     plan_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        args.plandir,
     )
     results: dict[str, list[float]] = {}
     for name in args.queries:
@@ -60,11 +67,16 @@ def main() -> None:
         if args.plans:
             os.makedirs(plan_dir, exist_ok=True)
             df = fn(spark, args.sf)
-            txt = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public API (ADVICE r14): capture DataFrame.explain output
+            # instead of the private PythonSQLUtils bridge
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
             with open(os.path.join(plan_dir, f"{name}_{args.plans}.txt"), "w") as fh:
-                fh.write(txt)
+                fh.write(buf.getvalue())
         samples = []
         for i in range(args.runs):
             spark.sparkContext.setJobDescription(f"{name} run {i}")
