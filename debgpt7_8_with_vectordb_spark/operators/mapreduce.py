@@ -174,11 +174,26 @@ def tree_reduce(
     ceil(log2(n))), which the mapreduce_echo oracle pins, and the final
     string is byte-identical (tests pin the digests). A 10^11-chunk
     corpus now costs ~3 shuffle passes, not ~37 per-round jobs.
+
+    Round-15 action fold (guide §1.2 step 1): the map output is
+    materialized ONCE with its row count riding that same action as an
+    Observation metric — previously the loop-control ``count()``
+    executed the whole map phase (chunker + per-char echo transform)
+    and pass 1 then recomputed it — and each pass's max(_rounds)/count
+    pair rides the pass's own checkpoint action the same way, dropping
+    two follow-up jobs per pass. The mapped checkpoint is freed by the
+    loop's existing deterministic unpersist as soon as pass 1's output
+    is materialized.
     """
-    df = mapped.select(
-        F.col("doc_id"), F.col("start"), F.col("val")
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
+    df = (
+        mapped.select(F.col("doc_id"), F.col("start"), F.col("val"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    n = df.count()
+    n = int(obs0.get["n"])
     rounds = 0
     limit = max_rounds if max_rounds is not None else max(1, int(math.log2(max(n, 2))) + 2)
     # block must hold >= 2 rows to guarantee progress; a 2-row block is
@@ -186,7 +201,7 @@ def tree_reduce(
     block_rows = max(2, _PACK_BLOCK_ROWS)
     block_levels = max(1, int(math.log2(block_rows)))
     spark = mapped.sparkSession
-    prev_ids: set[int] = set()
+    prev_ids: set[int] = {_checkpoint_rdd_id(df)} - {None}
     while n > 1 and rounds < limit:
         cap = min(limit - rounds, block_levels)
 
@@ -221,17 +236,23 @@ def tree_reduce(
                 )
                 .drop("rn")
             )
+        obs = Observation()
         done = (
             blocked.groupBy("_blk")
             .applyInPandas(
                 reduce_block,
                 schema="doc_id long, start int, val string, _rounds int",
             )
+            .observe(
+                obs,
+                F.max("_rounds").alias("r"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .localCheckpoint(eager=True)
         )
-        rounds += int(done.agg(F.max("_rounds")).head()[0])
+        rounds += int(obs.get["r"])
+        n = int(obs.get["n"])
         df = done.select("doc_id", "start", "val")
-        n = df.count()
         _unpersist_rdds(spark, prev_ids)
         prev_ids = {_checkpoint_rdd_id(done)} - {None}
     return df, rounds
@@ -259,14 +280,24 @@ def compact_reduce(
     (same as the odd-tail rule), and block 0 always holds ≥2 rows when
     n ≥ 2, so every round shrinks.
     """
+    from pyspark.sql import Observation
+
     from .binpack import pack_sizes
 
-    df = mapped.select("doc_id", "start", "val")
-    n = df.count()
+    # round-15 action fold — same as tree_reduce: map output materialized
+    # once with its count as an Observation metric; per-pass max/count
+    # ride each pass's checkpoint action
+    obs0 = Observation()
+    df = (
+        mapped.select("doc_id", "start", "val")
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n = int(obs0.get["n"])
     rounds = 0
     limit = max_rounds if max_rounds is not None else max(1, int(math.log2(max(n, 2))) + 2)
     spark = mapped.sparkSession
-    prev_ids: set[int] = set()
+    prev_ids: set[int] = {_checkpoint_rdd_id(df)} - {None}
     while n > 1 and rounds < limit:
         if n <= _PACK_BLOCK_ROWS:
             # END-GAME: the tail is a single packing block anyway, so
@@ -302,6 +333,7 @@ def compact_reduce(
                     columns=["doc_id", "start", "val", "_rounds"],
                 )
 
+            obs = Observation()
             done = (
                 df.withColumn("_g", F.lit(0))
                 .groupBy("_g")
@@ -309,11 +341,16 @@ def compact_reduce(
                     finish_pack,
                     schema="doc_id long, start int, val string, _rounds int",
                 )
+                .observe(
+                    obs,
+                    F.max("_rounds").alias("r"),
+                    F.count(F.lit(1)).alias("n"),
+                )
                 .localCheckpoint(eager=True)
             )
-            rounds += int(done.agg(F.max("_rounds")).head()[0])
+            rounds += int(obs.get["r"])
+            n = int(obs.get["n"])
             df = done.select("doc_id", "start", "val")
-            n = df.count()
             _unpersist_rdds(spark, prev_ids)
             prev_ids = {_checkpoint_rdd_id(done)} - {None}
             continue
@@ -339,12 +376,14 @@ def compact_reduce(
                     lo = hi
             return pd.DataFrame(out, columns=["doc_id", "start", "val"])
 
+        obs = Observation()
         df = (
             keyed.groupBy("block")
             .applyInPandas(pack_and_combine, schema="doc_id long, start int, val string")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n = df.count()
+        n = int(obs.get["n"])
         rounds += 1
         _unpersist_rdds(spark, prev_ids)
         prev_ids = {_checkpoint_rdd_id(df)} - {None}
