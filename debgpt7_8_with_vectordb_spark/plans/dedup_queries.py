@@ -282,7 +282,9 @@ def minhash_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _minhash_bands_from(load_table(spark, sf_dir, "documents"), persist=False
         ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    from ..tables import read_parquet_plan_cached
+
+    return read_parquet_plan_cached(spark, path)
 
 
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,7 +459,9 @@ def verified_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _verify_candidates(spark, sf_dir).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    from ..tables import read_parquet_plan_cached
+
+    return read_parquet_plan_cached(spark, path)
 
 
 def _verify_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,7 +1383,9 @@ def jaccard_truth_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ngram_jaccard_from(docs, ratio=0.8, threshold=0.8).write.mode(
             "overwrite"
         ).parquet(path)
-    return spark.read.parquet(path)
+    from ..tables import read_parquet_plan_cached
+
+    return read_parquet_plan_cached(spark, path)
 
 
 def _recall_tiers(spark: SparkSession, truth: DataFrame, cand: DataFrame) -> DataFrame:

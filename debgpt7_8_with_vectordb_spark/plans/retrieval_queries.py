@@ -630,7 +630,9 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
     tbl = pq.read_table(cent_path).to_pydict()
     order = sorted(range(len(tbl["cluster_id"])), key=lambda i: tbl["cluster_id"][i])
     centroids = [list(tbl["centroid"][i]) for i in order]
-    return spark.read.parquet(idx_path), centroids
+    from ..tables import read_parquet_plan_cached
+
+    return read_parquet_plan_cached(spark, idx_path), centroids
 
 
 _PQ_CODEBOOKS = "__PQ_CODEBOOKS__"

@@ -1604,7 +1604,9 @@ def winnow_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints(spark, sf_dir).repartition(F.col("fp")).write.mode(
             "overwrite"
         ).parquet(path)
-    return spark.read.parquet(path)
+    from ..tables import read_parquet_plan_cached
+
+    return read_parquet_plan_cached(spark, path)
 
 
 @query(

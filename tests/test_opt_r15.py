@@ -93,3 +93,30 @@ def test_fetch_paginated_duplicate_seeds_fetch_once(spark):
     seeds = spark.createDataFrame([("p://a",), ("p://a",)], "url string")
     out = fetch_paginated(seeds, fetcher).collect()
     assert len(out) == 1 and out[0]["depth"] == 0
+
+
+def test_load_table_plan_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The memoized logical table plan must drop the moment the file
+    changes (mtime/size key) — a regenerated corpus may never serve a
+    stale schema or stale rows."""
+    import os
+    import time as _t
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debgpt7_8_with_vectordb_spark.tables import load_table
+
+    sf = str(tmp_path)
+    p = os.path.join(sf, "events.parquet")
+    pq.write_table(pa.table({"event_id": pa.array([1, 2], pa.int64())}), p)
+    first = load_table(spark, sf, "events")
+    assert first.count() == 2
+    assert load_table(spark, sf, "events") is first  # memo hit
+    _t.sleep(0.01)  # ensure a distinct mtime
+    pq.write_table(
+        pa.table({"event_id": pa.array([7, 8, 9], pa.int64())}), p
+    )
+    again = load_table(spark, sf, "events")
+    assert again is not first
+    assert again.count() == 3
