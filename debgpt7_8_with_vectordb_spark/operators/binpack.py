@@ -161,7 +161,19 @@ def pack_chunks_crossdoc(
         "n_bytes",
         F.expr(f"doc_id div {int(range_width)}").alias("range_id"),
     )
-    return ranged.groupBy("range_id").applyInPandas(
+    # Keyed fan_out BEFORE the group stage (guide §2.5 + §4): the pack
+    # scan is CPU-per-group, not bytes, so AQE's byte-based coalescing
+    # funnels every range into ONE python task (event-log: a 1538 ms
+    # single-task stage for ~157 ranges at sf0.1, ~8 ms of pandas-group
+    # overhead each). An explicit hash repartition on range_id is a
+    # partitioning applyInPandas reuses (no extra exchange) and AQE
+    # honors user-specified partition counts, keeping the group work
+    # cluster-wide; at real split counts fan_out is a no-op and the
+    # group exchange behaves as before. Measured 2.73 → 1.06 s
+    # standalone min on the binpack_crossdoc query.
+    from ..tables import fan_out
+
+    return fan_out(ranged, "range_id").groupBy("range_id").applyInPandas(
         pack_range, schema=CROSSDOC_SCHEMA
     )
 
@@ -190,6 +202,11 @@ def pack_chunks(
         )
         return agg[["doc_id", "group_id", "n_items", "group_bytes", "start", "end"]]
 
+    # NOT fanned out (round-15): unlike pack_chunks_crossdoc's ~157
+    # heavy range groups, the per-doc groups here are tiny and the
+    # stage already rides the chunker's partitioning — fan_out measured
+    # neutral (0.44-0.52 s either way), so the extra exchange is not
+    # adopted (guide §1: keep only measured wins).
     return chunks.select("doc_id", "start", "end", "n_bytes").groupBy("doc_id").applyInPandas(
         pack_one, schema=PACKED_SCHEMA
     )
