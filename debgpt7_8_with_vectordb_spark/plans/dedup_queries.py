@@ -1518,20 +1518,36 @@ def _simhash_votes(bits: int):
     per element, and the 60-fold variant measured 1.0 s vs 0.4 s for
     this ArrowEvalPython path at sf0.1 (guide §4.2 — hand whole batches
     to vectorized native code). NULL/empty hash arrays yield simhash 0,
-    exactly like the fold (aggregate(NULL) → NULL vote → no bit set)."""
+    exactly like the fold (aggregate(NULL) → NULL vote → no bit set).
+
+    Memory bound (ADVICE r14): the vote matrix is built over 64k-token
+    SLICES of the hash array, so the transient allocation is capped at
+    ~64k·bits int64 (~32 MB at 60 bits) per row however large a
+    pathological document's distinct-token set gets — the popcount sum
+    is associative over slices, so the result is bit-identical. NULL
+    *elements* inside a hash array would make ``np.asarray(...,
+    uint64)`` raise; callers hash non-null tokens (md5_long of tokens())
+    so elements are non-null by construction — documented precondition
+    rather than a silent coercion."""
 
     @F.pandas_udf("long")
     def simhash(hs: pd.Series) -> pd.Series:
         shifts = np.arange(bits, dtype=np.uint64)
         weights = (np.uint64(1) << shifts).astype(np.int64)
         out = np.zeros(len(hs), dtype=np.int64)
+        chunk = 65536  # bounds the a[:, None] broadcast per slice
         for i, arr in enumerate(hs):
             if arr is None or len(arr) == 0:
                 continue
             a = np.asarray(arr, dtype=np.uint64)
-            ones = (
-                ((a[:, None] >> shifts) & np.uint64(1)).astype(np.int64).sum(axis=0)
-            )
+            ones = np.zeros(bits, dtype=np.int64)
+            for lo in range(0, len(a), chunk):
+                s = a[lo : lo + chunk]
+                ones += (
+                    ((s[:, None] >> shifts) & np.uint64(1))
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
             out[i] = weights[(2 * ones) > len(a)].sum()
         return pd.Series(out)
 
@@ -1639,7 +1655,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _substring_windows(load_table(spark, sf_dir, "documents"))
     # computed once (lazy local checkpoint: the first consumer
     # materializes the blocks, the second reads them; the plan is
-    # truncated, and the blocks are context-cleaned on GC)
+    # truncated, and the blocks are context-cleaned on GC).
+    # Reliability trade-off at cluster scale (ADVICE r14): localCheckpoint
+    # pins a corpus-sized intermediate in executor MEMORY_AND_DISK with
+    # lineage truncated — executor loss mid-query fails the query rather
+    # than silently recomputing. A long-lived production run that cannot
+    # restart the query swaps this for a reliable checkpoint
+    # (sc.setCheckpointDir + .checkpoint()) at the cost of an HDFS write.
     w = w.localCheckpoint(eager=False)
     dup = (
         w.groupBy("h")
@@ -1834,7 +1856,8 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", toks.alias("toks"))
     # same round-14 window build as dedup_substring (explode-first,
     # codegen'd shingle+md5, fanned-out scan, computed once via lazy
-    # local checkpoint — see _substring_windows)
+    # local checkpoint — see _substring_windows; same executor-loss
+    # trade-off note as dedup_substring's checkpoint above)
     w = _substring_windows(docs).select("doc_id", "start", "h")
     w = w.localCheckpoint(eager=False)
     dup = (
