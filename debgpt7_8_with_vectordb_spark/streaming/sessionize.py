@@ -49,12 +49,23 @@ def stream_events_from_dir(
     varies by writer (nanos→long under nanosAsLong vs standard
     micros→timestamp) — hardcoding either silently mis-scales the other
     by 1000×. One batch footer read resolves the actual type up front
-    and picks the matching schema + conversion."""
-    probe_reader = spark.read
-    if glob:
-        probe_reader = probe_reader.option("pathGlobFilter", glob)
+    and picks the matching schema + conversion. When ``glob`` names one
+    exact file the probe reads through the memoized plan reader
+    (tables.read_parquet_plan_cached) — the footer/listing metadata is
+    ~95 ms of driver work per query build otherwise (round 15)."""
+    import os
+
+    if glob and not any(ch in glob for ch in "*?["):
+        from ..tables import read_parquet_plan_cached
+
+        probe_df = read_parquet_plan_cached(spark, os.path.join(path, glob))
+    else:
+        probe_reader = spark.read
+        if glob:
+            probe_reader = probe_reader.option("pathGlobFilter", glob)
+        probe_df = probe_reader.parquet(path)
     ts_type = dict(
-        (f.name, f.dataType.simpleString()) for f in probe_reader.parquet(path).schema
+        (f.name, f.dataType.simpleString()) for f in probe_df.schema
     ).get("ts", "bigint")
 
     reader = spark.readStream.schema(
